@@ -1,0 +1,283 @@
+"""Immutable precomputed likelihood context (the "model build" step).
+
+Replaces the stateful precompute stack of ``LumFuncMCMC.__init__``
+(``lumfuncmcmc.py:162-249``: ``defineFlimOmArr`` / ``getRoot`` /
+``setDLdVdz`` / ``setOmegaLz`` / ``setlnsimple``) with a single host-side
+builder producing two frozen pytrees:
+
+- :class:`LFData` — the concatenated catalog (lum/flux/z + per-source
+  field id), float32-castable;
+- :class:`LFContext` — the frozen likelihood grids and caches.
+
+Reference semantics deliberately preserved (SURVEY.md §3.2):
+
+- The z-dependent logL integration grid has lower bound
+  ``max(minlum_field(z_j), min(lum))`` and is **frozen at build time with
+  the initial completeness parameters** — the free-completeness
+  likelihood re-evaluates Omega on this fixed grid rather than re-deriving
+  the bounds (``lumfuncmcmc.py:228-231, 375``).
+- Grid sizes: 101 nodes (free completeness) / 201 (fixed)
+  (``lumfuncmcmc.py:219-220``); overridable via config.
+
+Reference quirks deliberately *fixed* (documented deviations):
+
+- per-source ``Omega_0`` was truncated to int arcsec^2
+  (``lumfuncmcmc.py:285`` ``dtype=int``); we keep floats.
+- completeness roots came from a 201x201 cubic spline of fsolve results
+  (``lumfuncmcmc.py:272-281``); we bisect exactly per field.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lumfuncmcmc_tpu.config import LFConfig
+from lumfuncmcmc_tpu.cosmology import (
+    CosmoTable, build_cosmo_table, SQARCSEC_PER_SR)
+from lumfuncmcmc_tpu.ops.completeness import fleming_root_logf
+from lumfuncmcmc_tpu.ops.omega import (
+    logflux_from_loglum, loglum_from_logflux, omega_from_logf)
+
+_LOG10_4PI = 1.0992098640220963
+
+
+@dataclass(frozen=True)
+class LFData:
+    """Concatenated multi-field catalog arrays."""
+
+    z: jnp.ndarray          # (N,) redshifts
+    lum: jnp.ndarray        # (N,) log10 L [erg/s]
+    lum_e: Optional[jnp.ndarray]   # (N,) log10 L errors (or None)
+    flux: jnp.ndarray       # (N,) flux [erg/cm^2/s]
+    flux_e: Optional[jnp.ndarray]  # (N,) flux errors (or None)
+    field_id: jnp.ndarray   # (N,) int32 field index per source
+
+
+@dataclass(frozen=True)
+class LFContext:
+    """Frozen likelihood grids + caches. All arrays device-resident."""
+
+    # --- catalog-derived scalars for the collapsed ln-term ---
+    nsrc: jnp.ndarray             # () N as float
+    sum_lum: jnp.ndarray          # () sum of log-luminosities
+    lref: jnp.ndarray             # () max(lum) — scaling anchor
+    sum_pow_lum: jnp.ndarray      # () sum of 10^(lum - lref)
+    sum_ln_om: jnp.ndarray        # () sum of ln Omega(lum_n, z_n) at the
+                                  #    build-time completeness parameters
+    # --- per-source arrays (for free-completeness / z-evolving paths) ---
+    lum: jnp.ndarray              # (N,)
+    zsrc: jnp.ndarray             # (N,)
+    logf_src: jnp.ndarray         # (N,) log10 implied source flux
+    omega0_src: jnp.ndarray       # (N,) per-source survey area (arcsec^2)
+    ln_om_src: jnp.ndarray        # (N,) ln Omega at build-time parameters
+    field_id: jnp.ndarray         # (N,)
+    # --- frozen quadrature grids ---
+    zarr: jnp.ndarray             # (S,) z nodes
+    log_dl_zarr: jnp.ndarray      # (S,) log10 dL(zarr) [cm]
+    volume_part: jnp.ndarray      # (S,) dV/dz(zarr) [Mpc^3/sr]
+    logL_grid: jnp.ndarray        # (F, S, S) logL[f, i, j]; i=L node, j=z node
+    w_fixed: jnp.ndarray          # (F, S, S) full weights incl. frozen Omega:
+                                  #    integral = sum(phi * w_fixed)
+    w_open: jnp.ndarray           # (F, S, S) weights excl. Omega (for paths
+                                  #    that recompute Omega from theta)
+    logf_grid: jnp.ndarray        # (F, S, S) log10 implied flux on the grid
+    # --- per-field parameters ---
+    omega0_f: jnp.ndarray         # (F,)
+    logF50_f: jnp.ndarray         # (F,) log10 of build-time Flim [cgs]
+    alpha_c: jnp.ndarray          # () build-time completeness alpha
+    roots_logf: jnp.ndarray       # (F,) log10 min-flux at min_comp_frac
+    # --- cosmology ---
+    cosmo: CosmoTable
+
+
+_DATA_FIELDS = ("z", "lum", "lum_e", "flux", "flux_e", "field_id")
+jax.tree_util.register_pytree_node(
+    LFData,
+    lambda d: (tuple(getattr(d, f) for f in _DATA_FIELDS), None),
+    lambda aux, ch: LFData(*ch),
+)
+
+_CTX_FIELDS = (
+    "nsrc", "sum_lum", "lref", "sum_pow_lum", "sum_ln_om",
+    "lum", "zsrc", "logf_src", "omega0_src", "ln_om_src", "field_id",
+    "zarr", "log_dl_zarr", "volume_part", "logL_grid",
+    "w_fixed", "w_open", "logf_grid",
+    "omega0_f", "logF50_f", "alpha_c", "roots_logf", "cosmo",
+)
+jax.tree_util.register_pytree_node(
+    LFContext,
+    lambda c: (tuple(getattr(c, f) for f in _CTX_FIELDS), None),
+    lambda aux, ch: LFContext(*ch),
+)
+
+
+def propagate_flux_to_lum(flux, flux_e, log_dl_cm):
+    """log L and its error from flux via the delta method.
+
+    sigma_logL = sigma_F / (F ln 10) — the linearization the reference
+    obtains through ``uncertainties.unumpy`` (``lumfuncmcmc.py:251-260``).
+    """
+    lum = loglum_from_logflux(np.log10(flux), log_dl_cm)
+    lum_e = None if flux_e is None else flux_e / (flux * np.log(10.0))
+    return lum, lum_e
+
+
+def propagate_lum_to_flux(lum, lum_e, log_dl_cm):
+    """Inverse conversion (``lumfuncmcmc.py:262-270``)."""
+    logf = logflux_from_loglum(lum, log_dl_cm)
+    flux = 10.0**logf
+    flux_e = None if lum_e is None else lum_e * np.log(10.0) * flux
+    return flux, flux_e
+
+
+def build_context(cfg: LFConfig,
+                  z,
+                  flux=None, flux_e=None,
+                  lum=None, lum_e=None,
+                  field_id=None,
+                  dtype=None):
+    """Build (LFData, LFContext) from a concatenated catalog.
+
+    Parameters mirror ``LumFuncMCMC.__init__`` (``lumfuncmcmc.py:73-178``)
+    but take already-concatenated arrays plus a per-source ``field_id``
+    instead of per-field lists + offset vector. ``flux``/``flux_e`` are in
+    units of 1e-17 erg/cm^2/s (reference convention,
+    ``lumfuncmcmc.py:166``).
+
+    All precompute runs in float64 numpy on the host; the returned pytrees
+    are cast to ``dtype`` (default: float64 if x64 is enabled, else
+    float32).
+    """
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+    z = np.asarray(z, dtype=np.float64)
+    n = z.shape[0]
+    if field_id is None:
+        field_id = np.zeros(n, dtype=np.int32)
+    field_id = np.asarray(field_id, dtype=np.int32)
+    nfields = len(cfg.Flim)
+
+    zmin, zmax = float(z.min()), float(z.max())
+    cosmo = build_cosmo_table(zmax=1.05 * zmax + 0.1, dtype=dtype)
+    # host-side float64 views of the cosmology tables for precompute
+    zg = np.asarray(cosmo.zgrid, dtype=np.float64)
+    logdl_tab = np.asarray(cosmo.log10_dl_cm, dtype=np.float64)
+    dvdz_tab = np.asarray(cosmo.dvdz_sr, dtype=np.float64)
+
+    def log_dl_cm(zq):
+        return np.interp(zq, zg, logdl_tab)
+
+    def dvdz(zq):
+        return np.interp(zq, zg, dvdz_tab)
+
+    # --- fluxes <-> luminosities (C15) ---
+    log_dl_src = log_dl_cm(z)
+    if flux is not None:
+        flux = 1.0e-17 * np.asarray(flux, dtype=np.float64)
+        flux_e = None if flux_e is None else 1.0e-17 * np.asarray(
+            flux_e, dtype=np.float64)
+        lum, lum_e = propagate_flux_to_lum(flux, flux_e, log_dl_src)
+    else:
+        lum = np.asarray(lum, dtype=np.float64)
+        lum_e = None if lum_e is None else np.asarray(lum_e, dtype=np.float64)
+        flux, flux_e = propagate_lum_to_flux(lum, lum_e, log_dl_src)
+
+    # --- per-field build-time completeness parameters ---
+    flim_cgs = 1.0e-17 * np.asarray(cfg.Flim, dtype=np.float64)
+    logF50 = np.log10(flim_cgs)
+    alpha_c = float(cfg.alpha)
+
+    if cfg.min_comp_frac > 0.001:
+        roots_logf = np.asarray(jax.device_get(
+            fleming_root_logf(jnp.asarray(logF50, dtype=jnp.float64),
+                              alpha_c, cfg.min_comp_frac, cfg.fcmin)),
+            dtype=np.float64)
+    else:
+        roots_logf = np.full(nfields, -np.inf)
+
+    # --- frozen likelihood grids (setlnsimple, lumfuncmcmc.py:217-235) ---
+    if cfg.size_ln is not None:
+        size = int(cfg.size_ln)
+    else:
+        size = 201 if cfg.fix_comp else 101
+    zarr = np.linspace(zmin, zmax, size)
+    log_dl_zarr = log_dl_cm(zarr)
+    volume_part = dvdz(zarr)
+
+    lum_floor = float(lum.min())
+    # minlum[f, j]: log L at which the implied flux hits the field's
+    # completeness root, clamped below at min(lum)
+    if cfg.min_comp_frac > 0.001:
+        minlum = (roots_logf[:, None] + _LOG10_4PI
+                  + 2.0 * log_dl_zarr[None, :])
+    else:
+        minlum = np.zeros((nfields, size))
+    minlum = np.maximum(minlum, lum_floor)
+
+    # logL[f, i, j] = linspace(minlum[f, j], Lh, size) along i
+    ii = np.linspace(0.0, 1.0, size)[None, :, None]
+    logL_grid = minlum[:, None, :] + ii * (cfg.Lh - minlum[:, None, :])
+    dL_col = (cfg.Lh - minlum) / (size - 1)         # (F, S) per-column dx
+
+    # trapezoid weights: integral = sum_ij phi_ij * W_ij
+    wL = np.ones(size); wL[0] = wL[-1] = 0.5
+    wz = np.ones(size); wz[0] = wz[-1] = 0.5
+    dz = (zmax - zmin) / (size - 1)
+    w_open = (wL[None, :, None] * (wz * dz * volume_part)[None, None, :]
+              * dL_col[:, None, :])
+
+    # frozen Omega on the grid (exact, not the reference's 501x501 spline)
+    logf_grid = logL_grid - _LOG10_4PI - 2.0 * log_dl_zarr[None, None, :]
+    om_grid = np.asarray(jax.device_get(omega_from_logf(
+        jnp.asarray(logf_grid, dtype=jnp.float64),
+        jnp.asarray(cfg.Omega_0, dtype=jnp.float64)[:, None, None],
+        jnp.asarray(logF50, dtype=jnp.float64)[:, None, None],
+        alpha_c, cfg.fcmin)), dtype=np.float64)
+    w_fixed = w_open * om_grid
+
+    # --- per-source Omega at build-time parameters ---
+    omega0_f = np.asarray(cfg.Omega_0, dtype=np.float64)
+    omega0_src = omega0_f[field_id]
+    logF50_src = logF50[field_id]
+    logf_src = lum - _LOG10_4PI - 2.0 * log_dl_src
+    om_src = np.asarray(jax.device_get(omega_from_logf(
+        jnp.asarray(logf_src, dtype=jnp.float64),
+        jnp.asarray(omega0_src, dtype=jnp.float64),
+        jnp.asarray(logF50_src, dtype=jnp.float64),
+        alpha_c, cfg.fcmin)), dtype=np.float64)
+    ln_om_src = np.log(om_src)
+
+    lref = float(lum.max())
+
+    cast = lambda a: jnp.asarray(a, dtype=dtype)
+    data = LFData(
+        z=cast(z), lum=cast(lum),
+        lum_e=None if lum_e is None else cast(lum_e),
+        flux=cast(flux),
+        flux_e=None if flux_e is None else cast(flux_e),
+        field_id=jnp.asarray(field_id),
+    )
+    ctx = LFContext(
+        nsrc=cast(float(n)),
+        sum_lum=cast(lum.sum()),
+        lref=cast(lref),
+        sum_pow_lum=cast(np.sum(10.0 ** (lum - lref))),
+        sum_ln_om=cast(ln_om_src.sum()),
+        lum=cast(lum), zsrc=cast(z), logf_src=cast(logf_src),
+        omega0_src=cast(omega0_src), ln_om_src=cast(ln_om_src),
+        field_id=jnp.asarray(field_id),
+        zarr=cast(zarr), log_dl_zarr=cast(log_dl_zarr),
+        volume_part=cast(volume_part),
+        logL_grid=cast(logL_grid), w_fixed=cast(w_fixed),
+        w_open=cast(w_open), logf_grid=cast(logf_grid),
+        omega0_f=cast(omega0_f), logF50_f=cast(logF50),
+        alpha_c=cast(alpha_c), roots_logf=cast(roots_logf),
+        cosmo=cosmo,
+    )
+    return data, ctx
