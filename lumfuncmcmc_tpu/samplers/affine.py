@@ -1,0 +1,118 @@
+"""Affine-invariant ensemble sampler (Goodman & Weare 2010 stretch move).
+
+Replaces ``emcee.EnsembleSampler`` (invoked serially at
+``lumfuncmcmc.py:489-491``) with a pure-JAX implementation:
+
+- all walkers advance in parallel (the reference evaluated 100 walkers x
+  1000 steps of lnprob one call at a time in Python);
+- the two half-ensembles update in the standard red-black scheme — the
+  second half moves against the *already-updated* first half, matching
+  emcee's ``RedBlueMove`` semantics so acceptance statistics and mixing
+  match;
+- stretch variable z ~ g(z) ∝ 1/sqrt(z) on [1/a, a] via inverse-CDF
+  z = ((a-1) u + 1)^2 / a, acceptance ln r < (ndim-1) ln z + dlnp
+  (Goodman–Weare; identical to emcee's ``StretchMove``);
+- the whole run is one ``lax.scan`` → a single XLA program, no host
+  round-trips; chains come back as (nsteps, nwalkers, ndim).
+
+The batch lnprob callable is injected, so the same driver runs single
+-device vmap or multi-device shard_map (see ``parallel.sharding``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class EnsembleState(NamedTuple):
+    pos: jnp.ndarray      # (nwalkers, ndim)
+    lnp: jnp.ndarray      # (nwalkers,)
+
+
+def _half_step(key, move_pos, move_lnp, other_pos, lnprob_batch, a, ndim):
+    """Move one half-ensemble against the (fixed) other half."""
+    nmove = move_pos.shape[0]
+    k_z, k_j, k_acc = jax.random.split(key, 3)
+    u = jax.random.uniform(k_z, (nmove,), dtype=move_pos.dtype)
+    z = ((a - 1.0) * u + 1.0) ** 2 / a
+    j = jax.random.randint(k_j, (nmove,), 0, other_pos.shape[0])
+    partner = other_pos[j]                       # (nmove, ndim)
+    prop = partner + z[:, None] * (move_pos - partner)
+    lnp_prop = lnprob_batch(prop)
+    ln_ratio = (ndim - 1.0) * jnp.log(z) + lnp_prop - move_lnp
+    ln_u = jnp.log(jax.random.uniform(k_acc, (nmove,),
+                                      dtype=move_pos.dtype))
+    accept = ln_u < ln_ratio
+    new_pos = jnp.where(accept[:, None], prop, move_pos)
+    new_lnp = jnp.where(accept, lnp_prop, move_lnp)
+    return new_pos, new_lnp, accept
+
+
+def step(key, state: EnsembleState, lnprob_batch: Callable, a: float = 2.0):
+    """One full stretch-move step (both halves)."""
+    pos, lnp = state
+    nwalkers, ndim = pos.shape
+    nh = nwalkers // 2
+    k1, k2 = jax.random.split(key)
+
+    p0, l0 = pos[:nh], lnp[:nh]
+    p1, l1 = pos[nh:], lnp[nh:]
+    p0, l0, a0 = _half_step(k1, p0, l0, p1, lnprob_batch, a, ndim)
+    p1, l1, a1 = _half_step(k2, p1, l1, p0, lnprob_batch, a, ndim)
+
+    new = EnsembleState(jnp.concatenate([p0, p1]),
+                        jnp.concatenate([l0, l1]))
+    return new, jnp.concatenate([a0, a1])
+
+
+@partial(jax.jit, static_argnames=("lnprob_batch", "nsteps", "a", "thin"))
+def run_stretch(lnprob_batch: Callable, pos0, key, nsteps: int,
+                a: float = 2.0, thin: int = 1):
+    """Run the ensemble for ``nsteps`` full steps.
+
+    Parameters
+    ----------
+    lnprob_batch : callable (m, ndim) -> (m,)
+        Batched log-probability (vmap or shard_map of the scalar lnprob).
+    pos0 : (nwalkers, ndim) initial positions.
+    key : PRNG key (explicit — the reference had no seed control at all,
+        SURVEY.md §4).
+    nsteps : number of full ensemble steps.
+    thin : record every ``thin``-th step.
+
+    Returns
+    -------
+    state : final EnsembleState
+    chain : (nsteps//thin, nwalkers, ndim)
+    lnp   : (nsteps//thin, nwalkers)
+    acc_count : (nwalkers,) accepted moves per walker
+    """
+    nwalkers = pos0.shape[0]
+    if nwalkers % 2:
+        raise ValueError("nwalkers must be even for the red-black scheme")
+    state = EnsembleState(pos0, lnprob_batch(pos0))
+
+    def scan_body(carry, key_t):
+        st, acc = carry
+        st, accepted = step(key_t, st, lnprob_batch, a)
+        acc = acc + accepted
+        return (st, acc), (st.pos, st.lnp)
+
+    keys = jax.random.split(key, nsteps)
+    acc0 = jnp.zeros(nwalkers, dtype=pos0.dtype)
+    if thin == 1:
+        (state, acc), (chain, lnps) = jax.lax.scan(
+            scan_body, (state, acc0), keys)
+    else:
+        def outer_body(carry, keys_block):
+            (st, acc), _ = jax.lax.scan(scan_body, carry, keys_block)
+            return (st, acc), (st.pos, st.lnp)
+        nblocks = nsteps // thin
+        keys = keys[:nblocks * thin].reshape(nblocks, thin, -1)
+        (state, acc), (chain, lnps) = jax.lax.scan(
+            outer_body, (state, acc0), keys)
+    return state, chain, lnps, acc

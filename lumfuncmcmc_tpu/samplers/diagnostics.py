@@ -1,0 +1,83 @@
+"""Chain diagnostics: integrated autocorrelation time, ESS, R-hat.
+
+The reference logged ``sampler.acor``, mean acceptance fraction, and used
+burn-in = min(3 tau, nsteps/2) (``lumfuncmcmc.py:499-505``). We reproduce
+those and add ESS and Gelman–Rubin R-hat (new capability). Host-side
+numpy — these run once per fit on a fetched chain, not in the hot loop.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _next_pow2(n: int) -> int:
+    i = 1
+    while i < n:
+        i <<= 1
+    return i
+
+
+def _autocorr_func_1d(x):
+    """Normalized autocorrelation function via FFT (emcee's method)."""
+    x = np.atleast_1d(np.asarray(x, dtype=np.float64))
+    n = _next_pow2(len(x))
+    f = np.fft.fft(x - np.mean(x), n=2 * n)
+    acf = np.fft.ifft(f * np.conjugate(f))[: len(x)].real
+    if acf[0] == 0:
+        return np.zeros_like(acf)
+    return acf / acf[0]
+
+
+def integrated_autocorr_time(chain, c: float = 5.0):
+    """Integrated autocorrelation time per parameter.
+
+    ``chain``: (nsteps, nwalkers, ndim). Uses the emcee estimator: the
+    ACF of each walker is averaged, tau = 2 cumsum(rho) - 1, and the
+    summation window M is the smallest index with M >= c * tau(M)
+    (Sokal's auto-windowing).
+    """
+    chain = np.asarray(chain, dtype=np.float64)
+    nsteps, nwalkers, ndim = chain.shape
+    taus = np.empty(ndim)
+    for d in range(ndim):
+        acf = np.zeros(nsteps)
+        for w in range(nwalkers):
+            acf += _autocorr_func_1d(chain[:, w, d])
+        acf /= nwalkers
+        tau_cum = 2.0 * np.cumsum(acf) - 1.0
+        # Sokal auto-window: smallest M with M >= c * tau(M)
+        too_small = np.arange(len(tau_cum)) < c * tau_cum
+        m = int(np.argmin(too_small)) if not too_small.all() \
+            else len(tau_cum) - 1
+        taus[d] = tau_cum[m]
+    return taus
+
+
+def effective_sample_size(chain, c: float = 5.0):
+    """ESS per parameter = nsteps*nwalkers / tau."""
+    chain = np.asarray(chain)
+    n = chain.shape[0] * chain.shape[1]
+    return n / np.maximum(integrated_autocorr_time(chain, c), 1.0)
+
+
+def gelman_rubin(chain):
+    """Split-R-hat per parameter; chain (nsteps, nwalkers, ndim)."""
+    x = np.asarray(chain, dtype=np.float64)
+    n = x.shape[0] // 2
+    halves = np.concatenate([x[:n], x[n:2 * n]], axis=1)  # (n, 2W, D)
+    m = halves.shape[1]
+    means = halves.mean(axis=0)                  # (2W, D)
+    variances = halves.var(axis=0, ddof=1)       # (2W, D)
+    w = variances.mean(axis=0)
+    b = n * means.var(axis=0, ddof=1)
+    var_post = (n - 1) / n * w + b / n
+    return np.sqrt(var_post / np.maximum(w, 1e-300))
+
+
+def burnin_steps(chain, nsteps: int):
+    """Reference burn-in rule: min(3 * max tau, nsteps // 2)
+    (``lumfuncmcmc.py:499-501``)."""
+    tau = np.max(integrated_autocorr_time(chain))
+    b = int(tau * 3)
+    return min(b, nsteps // 2), tau
