@@ -141,16 +141,13 @@ jax.tree_util.register_pytree_node(
 )
 
 
-def build_cosmo_table(zmax: float, n: int = 32768,
-                      p: CosmologyParams = DEFAULT_COSMOLOGY,
-                      dtype=jnp.float32) -> CosmoTable:
-    """Build the dense cosmology table on the host in float64.
+def build_cosmo_arrays(zmax: float, n: int = 32768,
+                       p: CosmologyParams = DEFAULT_COSMOLOGY) -> dict:
+    """Host-side float64 cosmology tables (see :func:`build_cosmo_table`).
 
-    Comoving distance via composite Simpson cumulative integration of
-    1/E(z) on a uniform grid — O((Δz)^4) accurate. The default n=32768
-    keeps even the *linear interpolation* error of the downstream
-    ``jnp.interp`` lookups below ~3e-8 relative for z >= 0.05, well
-    inside the 1e-6 likelihood-parity budget (BASELINE.md).
+    Returned as a dict of numpy arrays for host precompute consumers
+    (context building, synthetic catalogs) that must stay float64 even
+    when the device backend runs float32.
     """
     zmax = float(max(zmax, 1e-3))
     ngrid = int(n) | 1  # odd count for Simpson pairs
@@ -188,6 +185,24 @@ def build_cosmo_table(zmax: float, n: int = 32768,
     log10_dl_cm[0] = log10_dl_cm[1] - (log10_dl_cm[2] - log10_dl_cm[1])
     dvdz_sr = d_h * dm_mpc**2 / _efunc_np(z, p)
 
+    return {"zgrid": z, "dc_mpc": dc_mpc, "dm_mpc": dm_mpc,
+            "dl_mpc": dl_mpc, "log10_dl_cm": log10_dl_cm,
+            "dvdz_sr": dvdz_sr}
+
+
+def build_cosmo_table(zmax: float, n: int = 32768,
+                      p: CosmologyParams = DEFAULT_COSMOLOGY,
+                      dtype=jnp.float32) -> CosmoTable:
+    """Device-side cosmology table built from the float64 host arrays.
+
+    Comoving distance via composite Simpson cumulative integration of
+    1/E(z) on a uniform grid — O((Δz)^4) accurate. The default n=32768
+    keeps even the *linear interpolation* error of the downstream
+    ``jnp.interp`` lookups below ~3e-8 relative for z >= 0.05, well
+    inside the 1e-6 likelihood-parity budget (BASELINE.md).
+    """
+    t = build_cosmo_arrays(zmax, n, p)
     cast = lambda a: jnp.asarray(a, dtype=dtype)
-    return CosmoTable(cast(z), cast(dc_mpc), cast(dm_mpc), cast(dl_mpc),
-                      cast(log10_dl_cm), cast(dvdz_sr))
+    return CosmoTable(cast(t["zgrid"]), cast(t["dc_mpc"]),
+                      cast(t["dm_mpc"]), cast(t["dl_mpc"]),
+                      cast(t["log10_dl_cm"]), cast(t["dvdz_sr"]))

@@ -38,10 +38,11 @@ import numpy as np
 
 from lumfuncmcmc_tpu.config import LFConfig
 from lumfuncmcmc_tpu.cosmology import (
-    CosmoTable, build_cosmo_table, SQARCSEC_PER_SR)
-from lumfuncmcmc_tpu.ops.completeness import fleming_root_logf
+    CosmoTable, build_cosmo_arrays, build_cosmo_table, SQARCSEC_PER_SR)
+from lumfuncmcmc_tpu.ops.completeness import (
+    fleming_from_logf_np, fleming_root_logf_np)
 from lumfuncmcmc_tpu.ops.omega import (
-    logflux_from_loglum, loglum_from_logflux, omega_from_logf)
+    logflux_from_loglum, loglum_from_logflux)
 
 _LOG10_4PI = 1.0992098640220963
 
@@ -76,6 +77,9 @@ class LFContext:
     omega0_src: jnp.ndarray       # (N,) per-source survey area (arcsec^2)
     ln_om_src: jnp.ndarray        # (N,) ln Omega at build-time parameters
     field_id: jnp.ndarray         # (N,)
+    src_mask: jnp.ndarray         # (N,) 1 for real sources, 0 for padding
+                                  #    (source-axis sharding pads N to a
+                                  #    multiple of the mesh axis)
     # --- frozen quadrature grids ---
     zarr: jnp.ndarray             # (S,) z nodes
     log_dl_zarr: jnp.ndarray      # (S,) log10 dL(zarr) [cm]
@@ -105,6 +109,7 @@ jax.tree_util.register_pytree_node(
 _CTX_FIELDS = (
     "nsrc", "sum_lum", "lref", "sum_pow_lum", "sum_ln_om",
     "lum", "zsrc", "logf_src", "omega0_src", "ln_om_src", "field_id",
+    "src_mask",
     "zarr", "log_dl_zarr", "volume_part", "logL_grid",
     "w_fixed", "w_open", "logf_grid",
     "omega0_f", "logF50_f", "alpha_c", "roots_logf", "cosmo",
@@ -164,11 +169,13 @@ def build_context(cfg: LFConfig,
     nfields = len(cfg.Flim)
 
     zmin, zmax = float(z.min()), float(z.max())
-    cosmo = build_cosmo_table(zmax=1.05 * zmax + 0.1, dtype=dtype)
-    # host-side float64 views of the cosmology tables for precompute
-    zg = np.asarray(cosmo.zgrid, dtype=np.float64)
-    logdl_tab = np.asarray(cosmo.log10_dl_cm, dtype=np.float64)
-    dvdz_tab = np.asarray(cosmo.dvdz_sr, dtype=np.float64)
+    tabs = build_cosmo_arrays(zmax=1.05 * zmax + 0.1)
+    cosmo = CosmoTable(*(jnp.asarray(tabs[k], dtype=dtype) for k in
+                         ("zgrid", "dc_mpc", "dm_mpc", "dl_mpc",
+                          "log10_dl_cm", "dvdz_sr")))
+    zg = tabs["zgrid"]
+    logdl_tab = tabs["log10_dl_cm"]
+    dvdz_tab = tabs["dvdz_sr"]
 
     def log_dl_cm(zq):
         return np.interp(zq, zg, logdl_tab)
@@ -194,10 +201,8 @@ def build_context(cfg: LFConfig,
     alpha_c = float(cfg.alpha)
 
     if cfg.min_comp_frac > 0.001:
-        roots_logf = np.asarray(jax.device_get(
-            fleming_root_logf(jnp.asarray(logF50, dtype=jnp.float64),
-                              alpha_c, cfg.min_comp_frac, cfg.fcmin)),
-            dtype=np.float64)
+        roots_logf = fleming_root_logf_np(logF50, alpha_c,
+                                          cfg.min_comp_frac, cfg.fcmin)
     else:
         roots_logf = np.full(nfields, -np.inf)
 
@@ -234,23 +239,20 @@ def build_context(cfg: LFConfig,
 
     # frozen Omega on the grid (exact, not the reference's 501x501 spline)
     logf_grid = logL_grid - _LOG10_4PI - 2.0 * log_dl_zarr[None, None, :]
-    om_grid = np.asarray(jax.device_get(omega_from_logf(
-        jnp.asarray(logf_grid, dtype=jnp.float64),
-        jnp.asarray(cfg.Omega_0, dtype=jnp.float64)[:, None, None],
-        jnp.asarray(logF50, dtype=jnp.float64)[:, None, None],
-        alpha_c, cfg.fcmin)), dtype=np.float64)
+    omega0_arr = np.asarray(cfg.Omega_0, dtype=np.float64)
+    om_grid = (omega0_arr[:, None, None] / SQARCSEC_PER_SR
+               * fleming_from_logf_np(logf_grid, logF50[:, None, None],
+                                      alpha_c, cfg.fcmin))
     w_fixed = w_open * om_grid
 
     # --- per-source Omega at build-time parameters ---
-    omega0_f = np.asarray(cfg.Omega_0, dtype=np.float64)
+    omega0_f = omega0_arr
     omega0_src = omega0_f[field_id]
     logF50_src = logF50[field_id]
     logf_src = lum - _LOG10_4PI - 2.0 * log_dl_src
-    om_src = np.asarray(jax.device_get(omega_from_logf(
-        jnp.asarray(logf_src, dtype=jnp.float64),
-        jnp.asarray(omega0_src, dtype=jnp.float64),
-        jnp.asarray(logF50_src, dtype=jnp.float64),
-        alpha_c, cfg.fcmin)), dtype=np.float64)
+    om_src = (omega0_src / SQARCSEC_PER_SR
+              * fleming_from_logf_np(logf_src, logF50_src, alpha_c,
+                                     cfg.fcmin))
     ln_om_src = np.log(om_src)
 
     lref = float(lum.max())
@@ -272,6 +274,7 @@ def build_context(cfg: LFConfig,
         lum=cast(lum), zsrc=cast(z), logf_src=cast(logf_src),
         omega0_src=cast(omega0_src), ln_om_src=cast(ln_om_src),
         field_id=jnp.asarray(field_id),
+        src_mask=cast(np.ones(n)),
         zarr=cast(zarr), log_dl_zarr=cast(log_dl_zarr),
         volume_part=cast(volume_part),
         logL_grid=cast(logL_grid), w_fixed=cast(w_fixed),

@@ -146,9 +146,14 @@ def _ln_term_collapsed(ctx: LFContext, lstar, phistar, sch_al):
 
 
 def _ln_term_direct(ctx: LFContext, lstar, phistar, sch_al, ln_om_src):
-    """Per-source reduction: sum_n [ln phi(L_n) + ln Omega_n]."""
+    """Per-source reduction: sum_n [ln phi(L_n) + ln Omega_n].
+
+    Masked so padded sources (source-axis sharding) contribute exactly 0
+    without -inf * 0 NaNs.
+    """
     lnphi = log_true_lum_func(ctx.lum, sch_al, lstar, phistar)
-    return jnp.sum(lnphi + ln_om_src)
+    contrib = jnp.where(ctx.src_mask > 0, lnphi + ln_om_src, 0.0)
+    return jnp.sum(contrib)
 
 
 def lnlike_single_epoch(theta, ctx: LFContext, layout: ThetaLayout,

@@ -97,7 +97,8 @@ def lnlike_z(theta, ctx: LFContext, layout: ThetaLayoutZ):
 
     lnphi_src = log_schechter_z(ctx.lum, ctx.zsrc, al, L1, L2, L3,
                                 p1, p2, p3, *zp)
-    lnpart = jnp.sum(lnphi_src + ctx.ln_om_src)
+    lnpart = jnp.sum(jnp.where(ctx.src_mask > 0,
+                               lnphi_src + ctx.ln_om_src, 0.0))
 
     # grid: zarr broadcast along the L axis (axis 0 of logL_grid)
     lnphi_grid = log_schechter_z(ctx.logL_grid, ctx.zarr[None, None, :],

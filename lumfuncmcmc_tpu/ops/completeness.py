@@ -85,6 +85,41 @@ def p_curve(F, Flim=3.0e-17, alpha=-3.5):
     return 0.5 * (1.0 - x / jnp.sqrt(1.0 + x * x))
 
 
+def fleming_from_logf_np(logf, logF50, alpha, fcmin=0.1):
+    """NumPy float64 twin of :func:`fleming_from_logf` for host-side
+    precompute (context building, synthetic catalogs) — avoids routing
+    through jnp when x64 is disabled on the device backend."""
+    import numpy as np
+    logf = np.asarray(logf, dtype=np.float64)
+    x = alpha * (logf - logF50)
+    fc = 0.5 * (1.0 + x / np.sqrt(1.0 + x * x))
+    if not fcmin:
+        return fc
+    a = (2.0 * fcmin - 1.0) ** 2
+    log_ftau = logF50 - np.sqrt(abs(a / (1.0 - a)) / alpha**2)
+    ratio = np.minimum((logf - log_ftau) * np.log(10.0), 40.0)
+    fc_decay = 1.0 - np.exp(-np.exp(ratio))
+    with np.errstate(divide="ignore"):
+        out = np.where(fc > 0, np.exp(np.log(np.maximum(fc, 1e-300))
+                                      / fc_decay), 0.0)
+    return out
+
+
+def fleming_root_logf_np(logF50, alpha, min_comp_frac, fcmin=0.1, iters=80):
+    """NumPy float64 twin of :func:`fleming_root_logf`."""
+    import numpy as np
+    logF50 = np.asarray(logF50, dtype=np.float64)
+    lo = logF50 - 6.0
+    hi = logF50 + 6.0
+    for _ in range(iters):
+        mid = 0.5 * (lo + hi)
+        val = fleming_from_logf_np(mid, logF50, alpha, fcmin)
+        go_right = val < min_comp_frac
+        lo = np.where(go_right, mid, lo)
+        hi = np.where(go_right, hi, mid)
+    return 0.5 * (lo + hi)
+
+
 def fleming_root_logf(logF50, alpha, min_comp_frac, fcmin=0.1, iters=80):
     """log10 of the flux where the modified Fleming curve crosses
     ``min_comp_frac``.

@@ -16,24 +16,11 @@ from __future__ import annotations
 import numpy as np
 
 from lumfuncmcmc_tpu.config import LFConfig
-from lumfuncmcmc_tpu.cosmology import build_cosmo_table, SQARCSEC_PER_SR
+from lumfuncmcmc_tpu.cosmology import build_cosmo_arrays, SQARCSEC_PER_SR
+from lumfuncmcmc_tpu.ops.completeness import (
+    fleming_from_logf_np, fleming_root_logf_np)
 
 _LOG10_4PI = 1.0992098640220963
-
-
-def _fleming_np(logf, logF50, alpha, fcmin):
-    x = alpha * (logf - logF50)
-    fc = 0.5 * (1.0 + x / np.sqrt(1.0 + x * x))
-    if not fcmin:
-        return fc
-    a = (2.0 * fcmin - 1.0) ** 2
-    log_ftau = logF50 - np.sqrt(abs(a / (1.0 - a)) / alpha**2)
-    ratio = np.minimum((logf - log_ftau) * np.log(10.0), 40.0)
-    fc_decay = 1.0 - np.exp(-np.exp(ratio))
-    with np.errstate(divide="ignore"):
-        out = np.where(fc > 0, np.exp(np.log(np.maximum(fc, 1e-300))
-                                      / fc_decay), 0.0)
-    return out
 
 
 def make_catalog(cfg: LFConfig, zmin=1.16, zmax=1.90,
@@ -48,10 +35,10 @@ def make_catalog(cfg: LFConfig, zmin=1.16, zmax=1.90,
     """
     rng = np.random.default_rng(seed)
     nfields = len(cfg.Flim)
-    cosmo = build_cosmo_table(zmax=1.05 * zmax + 0.1)
-    zg = np.asarray(cosmo.zgrid, dtype=np.float64)
-    logdl_tab = np.asarray(cosmo.log10_dl_cm, dtype=np.float64)
-    dvdz_tab = np.asarray(cosmo.dvdz_sr, dtype=np.float64)
+    tabs = build_cosmo_arrays(zmax=1.05 * zmax + 0.1)
+    zg = tabs["zgrid"]
+    logdl_tab = tabs["log10_dl_cm"]
+    dvdz_tab = tabs["dvdz_sr"]
 
     zc = np.linspace(zmin, zmax, ngrid)
     lc = np.linspace(cfg.Lc + 0.5, cfg.Lh - 1.0, ngrid)
@@ -71,7 +58,8 @@ def make_catalog(cfg: LFConfig, zmin=1.16, zmax=1.90,
         logF50 = np.log10(cfg.Flim[f]) - 17.0
         logf_grid = lc[:, None] - _LOG10_4PI - 2.0 * logdl[None, :]
         om = (cfg.Omega_0[f] / SQARCSEC_PER_SR
-              * _fleming_np(logf_grid, logF50, cfg.alpha, cfg.fcmin))
+              * fleming_from_logf_np(logf_grid, logF50, cfg.alpha,
+                                     cfg.fcmin))
         intens = phi[:, None] * dvdz[None, :] * om * dz * dl
         intens_fields.append(intens)
     total = sum(i.sum() for i in intens_fields)
@@ -110,14 +98,11 @@ def apply_completeness_cut(cat, cfg):
     """Drop sources below each field's min-completeness flux root,
     mirroring the reference's catalog ingest (``run_lumfuncmcmc.py:174-186``).
     """
-    import jax.numpy as jnp
-    from lumfuncmcmc_tpu.ops.completeness import fleming_root_logf
-
     if cfg.min_comp_frac <= 0.001:
         return cat
     logF50 = np.log10(np.asarray(cfg.Flim)) - 17.0
-    roots = np.asarray(fleming_root_logf(
-        jnp.asarray(logF50), cfg.alpha, cfg.min_comp_frac, cfg.fcmin))
+    roots = fleming_root_logf_np(logF50, cfg.alpha, cfg.min_comp_frac,
+                                 cfg.fcmin)
     keep = np.log10(cat["flux"] * 1e-17) > roots[cat["field_id"]]
     return {k: (v[keep] if isinstance(v, np.ndarray) and v.shape[:1] ==
                 keep.shape else v) for k, v in cat.items()}

@@ -1,0 +1,84 @@
+"""Multi-device sharding tests on the 8-virtual-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lumfuncmcmc_tpu.config import LFConfig
+from lumfuncmcmc_tpu.models.context import build_context
+from lumfuncmcmc_tpu.models.likelihood import (
+    ThetaLayout, make_lnprob, sample_init)
+from lumfuncmcmc_tpu.models.likelihood_z import ThetaLayoutZ, make_lnprob_z
+from lumfuncmcmc_tpu.parallel.mesh import make_mesh
+from lumfuncmcmc_tpu.parallel.sharding import make_lnprob_sharded
+from lumfuncmcmc_tpu.samplers.affine import run_stretch
+from lumfuncmcmc_tpu.utils.synth import make_catalog, apply_completeness_cut
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = LFConfig(min_comp_frac=0.5, size_ln=41)
+    cat = apply_completeness_cut(make_catalog(cfg, n_target=300, seed=9), cfg)
+    data, ctx = build_context(cfg, z=cat["z"], flux=cat["flux"],
+                              flux_e=cat["flux_e"],
+                              field_id=cat["field_id"])
+    layout = ThetaLayout.from_config(cfg)
+    return cfg, ctx, layout
+
+
+def _ref_vals(ctx, layout, thetas):
+    return np.asarray(jax.vmap(make_lnprob(ctx, layout))(thetas))
+
+
+@pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2), (2, 4), (1, 8)])
+def test_sharded_matches_single_device(setup, mesh_shape):
+    cfg, ctx, layout = setup
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    mesh = make_mesh(*mesh_shape)
+    thetas = sample_init(jax.random.PRNGKey(0), layout, 24)
+    ref = _ref_vals(ctx, layout, thetas)
+    sharded = make_lnprob_sharded(ctx, layout, mesh, model="single")
+    got = np.asarray(jax.jit(sharded)(thetas))
+    np.testing.assert_allclose(got, ref, rtol=1e-9)
+
+
+def test_sharded_odd_walker_count(setup):
+    cfg, ctx, layout = setup
+    mesh = make_mesh(8, 1)
+    thetas = sample_init(jax.random.PRNGKey(1), layout, 23)  # not /8
+    ref = _ref_vals(ctx, layout, thetas)
+    got = np.asarray(make_lnprob_sharded(ctx, layout, mesh)(thetas))
+    np.testing.assert_allclose(got, ref, rtol=1e-9)
+
+
+def test_sharded_z_model():
+    cfg = LFConfig(min_comp_frac=0.5, fix_comp=True, size_ln=41)
+    cat = apply_completeness_cut(make_catalog(cfg, n_target=250, seed=10),
+                                 cfg)
+    _, ctx = build_context(cfg, z=cat["z"], flux=cat["flux"],
+                           flux_e=cat["flux_e"], field_id=cat["field_id"])
+    layout = ThetaLayoutZ.from_config(cfg)
+    rng = np.random.default_rng(4)
+    thetas = jnp.asarray(np.column_stack(
+        [rng.uniform(41.8, 43.5, (16, 3)), rng.uniform(-4, -1.5, (16, 3)),
+         rng.uniform(-2, -0.8, (16, 1))]))
+    ref = np.asarray(jax.vmap(make_lnprob_z(ctx, layout))(thetas))
+    mesh = make_mesh(2, 4)
+    got = np.asarray(make_lnprob_sharded(ctx, layout, mesh, model="z")(thetas))
+    np.testing.assert_allclose(got, ref, rtol=1e-9)
+
+
+def test_full_sampler_step_sharded(setup):
+    """The complete training step (stretch move on the sharded lnprob)
+    compiles and runs on a 2-D mesh — the dryrun_multichip core."""
+    cfg, ctx, layout = setup
+    mesh = make_mesh(4, 2)
+    lnprob = make_lnprob_sharded(ctx, layout, mesh)
+    pos0 = sample_init(jax.random.PRNGKey(2), layout, 16)
+    state, chain, lnps, acc = run_stretch(lnprob, pos0,
+                                          jax.random.PRNGKey(3), 3)
+    assert chain.shape == (3, 16, layout.ndim)
+    assert np.all(np.isfinite(np.asarray(lnps)) |
+                  (np.asarray(lnps) == -np.inf))
