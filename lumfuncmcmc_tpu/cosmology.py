@@ -111,6 +111,7 @@ class CosmoTable:
     dl_mpc: jnp.ndarray       # (n,) luminosity distance [Mpc]
     log10_dl_cm: jnp.ndarray  # (n,) log10( dL in cm ), reference 3.086e24 cm/Mpc
     dvdz_sr: jnp.ndarray      # (n,) differential comoving volume [Mpc^3/sr]
+    vc_sr: jnp.ndarray        # (n,) cumulative comoving volume [Mpc^3/sr]
 
     def luminosity_distance(self, z):
         """dL(z) in Mpc (astropy ``luminosity_distance`` equivalent)."""
@@ -124,6 +125,11 @@ class CosmoTable:
         """dV/dz/dOmega in Mpc^3/sr (astropy equivalent)."""
         return jnp.interp(z, self.zgrid, self.dvdz_sr)
 
+    def comoving_volume_between(self, z_lo, z_hi):
+        """int_{z_lo}^{z_hi} dV/dz dz per steradian [Mpc^3/sr]."""
+        return (jnp.interp(z_hi, self.zgrid, self.vc_sr)
+                - jnp.interp(z_lo, self.zgrid, self.vc_sr))
+
     def z_at_log10_dl_cm(self, log_dl_cm):
         """Invert the monotone log10 dL(z) table → z.
 
@@ -136,7 +142,7 @@ class CosmoTable:
 jax.tree_util.register_pytree_node(
     CosmoTable,
     lambda t: ((t.zgrid, t.dc_mpc, t.dm_mpc, t.dl_mpc, t.log10_dl_cm,
-                t.dvdz_sr), None),
+                t.dvdz_sr, t.vc_sr), None),
     lambda aux, ch: CosmoTable(*ch),
 )
 
@@ -185,9 +191,20 @@ def build_cosmo_arrays(zmax: float, n: int = 32768,
     log10_dl_cm[0] = log10_dl_cm[1] - (log10_dl_cm[2] - log10_dl_cm[1])
     dvdz_sr = d_h * dm_mpc**2 / _efunc_np(z, p)
 
+    # cumulative comoving volume per steradian, Vc(z) = int_0^z dV/dz dz —
+    # lets the 1/V_eff weights (VmaxLumFunc.py:235-257, scipy.quad in the
+    # reference) be evaluated in closed form: the Fleming factor of a
+    # source's flux is constant along the z integral.
+    vc = np.zeros_like(z)
+    panel_v = dz / 3.0 * (dvdz_sr[0:-2:2] + 4.0 * dvdz_sr[1:-1:2]
+                          + dvdz_sr[2::2])
+    vc[2::2] = np.cumsum(panel_v)
+    vc[1::2] = vc[0:-1:2] + dz / 12.0 * (
+        5.0 * dvdz_sr[0:-1:2] + 8.0 * dvdz_sr[1::2] - dvdz_sr[2::2])
+
     return {"zgrid": z, "dc_mpc": dc_mpc, "dm_mpc": dm_mpc,
             "dl_mpc": dl_mpc, "log10_dl_cm": log10_dl_cm,
-            "dvdz_sr": dvdz_sr}
+            "dvdz_sr": dvdz_sr, "vc_sr": vc}
 
 
 def build_cosmo_table(zmax: float, n: int = 32768,
@@ -205,4 +222,5 @@ def build_cosmo_table(zmax: float, n: int = 32768,
     cast = lambda a: jnp.asarray(a, dtype=dtype)
     return CosmoTable(cast(t["zgrid"]), cast(t["dc_mpc"]),
                       cast(t["dm_mpc"]), cast(t["dl_mpc"]),
-                      cast(t["log10_dl_cm"]), cast(t["dvdz_sr"]))
+                      cast(t["log10_dl_cm"]), cast(t["dvdz_sr"]),
+                      cast(t["vc_sr"]))

@@ -172,7 +172,7 @@ def build_context(cfg: LFConfig,
     tabs = build_cosmo_arrays(zmax=1.05 * zmax + 0.1)
     cosmo = CosmoTable(*(jnp.asarray(tabs[k], dtype=dtype) for k in
                          ("zgrid", "dc_mpc", "dm_mpc", "dl_mpc",
-                          "log10_dl_cm", "dvdz_sr")))
+                          "log10_dl_cm", "dvdz_sr", "vc_sr")))
     zg = tabs["zgrid"]
     logdl_tab = tabs["log10_dl_cm"]
     dvdz_tab = tabs["dvdz_sr"]
