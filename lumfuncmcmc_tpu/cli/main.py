@@ -1,0 +1,401 @@
+"""CLI drivers.
+
+Subcommands (one binary instead of the reference's two scripts + module
+main):
+
+- ``fit``  — single-epoch Schechter fit (``run_lumfuncmcmc.py:230-331``)
+- ``fitz`` — redshift-evolving fit (``run_lumfuncmcmc_z.py:203-304``)
+- ``vmax`` — standalone V_eff pipeline (``VmaxLumFunc.combineStepsLog`` /
+  ``zEvolSteps``, ``VmaxLumFunc.py:581-689``)
+
+Flags carry the reference's names (-f -o -nw -ns -nbins -nboot -mcf -al
+-fl -sa -fsa -fc -sr -ln); config precedence is CLI > --config file >
+defaults, and — unlike the reference (``run_lumfuncmcmc.py:124``) — a
+flag value of 0 is NOT treated as unset. Artifacts (fitposterior,
+bestfitLF, VeffLF, parameters table, .args settings dump, triangle plot)
+use the reference's filenames and the fixed_width_two_line format, and an
+existing fitposterior file triggers the reference's resume-and-replot
+behavior (``run_lumfuncmcmc.py:259-270``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+from lumfuncmcmc_tpu.config import LFConfig, load_config_file, merge_config
+from lumfuncmcmc_tpu.utils.logging import setup_logging
+
+
+def _add_common_flags(p):
+    p.add_argument("-f", "--filename", type=str, default=None,
+                   help="File to be read for galaxy data")
+    p.add_argument("-o", "--output_filename", type=str, default="test.dat",
+                   help="Output filename for given run")
+    p.add_argument("-nw", "--nwalkers", type=int, default=None)
+    p.add_argument("-ns", "--nsteps", type=int, default=None)
+    p.add_argument("-nbins", "--nbins", type=int, default=None)
+    p.add_argument("-nboot", "--nboot", type=int, default=None)
+    p.add_argument("-mcf", "--min_comp_frac", type=float, default=None)
+    p.add_argument("-al", "--alpha", type=float, default=None)
+    p.add_argument("-fl", "--Flim", type=float, nargs="*", default=None)
+    p.add_argument("-sa", "--sch_al", type=float, default=None)
+    p.add_argument("-fsa", "--fix_sch_al", action="store_true",
+                   default=None)
+    p.add_argument("-ln", "--line_name", type=str, default=None)
+    p.add_argument("--config", type=str, default=None,
+                   help="JSON or configLF-style python config file")
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--sampler", type=str, default=None,
+                   choices=["stretch", "nuts"])
+    p.add_argument("--size-ln", dest="size_ln", type=int, default=None)
+    p.add_argument("--checkpoint-every", dest="checkpoint_every",
+                   type=int, default=None)
+    p.add_argument("--mesh-walkers", dest="mesh_walkers", type=int,
+                   default=None)
+    p.add_argument("--mesh-sources", dest="mesh_sources", type=int,
+                   default=None)
+    p.add_argument("--synthetic", type=int, default=None, metavar="N",
+                   help="Use an N-source synthetic catalog instead of -f")
+
+
+def _build_cfg(args) -> LFConfig:
+    overrides = {k: v for k, v in vars(args).items()
+                 if k in LFConfig.field_names()}
+    if overrides.get("Flim") is not None:
+        overrides["Flim"] = tuple(overrides["Flim"])
+    file_over = load_config_file(args.config) if args.config else None
+    cfg = merge_config(LFConfig(), file_over, overrides)
+    if args.line_name == "OIII":
+        cfg = cfg.replace(line_plot_name=r"[OIII] $\lambda 5007$")
+    elif args.line_name == "Ha":
+        cfg = cfg.replace(line_plot_name=r"${\rm{H\alpha}}$")
+    return cfg
+
+
+def _pivot_z(cfg: LFConfig, filename) -> LFConfig:
+    """Pivot-redshift special cases (``run_lumfuncmcmc_z.py:123-128``)."""
+    if filename == "OIIIGautamWillNoAGN.dat":
+        z = (1.20, 1.76, 2.32)
+    else:
+        z = (1.20, 1.53, 1.86)
+    if cfg.line_name == "Ha":
+        z = (1.18, 1.36, 1.54)
+    return cfg.replace(z1=z[0], z2=z[1], z3=z[2])
+
+
+def _load_inputs(args, cfg):
+    from lumfuncmcmc_tpu.utils.io import read_catalog
+    if args.synthetic:
+        from lumfuncmcmc_tpu.utils.synth import (
+            make_catalog, apply_completeness_cut)
+        cat = apply_completeness_cut(
+            make_catalog(cfg, n_target=args.synthetic, seed=cfg.seed), cfg)
+        return dict(z=cat["z"], flux=cat["flux"], flux_e=cat["flux_e"],
+                    lum=None, lum_e=None, field_id=cat["field_id"],
+                    field_names=np.asarray(
+                        [f"F{i}" for i in range(len(cfg.Flim))]))
+    if not args.filename:
+        raise SystemExit("either -f FILE or --synthetic N is required")
+    cat = read_catalog(args.filename, cfg)
+    return dict(z=cat["z"], flux=cat.get("flux"),
+                flux_e=cat.get("flux_e"), lum=cat.get("lum"),
+                lum_e=cat.get("lum_e"), field_id=cat["field_id"],
+                field_names=cat["field_names"])
+
+
+def _make_mesh_maybe(cfg):
+    import jax
+    if cfg.mesh_walkers or cfg.mesh_sources > 1:
+        from lumfuncmcmc_tpu.parallel.mesh import make_mesh
+        return make_mesh(cfg.mesh_walkers, cfg.mesh_sources)
+    if len(jax.devices()) > 1:
+        from lumfuncmcmc_tpu.parallel.mesh import make_mesh
+        return make_mesh(len(jax.devices()), 1)
+    return None
+
+
+def _write_outputs(model, cfg, args, outdir, names, z_variant=False):
+    from lumfuncmcmc_tpu.utils.io import (
+        artifact_path, write_fixed_width_two_line)
+    log = model.log
+    od = cfg.output_dict
+
+    if od.get("triangle plot"):
+        model.triangle_plot(
+            artifact_path(outdir, "triangle", args.output_filename,
+                          cfg, ext="")[:-1],
+            imgtype=od.get("image format", "png"))
+        print("Finished making Triangle Plot with Best-fit LF "
+              "(and V_eff-method-based data)")
+    else:
+        model.set_median_fit()
+        print("Finished setting median fit and V_eff parameters")
+
+    full_names = names + ["Ln Prob"]
+    if od.get("fitposterior"):
+        cols = {nm: model.samples[:, i]
+                for i, nm in enumerate(full_names)}
+        write_fixed_width_two_line(
+            artifact_path(outdir, "fitposterior", args.output_filename,
+                          cfg), cols)
+        print("Finished writing fitposterior file")
+    if od.get("bestfitLF"):
+        if not z_variant:
+            cols = {"Luminosity": model.lum,
+                    "Luminosity_Err": model.lum_e,
+                    "MedianLF": model.medianLF}
+        else:
+            # z variant writes the LF matrix alongside its axes
+            # (run_lumfuncmcmc_z.py:276-281)
+            cols = {"Luminosity_cols": model.Lout,
+                    "Redshift_rows": model.zout,
+                    **{f"LF_z{i}": model.medianLF[i]
+                       for i in range(model.medianLF.shape[0])}}
+        write_fixed_width_two_line(
+            artifact_path(outdir, "bestfitLF", args.output_filename, cfg),
+            cols)
+        print("Finished writing bestfitLF file")
+    if od.get("VeffLF"):
+        write_fixed_width_two_line(
+            artifact_path(outdir, "VeffLF", args.output_filename, cfg),
+            {"Luminosity": model.Lavg, "BinLF": model.lfbinorig,
+             "BinLFErr": np.sqrt(model.var)})
+        print("Finished writing VeffLF file")
+
+    # percentile parameters table (run_lumfuncmcmc.py:272-286,316-324)
+    percentiles = list(cfg.param_percentiles)
+    labels = ["Line"] + [f"{nm}_{per:02d}" for nm in names
+                         for per in percentiles]
+    model.table = _SimpleTable(labels)
+    model.table.add_row([cfg.line_name] + [0.0] * (len(labels) - 1))
+    model.add_fitinfo_to_table(percentiles)
+    print(model.table)
+    if od.get("parameters"):
+        formats = {lab: "%0.3f" for lab in labels}
+        formats["Line"] = "%s"
+        write_fixed_width_two_line(
+            os.path.join(outdir, args.output_filename),
+            model.table.as_columns(), formats)
+        print("Finished writing LF main table")
+    if od.get("settings"):
+        with open(os.path.join(outdir,
+                               args.output_filename + ".args"), "w") as fh:
+            d = dict(vars(args))
+            d.pop("log", None)
+            fh.write(str(d))
+        print("Finished writing settings to file")
+
+
+class _SimpleTable:
+    """Tiny astropy.Table stand-in supporting the reference's usage:
+    ``table[-1][idx] = value`` and column export."""
+
+    def __init__(self, labels):
+        self.labels = labels
+        self.rows = []
+
+    def add_row(self, vals):
+        self.rows.append(list(vals))
+
+    def __getitem__(self, i):
+        return self.rows[i]
+
+    def __len__(self):
+        return len(self.rows)
+
+    def as_columns(self):
+        return {lab: [row[i] for row in self.rows]
+                for i, lab in enumerate(self.labels)}
+
+    def __str__(self):
+        out = [" ".join(self.labels)]
+        for row in self.rows:
+            out.append(" ".join(str(v) for v in row))
+        return "\n".join(out)
+
+
+def _resume_if_done(model, cfg, args, outdir):
+    from lumfuncmcmc_tpu.utils.io import (
+        artifact_path, read_fixed_width_two_line)
+    fn = artifact_path(outdir, "fitposterior", args.output_filename, cfg)
+    if not os.path.isfile(fn):
+        return False
+    tab = read_fixed_width_two_line(fn)
+    model.samples = np.column_stack([tab[k] for k in tab])
+    model.triangle_plot(
+        artifact_path(outdir, "triangle", args.output_filename, cfg,
+                      ext="")[:-1],
+        imgtype=cfg.output_dict.get("image format", "png"))
+    print(f"Resumed from existing {fn}; regenerated plots only")
+    return True
+
+
+def cmd_fit(args):
+    from lumfuncmcmc_tpu.models.model import LumFuncModel
+    cfg = _build_cfg(args)
+    outdir = "LFMCMCOut"
+    os.makedirs(outdir, exist_ok=True)
+    inputs = _load_inputs(args, cfg)
+    print("Read Input File")
+    model = LumFuncModel(cfg, z=inputs["z"], flux=inputs["flux"],
+                         flux_e=inputs["flux_e"], lum=inputs["lum"],
+                         lum_e=inputs["lum_e"],
+                         field_id=inputs["field_id"],
+                         field_names=inputs["field_names"],
+                         mesh=_make_mesh_maybe(cfg))
+    print("Initialized LumFuncModel")
+    if _resume_if_done(model, cfg, args, outdir):
+        return 0
+    names = model.get_param_names()
+    print("Labels:", names)
+    if cfg.sampler == "nuts":
+        model.fit_model_nuts()
+    else:
+        ck = (artifact_path(outdir, "checkpoint", args.output_filename,
+                            cfg, ext="npz") if cfg.checkpoint_every else
+              None)
+        model.fit_model(checkpoint_path=ck)
+    print("Finished fitting model and about to create outputs")
+    _write_outputs(model, cfg, args, outdir, names)
+    return 0
+
+
+def cmd_fitz(args):
+    from lumfuncmcmc_tpu.models.model import LumFuncModelZ
+    cfg = _pivot_z(_build_cfg(args), args.filename)
+    outdir = "LFMCMCzOut"
+    os.makedirs(outdir, exist_ok=True)
+    inputs = _load_inputs(args, cfg)
+    print("Read Input File")
+    model = LumFuncModelZ(cfg, z=inputs["z"], flux=inputs["flux"],
+                          flux_e=inputs["flux_e"], lum=inputs["lum"],
+                          lum_e=inputs["lum_e"],
+                          field_id=inputs["field_id"],
+                          field_names=inputs["field_names"],
+                          mesh=_make_mesh_maybe(cfg))
+    print("Initialized LumFuncModelZ")
+    if _resume_if_done(model, cfg, args, outdir):
+        return 0
+    names = model.get_param_names()
+    print("Labels:", names)
+    model.fit_model()
+    print("Finished fitting model and about to create outputs")
+    _write_outputs(model, cfg, args, outdir, names, z_variant=True)
+    return 0
+
+
+def cmd_vmax(args):
+    """Standalone V_eff pipeline (``combineStepsLog``,
+    ``VmaxLumFunc.py:594-609``; per-z-bin variant ``zEvolSteps``)."""
+    import jax
+    import jax.numpy as jnp
+    from lumfuncmcmc_tpu.cosmology import build_cosmo_table
+    from lumfuncmcmc_tpu.models.schfit import fit_schechter
+    from lumfuncmcmc_tpu.models.veff import (
+        veff_weights, binned_lf_bootstrap, log_bin_edges,
+        equal_count_z_bins)
+    from lumfuncmcmc_tpu.utils.io import (
+        read_ascii_table, write_fixed_width_two_line)
+    from lumfuncmcmc_tpu.utils.plotting import plot_schechter
+    from lumfuncmcmc_tpu.ops.completeness import fleming_root_logf_np
+
+    cfg = _build_cfg(args)
+    if args.synthetic:
+        inputs = _load_inputs(args, cfg)
+        flux = np.asarray(inputs["flux"]) * 1e-17
+        z = np.asarray(inputs["z"])
+    else:
+        tab = read_ascii_table(args.filename)
+        flux = np.asarray(tab[f"{cfg.line_name}_flux"]) * 1e-17
+        z = np.asarray(tab["z"])
+    flim = cfg.Flim[0] * 1e-17
+    omega0 = float(np.sum(cfg.Omega_0))
+    root = float(10.0 ** fleming_root_logf_np(
+        np.log10(flim), cfg.alpha, max(cfg.min_comp_frac, 0.01),
+        cfg.fcmin))
+    keep = flux > root
+    flux, z = flux[keep], z[keep]
+    print("About to start Veff process for", cfg.line_name)
+    print("Length of arrays:", len(flux), len(z))
+
+    zbins = max(getattr(args, "zbins", 1) or 1, 1)
+    zbin_idx = (equal_count_z_bins(z, zbins) if zbins > 1
+                else np.zeros(len(z), dtype=int))
+    img_dir = args.img_dir
+    for b in range(zbins):
+        sel = zbin_idx == b
+        fz, zz = flux[sel], z[sel]
+        zmin, zmax = float(zz.min()), float(zz.max())
+        cosmo = build_cosmo_table(1.05 * zmax + 0.1,
+                                  dtype=jnp.float64 if jax.config.
+                                  jax_enable_x64 else jnp.float32)
+        logf = jnp.asarray(np.log10(fz))
+        lum = logf + 1.0992098640220963 \
+            + 2.0 * cosmo.log10_dl_cm_at(jnp.asarray(zz))
+        w = veff_weights(logf, lum, jnp.full(len(fz), np.log10(flim)),
+                         jnp.full(len(fz), np.log10(root)), omega0,
+                         zmin, zmax, cfg.alpha, cosmo, cfg.fcmin,
+                         cfg.min_comp_frac)
+        edges = log_bin_edges(lum, cfg.nbins)
+        lavg, lfbin, var = binned_lf_bootstrap(
+            jax.random.PRNGKey(cfg.seed), lum, w, edges, cfg.nboot,
+            cfg.nbins)
+        lavg, lfbin, var = map(np.asarray, (lavg, lfbin, var))
+        print("Finished getting bootstrap-based errors")
+        fit = fit_schechter(lavg, lfbin, var, name=cfg.line_name,
+                            log=True, integ=args.integ)
+        print(fit.fit_report())
+        name = (args.output_filename or
+                f"{cfg.line_name}_Vmax_LF_mcf_"
+                f"{int(100 * cfg.min_comp_frac)}_bins_{cfg.nbins}.png")
+        os.makedirs(os.path.join(img_dir, "Log"), exist_ok=True)
+        write_fixed_width_two_line(
+            os.path.join(img_dir, "Log",
+                         f"{name.split('.')[0]}_log.dat"),
+            {"Luminosity": lavg, "BinLF": lfbin,
+             "BinLFErr": np.sqrt(var)})
+        plot_schechter(lavg, lfbin, var, fit, name, img_dir, log=True,
+                       integ=args.integ)
+        print("Finished plotting true luminosity and best-fit "
+              "Schechter fit")
+    return 0
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        prog="lumfuncmcmc_tpu",
+        description="TPU-native luminosity-function inference")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p_fit = sub.add_parser("fit", help="single-epoch Schechter MCMC fit")
+    _add_common_flags(p_fit)
+    p_fit.add_argument("-fc", "--fix_comp", action="store_true",
+                       default=None)
+    p_fit.add_argument("-sr", "--same_rand", action="store_true")
+    p_fit.set_defaults(func=cmd_fit)
+
+    p_fitz = sub.add_parser("fitz", help="redshift-evolving Schechter fit")
+    _add_common_flags(p_fitz)
+    p_fitz.set_defaults(func=cmd_fitz)
+
+    p_vmax = sub.add_parser("vmax", help="standalone 1/V_eff pipeline")
+    _add_common_flags(p_vmax)
+    p_vmax.add_argument("--zbins", type=int, default=1)
+    p_vmax.add_argument("--integ", action="store_true")
+    p_vmax.add_argument("--img-dir", dest="img_dir", type=str,
+                        default="ImageFiles")
+    p_vmax.set_defaults(func=cmd_vmax)
+
+    args = parser.parse_args(argv)
+    if getattr(args, "same_rand", False):
+        args.diff_rand = False
+    setup_logging()
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,316 @@
+"""High-level model orchestration: the user-facing fit driver.
+
+``LumFuncModel`` / ``LumFuncModelZ`` carry the public surface of the
+reference classes ``LumFuncMCMC`` (``lumfuncmcmc.py:72-667``) and
+``LumFuncMCMCz`` (``lumfuncmcmc_z.py:118-609``) — ``fit_model``,
+``VeffLF``, ``set_median_fit``, ``get_param_names``,
+``add_fitinfo_to_table``, ``triangle_plot``, and the ``samples`` /
+``medianLF`` / ``Lavg`` / ``lfbinorig`` / ``var`` attributes — but are
+functionally pure inside: parameters travel as packed theta vectors, the
+sampler is the JAX stretch-move ensemble, and all per-source loops are
+vectorized device code.
+
+New capabilities vs the reference: explicit seed control, mid-run chain
+checkpointing (the reference loses everything on a kill,
+SURVEY.md §5), device-mesh sharding, and a NUTS option.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from lumfuncmcmc_tpu.config import LFConfig
+from lumfuncmcmc_tpu.models.context import build_context
+from lumfuncmcmc_tpu.models.likelihood import (
+    ThetaLayout, make_lnprob, sample_init)
+from lumfuncmcmc_tpu.models.likelihood_z import ThetaLayoutZ, make_lnprob_z
+from lumfuncmcmc_tpu.models.veff import (
+    veff_weights, binned_lf_bootstrap, log_bin_edges)
+from lumfuncmcmc_tpu.ops.completeness import fleming_root_logf_np
+from lumfuncmcmc_tpu.ops.schechter import true_lum_func, schechter_z
+from lumfuncmcmc_tpu.samplers.affine import run_stretch
+from lumfuncmcmc_tpu.samplers.diagnostics import (
+    burnin_steps, effective_sample_size, gelman_rubin)
+from lumfuncmcmc_tpu.utils.logging import setup_logging
+
+
+def select_samples(samples: np.ndarray, lnprobcut: float = 7.5,
+                   drop_lnp: bool = False):
+    """Iterative lnprob-cut selection: keep samples within ``lnprobcut``
+    of the maximum, doubling the cut until at least a quarter survive —
+    the pattern repeated five times in the reference
+    (``lumfuncmcmc.py:548-556,620-628,655-661``)."""
+    nsamples = np.empty((0, samples.shape[1]))
+    while len(nsamples) < len(samples) // 4:
+        sel = samples[:, -1] > (np.max(samples[:, -1]) - lnprobcut)
+        nsamples = samples[sel]
+        lnprobcut *= 2.0
+    return nsamples[:, :-1] if drop_lnp else nsamples
+
+
+class _BaseModel:
+    """Shared fit/diagnostics/V_eff machinery."""
+
+    model_kind = "single"
+
+    def __init__(self, cfg: LFConfig, z, flux=None, flux_e=None,
+                 lum=None, lum_e=None, field_id=None, field_names=None,
+                 mesh=None):
+        self.cfg = cfg
+        self.log = setup_logging()
+        self.field_names = field_names
+        self.mesh = mesh
+        self.data, self.ctx = build_context(
+            cfg, z=z, flux=flux, flux_e=flux_e, lum=lum, lum_e=lum_e,
+            field_id=field_id)
+        self.zmin = float(np.min(np.asarray(z)))
+        self.zmax = float(np.max(np.asarray(z)))
+        self.layout = self._make_layout()
+        self._lnprob_batch = None
+        self.samples: Optional[np.ndarray] = None
+        self.chain: Optional[np.ndarray] = None
+        self.table = None
+
+    # --- subclass hooks -------------------------------------------------
+    def _make_layout(self):
+        raise NotImplementedError
+
+    def _make_scalar_lnprob(self):
+        raise NotImplementedError
+
+    def _initial_positions(self, key):
+        raise NotImplementedError
+
+    # --- shared API -----------------------------------------------------
+    @property
+    def lum(self):
+        return np.asarray(self.data.lum)
+
+    @property
+    def lum_e(self):
+        return (np.asarray(self.data.lum_e)
+                if self.data.lum_e is not None else np.zeros_like(self.lum))
+
+    def get_param_names(self):
+        return self.layout.plot_names()
+
+    def lnprob_batch(self):
+        if self._lnprob_batch is None:
+            if self.mesh is not None:
+                from lumfuncmcmc_tpu.parallel.sharding import (
+                    make_lnprob_sharded)
+                self._lnprob_batch = make_lnprob_sharded(
+                    self.ctx, self.layout, self.mesh, model=self.model_kind)
+            else:
+                self._lnprob_batch = jax.vmap(self._make_scalar_lnprob())
+        return self._lnprob_batch
+
+    def fit_model(self, key=None, checkpoint_path: Optional[str] = None):
+        """Run the ensemble sampler; mirrors the logging and burn-in
+        handling of ``fit_model`` (``lumfuncmcmc.py:479-513``)."""
+        cfg = self.cfg
+        if key is None:
+            key = jax.random.PRNGKey(cfg.seed)
+        k_init, k_run = jax.random.split(key)
+        lnprob = self.lnprob_batch()
+        pos0 = self._initial_positions(k_init)
+        ndim = pos0.shape[1]
+
+        self.log.info(
+            "Fitting Schechter model to true luminosity function using the "
+            "JAX affine-invariant ensemble sampler")
+        start = time.time()
+
+        every = cfg.checkpoint_every or 0
+        if every and 0 < every < cfg.nsteps:
+            chains, lnps_parts, acc = [], [], 0.0
+            state_pos = pos0
+            remaining, kk = cfg.nsteps, k_run
+            while remaining > 0:
+                kk, k_blk = jax.random.split(kk)
+                nblk = min(every, remaining)
+                state, ch, lp, ac = run_stretch(lnprob, state_pos, k_blk,
+                                                nblk)
+                state_pos = state.pos
+                chains.append(np.asarray(ch))
+                lnps_parts.append(np.asarray(lp))
+                acc = acc + np.asarray(ac)
+                remaining -= nblk
+                if checkpoint_path:
+                    np.savez(checkpoint_path,
+                             chain=np.concatenate(chains),
+                             lnprobability=np.concatenate(lnps_parts))
+            chain = np.concatenate(chains)
+            lnps = np.concatenate(lnps_parts)
+        else:
+            state, chain, lnps, acc = run_stretch(lnprob, pos0, k_run,
+                                                  cfg.nsteps)
+            chain, lnps, acc = (np.asarray(chain), np.asarray(lnps),
+                                np.asarray(acc))
+        jax.block_until_ready(jnp.zeros(()))
+        elapsed = time.time() - start
+        self.log.info("Total time taken: %0.2f s" % elapsed)
+        self.log.info("Time taken per step per walker: %0.4f ms" %
+                      (elapsed / cfg.nsteps * 1000.0 / cfg.nwalkers))
+
+        burn, tau = burnin_steps(chain, cfg.nsteps)
+        self.log.info("Mean acceptance fraction: %0.2f" %
+                      (np.mean(acc) / cfg.nsteps))
+        self.log.info("AutoCorrelation Steps: %i, Number of Burn-in "
+                      "Steps: %i" % (round(tau), burn))
+        ess = effective_sample_size(chain[burn:])
+        rhat = gelman_rubin(chain[burn:])
+        self.log.info("min ESS: %.0f; max R-hat: %.4f; ESS/sec: %.0f"
+                      % (ess.min(), rhat.max(), ess.min() / elapsed))
+
+        # (nwalkers, nsteps, ndim+1) -> flat post-burn samples with LnProb
+        # as the last column, like the reference (lumfuncmcmc.py:506-510)
+        self.chain = chain            # (nsteps, W, D) step-major
+        full = np.concatenate([chain, lnps[:, :, None]], axis=2)
+        self.samples = full[burn:].reshape(-1, ndim + 1)
+        self.log.info("Shape of self.samples")
+        self.log.info(str(self.samples.shape))
+        self.log.info("Median lnprob: %.5f; Max lnprob: %.5f"
+                      % (np.median(lnps), np.max(lnps)))
+        return self.samples
+
+    # --- V_eff (lumfuncmcmc.py:515-525) --------------------------------
+    def veff_lf(self, flim=None, alpha=None, key=None):
+        cfg = self.cfg
+        flim = np.asarray(flim if flim is not None else cfg.Flim,
+                          dtype=np.float64)
+        alpha = float(alpha if alpha is not None else cfg.alpha)
+        logF50 = np.log10(flim) - 17.0
+        if cfg.min_comp_frac > 0.001:
+            roots = fleming_root_logf_np(logF50, alpha, cfg.min_comp_frac,
+                                         cfg.fcmin)
+        else:
+            roots = np.full(len(flim), -np.inf)
+        fid = np.asarray(self.ctx.field_id)
+        w = veff_weights(
+            self.ctx.logf_src, self.ctx.lum,
+            jnp.asarray(logF50)[fid], jnp.asarray(roots)[fid],
+            float(np.sum(cfg.Omega_0)), self.zmin, self.zmax, alpha,
+            self.ctx.cosmo, cfg.fcmin, cfg.min_comp_frac)
+        edges = log_bin_edges(self.ctx.lum, cfg.nbins)
+        if key is None:
+            key = jax.random.PRNGKey(cfg.seed + 1)
+        lavg, lfbin, var = binned_lf_bootstrap(
+            key, self.ctx.lum, w, edges, cfg.nboot, cfg.nbins)
+        self.phifunc = np.asarray(w)
+        self.Lavg = np.asarray(lavg)
+        self.lfbinorig = np.asarray(lfbin)
+        self.var = np.asarray(var)
+        return self.Lavg, self.lfbinorig, self.var
+
+    # reference-compatible alias
+    def VeffLF(self):
+        return self.veff_lf()
+
+    def add_fitinfo_to_table(self, percentiles, start_value=1,
+                             lnprobcut=7.5):
+        """Fill percentile columns of ``self.table`` row -1
+        (``lumfuncmcmc.py:653-667``)."""
+        nsamples = select_samples(self.samples, lnprobcut, drop_lnp=True)
+        n = len(percentiles)
+        for i, per in enumerate(percentiles):
+            for j, v in enumerate(np.percentile(nsamples, per, axis=0)):
+                self.table[-1][i + start_value + j * n] = v
+        return self.table
+
+
+class LumFuncModel(_BaseModel):
+    """Single-epoch Schechter fit (reference ``LumFuncMCMC``)."""
+
+    model_kind = "single"
+
+    def _make_layout(self):
+        return ThetaLayout.from_config(self.cfg)
+
+    def _make_scalar_lnprob(self):
+        return make_lnprob(self.ctx, self.layout)
+
+    def _initial_positions(self, key):
+        return sample_init(key, self.layout, self.cfg.nwalkers,
+                           diff_rand=self.cfg.diff_rand)
+
+    def set_median_fit(self, rndsamples=200, lnprobcut=7.5, key=None):
+        """Median model LF over posterior draws + V_eff with the median
+        completeness parameters (``set_median_fit``,
+        ``lumfuncmcmc.py:527-567``)."""
+        cfg = self.cfg
+        nsamples = select_samples(self.samples, lnprobcut)
+        self.log.info("Shape of nsamples (with a lnprobcut applied)")
+        self.log.info(str(nsamples.shape))
+        rng = np.random.default_rng(cfg.seed + 2)
+        idx = rng.integers(0, nsamples.shape[0], rndsamples)
+        draws = nsamples[idx, :-1]
+
+        lum = self.lum
+        lf, flims, alphas = [], [], []
+        for th in draws:
+            lstar, phistar, sch_al, logf50, alpha_c = \
+                self.layout.unpack(jnp.asarray(th))
+            lf.append(np.asarray(true_lum_func(
+                jnp.asarray(lum), sch_al, lstar, phistar)))
+            flims.append(np.asarray(10.0 ** (logf50 + 17.0)))
+            alphas.append(float(alpha_c))
+        self.medianLF = np.median(np.asarray(lf), axis=0)
+        med_flim = np.median(np.asarray(flims), axis=0)
+        med_alpha = float(np.median(alphas))
+        self.median_flim, self.median_alpha = med_flim, med_alpha
+        self.veff_lf(flim=med_flim, alpha=med_alpha, key=key)
+        return self.medianLF
+
+    def triangle_plot(self, outname, lnprobcut=7.5, imgtype="png"):
+        from lumfuncmcmc_tpu.utils.plotting import triangle_plot_single
+        triangle_plot_single(self, outname, lnprobcut, imgtype)
+
+
+class LumFuncModelZ(_BaseModel):
+    """Redshift-evolving Schechter fit (reference ``LumFuncMCMCz``)."""
+
+    model_kind = "z"
+
+    def __init__(self, cfg: LFConfig, *args, **kw):
+        # the z model always uses the fixed-completeness grid
+        # (lumfuncmcmc_z.py:254: size_ln=201 unconditionally)
+        cfg_fixed = cfg.replace(fix_comp=True)
+        super().__init__(cfg_fixed, *args, **kw)
+
+    def _make_layout(self):
+        return ThetaLayoutZ.from_config(self.cfg)
+
+    def _make_scalar_lnprob(self):
+        return make_lnprob_z(self.ctx, self.layout)
+
+    def _initial_positions(self, key):
+        lo, hi = self.layout.bounds_arrays()
+        u = jax.random.uniform(key, (self.cfg.nwalkers, self.layout.ndim),
+                               dtype=lo.dtype)
+        return u * (hi - lo) + lo
+
+    def set_median_fit(self, lnprobcut=7.5, zlen=100, Llen=100, key=None):
+        """Median-theta LF *matrix* over (z, L)
+        (``lumfuncmcmc_z.py:480-515``)."""
+        nsamples = select_samples(self.samples, lnprobcut, drop_lnp=True)
+        med = np.percentile(nsamples, 50.0, axis=0)
+        L1, L2, L3, p1, p2, p3, al = self.layout.unpack(jnp.asarray(med))
+        lum = self.lum
+        self.Lout = np.linspace(lum.min() - 0.2, lum.max() + 0.2, Llen)
+        self.zout = np.linspace(self.zmin, self.zmax, zlen)
+        zz, ll = np.meshgrid(self.zout, self.Lout, indexing="ij")
+        self.medianLF = np.asarray(schechter_z(
+            jnp.asarray(ll), jnp.asarray(zz), al, L1, L2, L3, p1, p2, p3,
+            self.layout.z1, self.layout.z2, self.layout.z3))
+        self.veff_lf(key=key)
+        return self.medianLF
+
+    def triangle_plot(self, outname, lnprobcut=7.5, imgtype="png"):
+        from lumfuncmcmc_tpu.utils.plotting import triangle_plot_z
+        triangle_plot_z(self, outname, lnprobcut, imgtype)

@@ -1,0 +1,19 @@
+"""Shared logger (one copy, vs four duplicates in the reference —
+``lumfuncmcmc.py:295-318``, ``run_lumfuncmcmc.py:13-37``, etc.).
+Same format string so downstream log parsers keep working."""
+
+from __future__ import annotations
+
+import logging
+
+
+def setup_logging(name: str = "lumfuncmcmc_tpu") -> logging.Logger:
+    log = logging.getLogger(name)
+    if not log.handlers:
+        fmt = logging.Formatter("[%(levelname)s - %(asctime)s] %(message)s")
+        handler = logging.StreamHandler()
+        handler.setFormatter(fmt)
+        handler.setLevel(logging.INFO)
+        log.setLevel(logging.DEBUG)
+        log.addHandler(handler)
+    return log

@@ -1,0 +1,72 @@
+"""End-to-end CLI tests on synthetic catalogs (small sizes, CPU)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from lumfuncmcmc_tpu.cli.main import main
+from lumfuncmcmc_tpu.utils.io import (
+    read_fixed_width_two_line, write_fixed_width_two_line)
+
+ARGS = ["--synthetic", "250", "-ns", "60", "-nw", "16", "-mcf", "0.5",
+        "--size-ln", "31", "-o", "t.dat"]
+
+
+@pytest.fixture
+def workdir(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    return tmp_path
+
+
+def test_fit_writes_all_artifacts(workdir):
+    assert main(["fit"] + ARGS) == 0
+    base = "t_nb50_nw16_ns60_mcf50"
+    for kind in ["fitposterior", "bestfitLF", "VeffLF"]:
+        assert (workdir / "LFMCMCOut" / f"{kind}_{base}.dat").exists()
+    assert (workdir / "LFMCMCOut" / f"triangle_{base}.png").exists()
+    assert (workdir / "LFMCMCOut" / "t.dat").exists()
+    assert (workdir / "LFMCMCOut" / "t.dat.args").exists()
+    # posterior file round-trips with LaTeX column names
+    tab = read_fixed_width_two_line(
+        str(workdir / "LFMCMCOut" / f"fitposterior_{base}.dat"))
+    assert "Ln Prob" in tab
+    assert r"$\log L_*$" in tab
+    n = len(tab["Ln Prob"])
+    assert n > 100 and np.all(np.isfinite(tab["Ln Prob"]))
+
+
+def test_fit_resume_skips_sampling(workdir, capsys):
+    main(["fit"] + ARGS)
+    capsys.readouterr()
+    assert main(["fit"] + ARGS) == 0
+    out = capsys.readouterr().out
+    assert "Resumed from existing" in out
+
+
+def test_fitz_runs(workdir):
+    assert main(["fitz"] + ARGS) == 0
+    base = "t_nb50_nw16_ns60_mcf50"
+    assert (workdir / "LFMCMCzOut" / f"fitposterior_{base}.dat").exists()
+    tab = read_fixed_width_two_line(
+        str(workdir / "LFMCMCzOut" / f"bestfitLF_{base}.dat"))
+    assert "Luminosity_cols" in tab and "LF_z0" in tab
+
+
+def test_vmax_runs(workdir):
+    assert main(["vmax", "--synthetic", "300", "-mcf", "0.5",
+                 "-nbins", "15", "-o", "v.dat"]) == 0
+    assert (workdir / "ImageFiles" / "Log" / "v_log.dat").exists()
+    assert (workdir / "ImageFiles" / "Log" / "v_log.png").exists()
+
+
+def test_fixed_width_roundtrip(tmp_path):
+    path = str(tmp_path / "x.dat")
+    cols = {"A Name": np.asarray([1.5, 2.5]),
+            "B": np.asarray([-3.25, 4.0]),
+            "Line": np.asarray(["OIII", "Ha"])}
+    write_fixed_width_two_line(path, cols)
+    back = read_fixed_width_two_line(path)
+    np.testing.assert_allclose(back["A Name"], cols["A Name"])
+    np.testing.assert_allclose(back["B"], cols["B"])
+    assert list(back["Line"]) == ["OIII", "Ha"]
