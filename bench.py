@@ -1,0 +1,183 @@
+"""Benchmark: 100-walker ensemble on the flagship free-completeness model.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+- value: log-probability evaluations per second for the full MCMC run
+  (10k steps x 100 walkers under one jit'd lax.scan) on the default JAX
+  backend (TPU when available).
+- vs_baseline: speedup over a serial float64 NumPy transcription of the
+  reference's per-call lnprob (the emcee-on-CPU execution model:
+  ``lumfuncmcmc.py:360-424`` evaluated one theta at a time), measured on
+  the same catalog and the same 101x101x5 likelihood grid.
+
+Details go to stderr; stdout carries only the JSON line.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def numpy_reference_lnprob_factory(ctx, layout, cfg):
+    """Serial float64 transcription of the reference lnprob (free-comp
+    path, lumfuncmcmc.py:360-378) on the frozen grids."""
+    lum = np.asarray(ctx.lum, dtype=np.float64)
+    zarr = np.asarray(ctx.zarr, dtype=np.float64)
+    logL = np.asarray(ctx.logL_grid, dtype=np.float64)
+    logf_grid = np.asarray(ctx.logf_grid, dtype=np.float64)
+    logf_src = np.asarray(ctx.logf_src, dtype=np.float64)
+    volume = np.asarray(ctx.volume_part, dtype=np.float64)
+    om0f = np.asarray(ctx.omega0_f, dtype=np.float64)
+    fid = np.asarray(ctx.field_id)
+    om0_src = om0f[fid]
+    sqarc = (180.0 / np.pi * 3600.0) ** 2
+    ln10 = np.log(10.0)
+    nf = logL.shape[0]
+    lo = np.asarray(layout.lo)
+    hi = np.asarray(layout.hi)
+
+    def fleming(logf, logF50, alpha, fcmin):
+        x = alpha * (logf - logF50)
+        fc = 0.5 * (1.0 + x / np.sqrt(1.0 + x * x))
+        a = (2.0 * fcmin - 1.0) ** 2
+        log_ftau = logF50 - np.sqrt(abs(a / (1 - a)) / alpha**2)
+        ratio = np.minimum((logf - log_ftau) * ln10, 40.0)
+        decay = 1.0 - np.exp(-np.exp(ratio))
+        return np.where(fc > 0,
+                        np.exp(np.log(np.maximum(fc, 1e-300)) / decay), 0.0)
+
+    def tlf(lL, al, ls, ps):
+        return (ln10 * 10.0**ps * 10.0 ** ((lL - ls) * (al + 1))
+                * np.exp(-(10.0 ** (lL - ls))))
+
+    def lnprob(theta):
+        if np.any(theta < lo) or np.any(theta > hi):
+            return -np.inf
+        lstar, phistar, sch_al = theta[0], theta[1], theta[2]
+        flim = theta[3:3 + nf]
+        alpha_c = theta[3 + nf]
+        logF50 = np.log10(flim) - 17.0
+        om_src = (om0_src / sqarc
+                  * fleming(logf_src, logF50[fid], alpha_c, cfg.fcmin))
+        lnpart = np.log(tlf(lum, sch_al, lstar, phistar) * om_src).sum()
+        fullint = 0.0
+        for f in range(nf):
+            om = om0f[f] / sqarc * fleming(logf_grid[f], logF50[f],
+                                           alpha_c, cfg.fcmin)
+            integ = tlf(logL[f], sch_al, lstar, phistar) * volume * om
+            fullint += np.trapezoid(
+                np.trapezoid(integ, logL[f], axis=0), zarr)
+        return lnpart - fullint
+
+    return lnprob
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=10000)
+    ap.add_argument("--walkers", type=int, default=100)
+    ap.add_argument("--nsrc", type=int, default=1000)
+    ap.add_argument("--baseline-evals", type=int, default=30)
+    args = ap.parse_args()
+
+    import jax
+    try:  # persistent compile cache: repeat bench runs skip the ~3 min
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/jax_compile_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+    import jax.numpy as jnp
+    from lumfuncmcmc_tpu.config import LFConfig
+    from lumfuncmcmc_tpu.models.context import build_context
+    from lumfuncmcmc_tpu.models.likelihood import (
+        ThetaLayout, make_lnprob, sample_init)
+    from lumfuncmcmc_tpu.samplers.affine import run_stretch
+    from lumfuncmcmc_tpu.samplers.diagnostics import (
+        burnin_steps, effective_sample_size)
+    from lumfuncmcmc_tpu.utils.synth import (
+        make_catalog, apply_completeness_cut)
+
+    dev = jax.devices()[0]
+    log(f"backend: {jax.default_backend()}  device: {dev}")
+
+    # flagship workload: free completeness (9-dim theta), reference grid
+    # size 101, 5 fields, min_comp_frac=0.5
+    cfg = LFConfig(min_comp_frac=0.5, fix_comp=False,
+                   nwalkers=args.walkers, nsteps=args.steps)
+    cat = apply_completeness_cut(
+        make_catalog(cfg, n_target=args.nsrc, seed=7), cfg)
+    log(f"catalog: {len(cat['z'])} sources over {len(cfg.Flim)} fields")
+    data, ctx = build_context(cfg, z=cat["z"], flux=cat["flux"],
+                              flux_e=cat["flux_e"],
+                              field_id=cat["field_id"])
+    layout = ThetaLayout.from_config(cfg)
+
+    lnprob = jax.vmap(make_lnprob(ctx, layout))
+    pos0 = sample_init(jax.random.PRNGKey(0), layout, args.walkers)
+
+    # compile warmup (excluded from timing)
+    t0 = time.time()
+    out = run_stretch(lnprob, pos0, jax.random.PRNGKey(1), 3)
+    jax.block_until_ready(out[0].pos)
+    log(f"compile+warmup: {time.time() - t0:.1f}s")
+
+    t0 = time.time()
+    state, chain, lnps, acc = run_stretch(lnprob, pos0,
+                                          jax.random.PRNGKey(2),
+                                          args.steps)
+    jax.block_until_ready(state.pos)
+    wall = time.time() - t0
+    evals = args.steps * args.walkers
+    evals_per_sec = evals / wall
+    chain_np = np.asarray(chain[:: max(1, args.steps // 2000)])
+    burn = min(chain_np.shape[0] // 2, 200)
+    ess = float(effective_sample_size(chain_np[burn:]).min()) \
+        * max(1, args.steps // 2000)
+    log(f"run: {wall:.2f}s for {args.steps} steps x {args.walkers} walkers"
+        f" -> {evals_per_sec:,.0f} lnprob evals/s;"
+        f" acc={np.mean(np.asarray(acc)) / args.steps:.2f};"
+        f" min ESS~{ess:.0f} ({ess / wall:,.0f}/s)")
+
+    # serial CPU baseline (reference execution model)
+    ref_lnprob = numpy_reference_lnprob_factory(ctx, layout, cfg)
+    thetas = np.asarray(sample_init(jax.random.PRNGKey(3), layout,
+                                    args.baseline_evals))
+    # match the sampler's in-bounds workload: evaluate midpoint-ish thetas
+    mid = 0.5 * (np.asarray(layout.lo) + np.asarray(layout.hi))
+    thetas = 0.9 * mid[None, :] + 0.1 * thetas
+    t0 = time.time()
+    vals = [ref_lnprob(th) for th in thetas]
+    base_wall = time.time() - t0
+    base_rate = len(thetas) / base_wall
+    log(f"baseline (serial numpy f64, reference lnprob): "
+        f"{base_rate:,.1f} evals/s "
+        f"(sample lnp {vals[0]:.1f})")
+
+    result = {
+        "metric": "lnprob_evals_per_sec_100walker_chain",
+        "value": round(evals_per_sec, 1),
+        "unit": "evals/s",
+        "vs_baseline": round(evals_per_sec / base_rate, 2),
+        "detail": {
+            "device": str(dev),
+            "wall_s": round(wall, 3),
+            "steps": args.steps,
+            "walkers": args.walkers,
+            "baseline_evals_per_sec": round(base_rate, 2),
+            "min_ess_per_sec": round(ess / wall, 1),
+        },
+    }
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()

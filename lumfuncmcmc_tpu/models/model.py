@@ -179,6 +179,55 @@ class _BaseModel:
                       % (np.median(lnps), np.max(lnps)))
         return self.samples
 
+    def fit_model_nuts(self, key=None, num_warmup=None, nchains=8):
+        """Gradient-based NUTS fit of the same posterior (new capability;
+        the reference likelihood is not differentiable). Produces the
+        same ``self.samples`` layout as :meth:`fit_model`."""
+        from lumfuncmcmc_tpu.samplers.nuts import (
+            make_unconstrained, run_nuts)
+        cfg = self.cfg
+        if key is None:
+            key = jax.random.PRNGKey(cfg.seed)
+        k_init, k_run = jax.random.split(key)
+        num_warmup = num_warmup or max(200, cfg.nsteps // 4)
+        scalar = self._make_scalar_lnprob()
+        lo, hi = self.layout.bounds_arrays()
+        lnp_y, to_theta, to_y = make_unconstrained(scalar, lo, hi)
+
+        pos = self._initial_positions(k_init)
+        nchains = min(nchains, pos.shape[0])
+        start = pos[:nchains]
+        # shrink random inits toward the box center: NUTS needs a finite
+        # gradient start, and extreme corners have ~-1e6 lnlike
+        mid = (lo + hi) / 2.0
+        start = 0.8 * mid[None, :] + 0.2 * start
+        y0 = jax.vmap(to_y)(start)
+
+        self.log.info("Fitting with NUTS (%d chains, %d warmup, %d "
+                      "samples)" % (nchains, num_warmup, cfg.nsteps))
+        t0 = time.time()
+        samples_y, lnps, alphas, eps = run_nuts(
+            lnp_y, y0, k_run, num_warmup=int(num_warmup),
+            num_samples=int(cfg.nsteps))
+        jax.block_until_ready(lnps)
+        elapsed = time.time() - t0
+        chain = np.asarray(jax.vmap(jax.vmap(to_theta))(samples_y))
+        lnps = np.asarray(lnps)
+        self.log.info("Total time taken: %0.2f s; step size %.4g; mean "
+                      "accept-stat %.2f"
+                      % (elapsed, float(eps), float(np.mean(alphas))))
+        ess = effective_sample_size(chain)
+        rhat = gelman_rubin(chain)
+        self.log.info("min ESS: %.0f; max R-hat: %.4f; ESS/sec: %.0f"
+                      % (ess.min(), rhat.max(), ess.min() / elapsed))
+        self.chain = chain
+        # NUTS warmup is discarded inside run_nuts: no further burn-in
+        full = np.concatenate([chain, lnps[:, :, None]], axis=2)
+        self.samples = full.reshape(-1, chain.shape[2] + 1)
+        self.log.info("Shape of self.samples")
+        self.log.info(str(self.samples.shape))
+        return self.samples
+
     # --- V_eff (lumfuncmcmc.py:515-525) --------------------------------
     def veff_lf(self, flim=None, alpha=None, key=None):
         cfg = self.cfg

@@ -1,0 +1,225 @@
+"""Gradient-based No-U-Turn sampling of the same likelihood.
+
+A capability the reference cannot offer (its likelihood lives behind
+scipy splines and fsolve — not differentiable): because every kernel in
+this framework is a pure JAX function, ``jax.grad`` of the log-posterior
+is exact, and Hamiltonian Monte Carlo explores the 3-9 dim posteriors
+with far shorter autocorrelation times than the stretch move.
+
+Design:
+
+- Box priors are removed by a logit reparameterization
+  (:func:`make_unconstrained`): theta = lo + (hi-lo) * sigmoid(y) with
+  the log-Jacobian added, so the Hamiltonian flow never sees a hard
+  boundary.
+- :func:`run_nuts` runs C independent chains (vmapped) of multinomial
+  NUTS: trajectories double until the endpoints U-turn (or max
+  doublings), with progressive biased multinomial selection between the
+  old trajectory and each new subtree (Betancourt 2017). Subtree U-turn
+  checks are applied at doubling granularity — the standard lightweight
+  iterative formulation.
+- Step size is adapted during warmup by dual averaging to a target
+  acceptance statistic; the mass matrix is identity (the logit transform
+  already brings all coordinates to O(1) scale).
+
+Everything (warmup + sampling) runs inside ``lax.scan`` — one XLA
+program per phase.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+def make_unconstrained(lnpost_theta: Callable, lo, hi):
+    """Wrap a box-bounded log-density into an unconstrained one.
+
+    Returns (lnpost_y, to_theta, to_y).
+    """
+    lo = jnp.asarray(lo)
+    hi = jnp.asarray(hi)
+    span = hi - lo
+
+    def to_theta(y):
+        return lo + span * jax.nn.sigmoid(y)
+
+    def to_y(theta):
+        p = jnp.clip((theta - lo) / span, 1e-9, 1 - 1e-9)
+        return jnp.log(p) - jnp.log1p(-p)
+
+    def lnpost_y(y):
+        theta = to_theta(y)
+        # log|dtheta/dy| = sum log(span * sig * (1 - sig))
+        log_jac = jnp.sum(jnp.log(span) + jax.nn.log_sigmoid(y)
+                          + jax.nn.log_sigmoid(-y))
+        return lnpost_theta(theta) + log_jac
+
+    return lnpost_y, to_theta, to_y
+
+
+class _Traj(NamedTuple):
+    y_minus: jnp.ndarray
+    p_minus: jnp.ndarray
+    y_plus: jnp.ndarray
+    p_plus: jnp.ndarray
+    y_prop: jnp.ndarray      # current multinomial proposal
+    lw_prop: jnp.ndarray     # its log weight (lnpost - 0.5 p^2)
+    lw_sum: jnp.ndarray      # logsumexp of trajectory weights
+    turning: jnp.ndarray
+    diverged: jnp.ndarray
+    sum_alpha: jnp.ndarray   # acceptance-statistic accumulator
+    n_alpha: jnp.ndarray
+
+
+def _leapfrog(value_and_grad, y, p, eps, nsteps):
+    def body(_, carry):
+        y, p, g = carry
+        p_half = p + 0.5 * eps * g
+        y_new = y + eps * p_half
+        v, g_new = value_and_grad(y_new)
+        p_new = p_half + 0.5 * eps * g_new
+        return (y_new, p_new, g_new)
+    v0, g0 = value_and_grad(y)
+    y, p, g = jax.lax.fori_loop(0, nsteps, body, (y, p, g0))
+    v, _ = value_and_grad(y)
+    return y, p, v
+
+
+def _uturn(y_minus, y_plus, p_minus, p_plus):
+    dy = y_plus - y_minus
+    return (jnp.dot(dy, p_minus) < 0.0) | (jnp.dot(dy, p_plus) < 0.0)
+
+
+def _nuts_step(value_and_grad, max_doublings, eps, key, y0):
+    ndim = y0.shape[0]
+    k_mom, k_dir, k_acc = jax.random.split(key, 3)
+    p0 = jax.random.normal(k_mom, (ndim,), dtype=y0.dtype)
+    v0, _ = value_and_grad(y0)
+    lw0 = v0 - 0.5 * jnp.dot(p0, p0)
+
+    init = _Traj(y0, p0, y0, p0, y0, lw0, lw0,
+                 jnp.asarray(False), jnp.asarray(False),
+                 jnp.zeros((), y0.dtype), jnp.zeros((), y0.dtype))
+
+    def doubling(j, carry):
+        traj, key = carry
+        key, k_d, k_swap = jax.random.split(key, 3)
+        go_right = jax.random.bernoulli(k_d)
+
+        # integrate 2^j steps from the chosen end
+        nsteps = 2 ** j
+        y_start = jnp.where(go_right, traj.y_plus, traj.y_minus)
+        p_start = jnp.where(go_right, traj.p_plus, traj.p_minus)
+        eps_signed = jnp.where(go_right, eps, -eps)
+
+        # subtree: integrate step by step, accumulating multinomial weight
+        def sub_body(carry, _):
+            y, p, lw_sum, y_prop, lw_prop, key, div = carry
+            y_n, p_n, v_n = _leapfrog(value_and_grad, y, p, eps_signed, 1)
+            lw = v_n - 0.5 * jnp.dot(p_n, p_n)
+            div = div | ~jnp.isfinite(lw) | (lw0 - lw > 1000.0)
+            lw = jnp.where(div, -jnp.inf, lw)
+            key, k = jax.random.split(key)
+            lw_sum_new = jnp.logaddexp(lw_sum, lw)
+            take = (jnp.log(jax.random.uniform(k, dtype=y.dtype))
+                    < lw - lw_sum_new)
+            y_prop = jnp.where(take, y_n, y_prop)
+            lw_prop = jnp.where(take, lw, lw_prop)
+            # acceptance statistic vs initial energy
+            alpha = jnp.minimum(1.0, jnp.exp(lw - lw0))
+            return (y_n, p_n, lw_sum_new, y_prop, lw_prop, key, div), alpha
+
+        (y_end, p_end, lw_sub, y_sub, lw_subprop, _, diverged), alphas = \
+            jax.lax.scan(sub_body,
+                         (y_start, p_start, -jnp.inf, y_start, -jnp.inf,
+                          k_swap, traj.diverged),
+                         None, length=nsteps)
+
+        # progressive biased sampling between old trajectory and subtree
+        key, k_b = jax.random.split(key)
+        accept_sub = (jnp.log(jax.random.uniform(k_b, dtype=y0.dtype))
+                      < lw_sub - traj.lw_sum)
+        y_prop = jnp.where(accept_sub & ~diverged, y_sub, traj.y_prop)
+        lw_prop = jnp.where(accept_sub & ~diverged, lw_subprop,
+                            traj.lw_prop)
+
+        y_minus = jnp.where(go_right, traj.y_minus, y_end)
+        p_minus = jnp.where(go_right, traj.p_minus, p_end)
+        y_plus = jnp.where(go_right, y_end, traj.y_plus)
+        p_plus = jnp.where(go_right, p_end, traj.p_plus)
+
+        turning = traj.turning | _uturn(y_minus, y_plus, p_minus, p_plus)
+        new = _Traj(
+            y_minus, p_minus, y_plus, p_plus, y_prop, lw_prop,
+            jnp.logaddexp(traj.lw_sum, jnp.where(diverged, -jnp.inf,
+                                                 lw_sub)),
+            turning, traj.diverged | diverged,
+            traj.sum_alpha + jnp.sum(alphas),
+            traj.n_alpha + nsteps)
+        # freeze the trajectory once turning/diverged
+        frozen = traj.turning | traj.diverged
+        out = jax.tree_util.tree_map(
+            lambda old, upd: jnp.where(frozen, old, upd), traj, new)
+        return (out, key)
+
+    carry = (init, k_dir)
+    for j in range(max_doublings):
+        carry = doubling(j, carry)
+    traj, _ = carry
+    accept_stat = traj.sum_alpha / jnp.maximum(traj.n_alpha, 1.0)
+    return traj.y_prop, accept_stat, traj.diverged
+
+
+@partial(jax.jit, static_argnames=("lnpost_y", "num_warmup", "num_samples",
+                                   "max_doublings", "target_accept"))
+def run_nuts(lnpost_y: Callable, y0, key, num_warmup: int,
+             num_samples: int, max_doublings: int = 8,
+             target_accept: float = 0.8, init_step: float = 0.1):
+    """Run NUTS chains.
+
+    ``y0``: (C, D) initial unconstrained positions — C chains vmapped.
+    Returns (samples (num_samples, C, D), lnp (num_samples, C),
+    accept_stat (num_samples, C), eps).
+    """
+    vg = jax.value_and_grad(lnpost_y)
+    nchains = y0.shape[0]
+
+    step = jax.vmap(_nuts_step, in_axes=(None, None, None, 0, 0))
+
+    # --- warmup with dual averaging (Nesterov/Stan parameters) ---
+    mu = jnp.log(10.0 * init_step)
+    gamma, t0, kappa = 0.05, 10.0, 0.75
+
+    def warm_body(carry, k):
+        y, log_eps, log_eps_bar, h_bar, t = carry
+        keys = jax.random.split(k, nchains)
+        y_new, alpha, _ = step(vg, max_doublings, jnp.exp(log_eps), keys, y)
+        a = jnp.mean(alpha)
+        t = t + 1.0
+        h_bar = (1 - 1 / (t + t0)) * h_bar + (target_accept - a) / (t + t0)
+        log_eps = mu - jnp.sqrt(t) / gamma * h_bar
+        w = t ** (-kappa)
+        log_eps_bar = w * log_eps + (1 - w) * log_eps_bar
+        return (y_new, log_eps, log_eps_bar, h_bar, t), None
+
+    keys_w = jax.random.split(key, num_warmup + 1)
+    (y, _, log_eps_bar, _, _), _ = jax.lax.scan(
+        warm_body,
+        (y0, jnp.log(init_step), jnp.log(init_step), 0.0, 0.0),
+        keys_w[:-1])
+    eps = jnp.exp(log_eps_bar)
+
+    # --- sampling ---
+    def samp_body(y, k):
+        keys = jax.random.split(k, nchains)
+        y_new, alpha, div = step(vg, max_doublings, eps, keys, y)
+        lnp = jax.vmap(lnpost_y)(y_new)
+        return y_new, (y_new, lnp, alpha)
+
+    keys_s = jax.random.split(keys_w[-1], num_samples)
+    y, (samples, lnps, alphas) = jax.lax.scan(samp_body, y, keys_s)
+    return samples, lnps, alphas, eps

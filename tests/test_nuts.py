@@ -1,0 +1,77 @@
+"""NUTS sampler correctness on known posteriors."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from lumfuncmcmc_tpu.samplers.nuts import (
+    make_unconstrained, run_nuts)
+
+
+def test_unconstrained_transform_roundtrip():
+    lo = jnp.asarray([-1.0, 0.0])
+    hi = jnp.asarray([1.0, 5.0])
+    lnp, to_theta, to_y = make_unconstrained(lambda th: 0.0, lo, hi)
+    th = jnp.asarray([0.3, 2.0])
+    np.testing.assert_allclose(np.asarray(to_theta(to_y(th))),
+                               np.asarray(th), rtol=1e-6)
+
+
+def test_nuts_recovers_truncated_gaussian_moments():
+    # wide box, so effectively an unconstrained Gaussian
+    mu = jnp.asarray([0.5, -1.0])
+    sd = jnp.asarray([1.0, 0.4])
+    lo = jnp.asarray([-20.0, -20.0])
+    hi = jnp.asarray([20.0, 20.0])
+
+    def lnpost(theta):
+        return -0.5 * jnp.sum(((theta - mu) / sd) ** 2)
+
+    lnp_y, to_theta, to_y = make_unconstrained(lnpost, lo, hi)
+    nchains = 8
+    y0 = to_y(mu + 0.1 * jax.random.normal(jax.random.PRNGKey(0),
+                                           (nchains, 2)))
+    samples, lnps, alphas, eps = run_nuts(
+        lnp_y, y0, jax.random.PRNGKey(1), num_warmup=300, num_samples=600,
+        max_doublings=6)
+    th = np.asarray(jax.vmap(jax.vmap(to_theta))(samples)).reshape(-1, 2)
+    np.testing.assert_allclose(th.mean(axis=0), np.asarray(mu), atol=0.1)
+    np.testing.assert_allclose(th.std(axis=0), np.asarray(sd), rtol=0.25)
+    assert 0.4 < float(np.mean(np.asarray(alphas))) <= 1.0
+    assert float(eps) > 1e-4
+
+
+def test_nuts_on_lf_posterior():
+    """NUTS on the actual single-epoch likelihood, short run for CI."""
+    from lumfuncmcmc_tpu.config import LFConfig
+    from lumfuncmcmc_tpu.models.context import build_context
+    from lumfuncmcmc_tpu.models.likelihood import (
+        ThetaLayout, lnlike_single_epoch)
+    from lumfuncmcmc_tpu.utils.synth import (
+        make_catalog, apply_completeness_cut)
+
+    cfg = LFConfig(min_comp_frac=0.5, fix_comp=True, size_ln=31,
+                   Lstar=42.5, phistar=-2.6, sch_al=-1.6)
+    cat = apply_completeness_cut(make_catalog(cfg, n_target=600, seed=4),
+                                 cfg)
+    _, ctx = build_context(cfg, z=cat["z"], flux=cat["flux"],
+                           flux_e=cat["flux_e"],
+                           field_id=cat["field_id"])
+    layout = ThetaLayout.from_config(cfg)
+    lo, hi = layout.bounds_arrays()
+
+    def lnpost(th):
+        return lnlike_single_epoch(th, ctx, layout)
+
+    lnp_y, to_theta, to_y = make_unconstrained(lnpost, lo, hi)
+    start = jnp.asarray([[42.5, -2.6, -1.6]] * 4) \
+        + 0.01 * jax.random.normal(jax.random.PRNGKey(5), (4, 3))
+    y0 = jax.vmap(to_y)(start)
+    samples, lnps, alphas, eps = run_nuts(
+        lnp_y, y0, jax.random.PRNGKey(6), num_warmup=150, num_samples=150,
+        max_doublings=6)
+    th = np.asarray(jax.vmap(jax.vmap(to_theta))(samples)).reshape(-1, 3)
+    assert np.all(np.isfinite(th))
+    # posterior concentrated near the truth
+    assert abs(np.median(th[:, 0]) - 42.5) < 0.5
+    assert abs(np.median(th[:, 2]) - (-1.6)) < 0.4
