@@ -72,9 +72,9 @@ def numpy_reference_lnprob_factory(ctx, layout, cfg):
         for f in range(nf):
             om = om0f[f] / sqarc * fleming(logf_grid[f], logF50[f],
                                            alpha_c, cfg.fcmin)
-            integ = tlf(logL[f], sch_al, lstar, phistar) * volume * om
+            integ = tlf(logL[f], sch_al, lstar, phistar) * volume[f] * om
             fullint += np.trapezoid(
-                np.trapezoid(integ, logL[f], axis=0), zarr)
+                np.trapezoid(integ, logL[f], axis=0), zarr[f])
         return lnpart - fullint
 
     return lnprob

@@ -81,9 +81,13 @@ class LFContext:
                                   #    (source-axis sharding pads N to a
                                   #    multiple of the mesh axis)
     # --- frozen quadrature grids ---
-    zarr: jnp.ndarray             # (S,) z nodes
-    log_dl_zarr: jnp.ndarray      # (S,) log10 dL(zarr) [cm]
-    volume_part: jnp.ndarray      # (S,) dV/dz(zarr) [Mpc^3/sr]
+    zarr: jnp.ndarray             # (F, S) z nodes per field (gauss mode
+                                  #    splits the z panel at the kink
+                                  #    where minlum(z) crosses min(lum),
+                                  #    so nodes differ per field; trapz
+                                  #    mode replicates one shared grid)
+    log_dl_zarr: jnp.ndarray      # (F, S) log10 dL(zarr) [cm]
+    volume_part: jnp.ndarray      # (F, S) dV/dz(zarr) [Mpc^3/sr]
     logL_grid: jnp.ndarray        # (F, S, S) logL[f, i, j]; i=L node, j=z node
     w_fixed: jnp.ndarray          # (F, S, S) full weights incl. frozen Omega:
                                   #    integral = sum(phi * w_fixed)
@@ -207,38 +211,83 @@ def build_context(cfg: LFConfig,
         roots_logf = np.full(nfields, -np.inf)
 
     # --- frozen likelihood grids (setlnsimple, lumfuncmcmc.py:217-235) ---
+    gauss = cfg.quadrature == "gauss"
     if cfg.size_ln is not None:
         size = int(cfg.size_ln)
+    elif gauss:
+        size = 32  # split-panel GL-32 beats the reference's trapz-201 by
+                   # orders of magnitude (see tests/test_quadrature_modes)
     else:
         size = 201 if cfg.fix_comp else 101
-    zarr = np.linspace(zmin, zmax, size)
-    log_dl_zarr = log_dl_cm(zarr)
-    volume_part = dvdz(zarr)
 
     lum_floor = float(lum.min())
-    # minlum[f, j]: log L at which the implied flux hits the field's
-    # completeness root, clamped below at min(lum)
-    if cfg.min_comp_frac > 0.001:
-        minlum = (roots_logf[:, None] + _LOG10_4PI
-                  + 2.0 * log_dl_zarr[None, :])
+
+    def minlum_of_z(f, zq):
+        if cfg.min_comp_frac > 0.001:
+            return np.maximum(roots_logf[f] + _LOG10_4PI
+                              + 2.0 * log_dl_cm(zq), lum_floor)
+        return np.full_like(np.asarray(zq, dtype=np.float64), lum_floor)
+
+    if gauss:
+        u_nodes, u_w = np.polynomial.legendre.leggauss(size)
+        u_nodes = 0.5 * (u_nodes + 1.0)
+        u_w = 0.5 * u_w
+        # Per field, split the z integral at the kink where the
+        # completeness luminosity floor crosses min(lum): the integrand is
+        # analytic on each panel, so GL converges spectrally.
+        zarr = np.empty((nfields, size))
+        wz_arr = np.empty((nfields, size))
+        for f in range(nfields):
+            zstar = None
+            if cfg.min_comp_frac > 0.001:
+                raw = (roots_logf[f] + _LOG10_4PI
+                       + 2.0 * log_dl_cm(np.array([zmin, zmax])))
+                if raw[0] < lum_floor < raw[1]:
+                    # monotone in z: invert via the dl table
+                    target_logdl = 0.5 * (lum_floor - roots_logf[f]
+                                          - _LOG10_4PI)
+                    zstar = float(np.interp(target_logdl, logdl_tab, zg))
+            if zstar is None or not (zmin < zstar < zmax):
+                zarr[f] = zmin + u_nodes * (zmax - zmin)
+                wz_arr[f] = u_w * (zmax - zmin)
+            else:
+                n1 = size // 2
+                n2 = size - n1
+                x1, w1 = np.polynomial.legendre.leggauss(n1)
+                x2, w2 = np.polynomial.legendre.leggauss(n2)
+                zarr[f, :n1] = zmin + 0.5 * (x1 + 1.0) * (zstar - zmin)
+                wz_arr[f, :n1] = 0.5 * w1 * (zstar - zmin)
+                zarr[f, n1:] = zstar + 0.5 * (x2 + 1.0) * (zmax - zstar)
+                wz_arr[f, n1:] = 0.5 * w2 * (zmax - zstar)
     else:
-        minlum = np.zeros((nfields, size))
-    minlum = np.maximum(minlum, lum_floor)
+        zarr1 = np.linspace(zmin, zmax, size)
+        wz = np.ones(size); wz[0] = wz[-1] = 0.5
+        zarr = np.tile(zarr1, (nfields, 1))
+        wz_arr = np.tile(wz * (zmax - zmin) / (size - 1), (nfields, 1))
 
-    # logL[f, i, j] = linspace(minlum[f, j], Lh, size) along i
-    ii = np.linspace(0.0, 1.0, size)[None, :, None]
-    logL_grid = minlum[:, None, :] + ii * (cfg.Lh - minlum[:, None, :])
-    dL_col = (cfg.Lh - minlum) / (size - 1)         # (F, S) per-column dx
+    log_dl_zarr = log_dl_cm(zarr)                   # (F, S)
+    volume_part = dvdz(zarr)                        # (F, S)
+    minlum = np.stack([minlum_of_z(f, zarr[f]) for f in range(nfields)])
 
-    # trapezoid weights: integral = sum_ij phi_ij * W_ij
-    wL = np.ones(size); wL[0] = wL[-1] = 0.5
-    wz = np.ones(size); wz[0] = wz[-1] = 0.5
-    dz = (zmax - zmin) / (size - 1)
-    w_open = (wL[None, :, None] * (wz * dz * volume_part)[None, None, :]
-              * dL_col[:, None, :])
+    span = cfg.Lh - minlum                          # (F, S) column spans
+    if gauss:
+        # logL[f, i, j] = minlum[f, j] + u_i * span[f, j]
+        logL_grid = (minlum[:, None, :]
+                     + u_nodes[None, :, None] * span[:, None, :])
+        wL_col = u_w[None, :, None] * span[:, None, :]   # (F, S, S)
+        w_open = wL_col * (wz_arr * volume_part)[:, None, :]
+    else:
+        # reference semantics: logL[f, :, j] = linspace(minlum, Lh, size)
+        ii = np.linspace(0.0, 1.0, size)[None, :, None]
+        logL_grid = minlum[:, None, :] + ii * span[:, None, :]
+        dL_col = span / (size - 1)                  # (F, S) per-column dx
+        wL = np.ones(size); wL[0] = wL[-1] = 0.5
+        w_open = (wL[None, :, None]
+                  * (wz_arr * volume_part)[:, None, :]
+                  * dL_col[:, None, :])
 
     # frozen Omega on the grid (exact, not the reference's 501x501 spline)
-    logf_grid = logL_grid - _LOG10_4PI - 2.0 * log_dl_zarr[None, None, :]
+    logf_grid = logL_grid - _LOG10_4PI - 2.0 * log_dl_zarr[:, None, :]
     omega0_arr = np.asarray(cfg.Omega_0, dtype=np.float64)
     om_grid = (omega0_arr[:, None, None] / SQARCSEC_PER_SR
                * fleming_from_logf_np(logf_grid, logF50[:, None, None],

@@ -100,8 +100,8 @@ def lnlike_z(theta, ctx: LFContext, layout: ThetaLayoutZ):
     lnpart = jnp.sum(jnp.where(ctx.src_mask > 0,
                                lnphi_src + ctx.ln_om_src, 0.0))
 
-    # grid: zarr broadcast along the L axis (axis 0 of logL_grid)
-    lnphi_grid = log_schechter_z(ctx.logL_grid, ctx.zarr[None, None, :],
+    # grid: per-field z nodes broadcast along the L axis
+    lnphi_grid = log_schechter_z(ctx.logL_grid, ctx.zarr[:, None, :],
                                  al, L1, L2, L3, p1, p2, p3, *zp)
     fullint = jnp.sum(jnp.exp(lnphi_grid) * ctx.w_fixed)
     return lnpart - fullint

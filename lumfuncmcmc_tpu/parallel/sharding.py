@@ -74,7 +74,7 @@ def _no_sources_ctx(ctx: LFContext) -> LFContext:
     """
     dt = ctx.lum.dtype
     nd = 8
-    zmid = ctx.zarr[ctx.zarr.shape[0] // 2]
+    zmid = ctx.zarr[0, ctx.zarr.shape[1] // 2]
     return LFContext(**_ctx_kwargs(
         ctx,
         lum=jnp.full((nd,), 42.0, dt),

@@ -62,8 +62,9 @@ def oracle_lnlike(theta, ctx, layout, cfg):
     fullint = 0.0
     for f in range(layout.nfields):
         integ = (ref_true_lum_func(logL[f], sch_al, lstar, phistar)
-                 * volume[None, :] * om_grid[f])
-        fullint += np.trapezoid(np.trapezoid(integ, logL[f], axis=0), zarr)
+                 * volume[f][None, :] * om_grid[f])
+        fullint += np.trapezoid(np.trapezoid(integ, logL[f], axis=0),
+                                zarr[f])
     return lnpart - fullint
 
 

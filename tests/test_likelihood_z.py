@@ -34,10 +34,11 @@ def oracle_lnlike_z(theta, ctx, layout):
                                     p1, p2, p3, *zp) * om_src).sum()
     fullint = 0.0
     for f in range(logL.shape[0]):
-        integ = (ref_schechter_z(logL[f], zarr[None, :], al, L1, L2, L3,
+        integ = (ref_schechter_z(logL[f], zarr[f][None, :], al, L1, L2, L3,
                                  p1, p2, p3, *zp)
-                 * volume[None, :] * om_grid[f])
-        fullint += np.trapezoid(np.trapezoid(integ, logL[f], axis=0), zarr)
+                 * volume[f][None, :] * om_grid[f])
+        fullint += np.trapezoid(np.trapezoid(integ, logL[f], axis=0),
+                                zarr[f])
     return lnpart - fullint
 
 
