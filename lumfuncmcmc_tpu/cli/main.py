@@ -60,6 +60,16 @@ def _add_common_flags(p):
                    default=None)
     p.add_argument("--synthetic", type=int, default=None, metavar="N",
                    help="Use an N-source synthetic catalog instead of -f")
+    p.add_argument("--dust-file", dest="dust_file", type=str, default=None,
+                   help="Optional dust/E(B-V) table joined on Field+ID "
+                        "(the reference hardwired its filename, "
+                        "run_lumfuncmcmc.py:241)")
+    p.add_argument("--profile", type=str, default=None, metavar="DIR",
+                   help="Write a jax.profiler trace of the fit to DIR")
+    p.add_argument("--quadrature", type=str, default=None,
+                   choices=["trapz", "gauss"],
+                   help="trapz = reference parity; gauss = production "
+                        "split-panel Gauss-Legendre (default trapz)")
 
 
 def _build_cfg(args) -> LFConfig:
@@ -100,7 +110,8 @@ def _load_inputs(args, cfg):
                         [f"F{i}" for i in range(len(cfg.Flim))]))
     if not args.filename:
         raise SystemExit("either -f FILE or --synthetic N is required")
-    cat = read_catalog(args.filename, cfg)
+    cat = read_catalog(args.filename, cfg,
+                       dust_fn=getattr(args, "dust_file", None))
     return dict(z=cat["z"], flux=cat.get("flux"),
                 flux_e=cat.get("flux_e"), lum=cat.get("lum"),
                 lum_e=cat.get("lum_e"), field_id=cat["field_id"],
@@ -252,13 +263,19 @@ def cmd_fit(args):
         return 0
     names = model.get_param_names()
     print("Labels:", names)
-    if cfg.sampler == "nuts":
-        model.fit_model_nuts()
-    else:
-        ck = (artifact_path(outdir, "checkpoint", args.output_filename,
-                            cfg, ext="npz") if cfg.checkpoint_every else
-              None)
-        model.fit_model(checkpoint_path=ck)
+    import contextlib
+    import jax
+    prof = (jax.profiler.trace(args.profile) if args.profile
+            else contextlib.nullcontext())
+    with prof:
+        if cfg.sampler == "nuts":
+            model.fit_model_nuts()
+        else:
+            ck = (artifact_path(outdir, "checkpoint",
+                                args.output_filename, cfg, ext="npz")
+                  if cfg.checkpoint_every else None)
+            model.fit_model(checkpoint_path=ck,
+                            resume=bool(ck and os.path.exists(ck)))
     print("Finished fitting model and about to create outputs")
     _write_outputs(model, cfg, args, outdir, names)
     return 0
@@ -326,6 +343,7 @@ def cmd_vmax(args):
     zbin_idx = (equal_count_z_bins(z, zbins) if zbins > 1
                 else np.zeros(len(z), dtype=int))
     img_dir = args.img_dir
+    zevol_results = []
     for b in range(zbins):
         sel = zbin_idx == b
         fz, zz = flux[sel], z[sel]
@@ -345,6 +363,12 @@ def cmd_vmax(args):
             jax.random.PRNGKey(cfg.seed), lum, w, edges, cfg.nboot,
             cfg.nbins)
         lavg, lfbin, var = map(np.asarray, (lavg, lfbin, var))
+        if getattr(args, "correct_low", False):
+            from lumfuncmcmc_tpu.models.veff import (
+                apply_partial_bin_correction)
+            lfbin, var = apply_partial_bin_correction(
+                np.asarray(edges), lfbin, var, float(np.log10(root)),
+                zmin, zmax, cosmo)
         print("Finished getting bootstrap-based errors")
         fit = fit_schechter(lavg, lfbin, var, name=cfg.line_name,
                             log=True, integ=args.integ)
@@ -352,6 +376,8 @@ def cmd_vmax(args):
         name = (args.output_filename or
                 f"{cfg.line_name}_Vmax_LF_mcf_"
                 f"{int(100 * cfg.min_comp_frac)}_bins_{cfg.nbins}.png")
+        if zbins > 1:
+            name = f"{name.split('.')[0]}_zbin{b}.png"
         os.makedirs(os.path.join(img_dir, "Log"), exist_ok=True)
         write_fixed_width_two_line(
             os.path.join(img_dir, "Log",
@@ -360,8 +386,18 @@ def cmd_vmax(args):
              "BinLFErr": np.sqrt(var)})
         plot_schechter(lavg, lfbin, var, fit, name, img_dir, log=True,
                        integ=args.integ)
+        zevol_results.append({"Lavg": lavg, "lfbinorig": lfbin,
+                              "var": var, "fit": fit,
+                              "zlabel": r"$%.2f < z \leq %.2f$"
+                              % (zmin, zmax)})
         print("Finished plotting true luminosity and best-fit "
               "Schechter fit")
+    if zbins > 1:
+        from lumfuncmcmc_tpu.utils.plotting import plot_z_evolution
+        fn = plot_z_evolution(zevol_results,
+                              args.output_filename or cfg.line_name,
+                              img_dir, log=True, integ=args.integ)
+        print("Wrote z-evolution overlay:", fn)
     return 0
 
 
@@ -386,6 +422,10 @@ def main(argv=None):
     _add_common_flags(p_vmax)
     p_vmax.add_argument("--zbins", type=int, default=1)
     p_vmax.add_argument("--integ", action="store_true")
+    p_vmax.add_argument("--correct-low", dest="correct_low",
+                        action="store_true",
+                        help="partial-bin completeness correction "
+                             "(getBootErrLog correct_low)")
     p_vmax.add_argument("--img-dir", dest="img_dir", type=str,
                         default="ImageFiles")
     p_vmax.set_defaults(func=cmd_vmax)

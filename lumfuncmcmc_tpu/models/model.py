@@ -17,6 +17,7 @@ SURVEY.md §5), device-mesh sharding, and a NUTS option.
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Optional
 
@@ -110,9 +111,16 @@ class _BaseModel:
                 self._lnprob_batch = jax.vmap(self._make_scalar_lnprob())
         return self._lnprob_batch
 
-    def fit_model(self, key=None, checkpoint_path: Optional[str] = None):
+    def fit_model(self, key=None, checkpoint_path: Optional[str] = None,
+                  resume: bool = False):
         """Run the ensemble sampler; mirrors the logging and burn-in
-        handling of ``fit_model`` (``lumfuncmcmc.py:479-513``)."""
+        handling of ``fit_model`` (``lumfuncmcmc.py:479-513``).
+
+        With ``checkpoint_every`` set, the accumulated chain is written to
+        ``checkpoint_path`` (npz) after each block, and ``resume=True``
+        continues a previously-interrupted run from that file — the
+        reference loses everything on a kill (SURVEY.md §5).
+        """
         cfg = self.cfg
         if key is None:
             key = jax.random.PRNGKey(cfg.seed)
@@ -120,6 +128,8 @@ class _BaseModel:
         lnprob = self.lnprob_batch()
         pos0 = self._initial_positions(k_init)
         ndim = pos0.shape[1]
+        if self.mesh is not None:
+            self.log.info("Device mesh: %s" % (dict(self.mesh.shape),))
 
         self.log.info(
             "Fitting Schechter model to true luminosity function using the "
@@ -131,6 +141,18 @@ class _BaseModel:
             chains, lnps_parts, acc = [], [], 0.0
             state_pos = pos0
             remaining, kk = cfg.nsteps, k_run
+            if resume and checkpoint_path and \
+                    os.path.exists(checkpoint_path):
+                ck = np.load(checkpoint_path)
+                done = ck["chain"].shape[0]
+                chains = [ck["chain"]]
+                lnps_parts = [ck["lnprobability"]]
+                state_pos = jnp.asarray(ck["chain"][-1])
+                remaining = cfg.nsteps - done
+                # replay the key stream so the continued run matches
+                for _ in range(-(-done // every)):
+                    kk, _ = jax.random.split(kk)
+                self.log.info("Resumed from checkpoint at step %d" % done)
             while remaining > 0:
                 kk, k_blk = jax.random.split(kk)
                 nblk = min(every, remaining)

@@ -113,6 +113,35 @@ def log_bin_edges(lum, nbins: int):
     return jnp.linspace(jnp.min(lum) * 1.001, jnp.max(lum), nbins + 1)
 
 
+def linear_bin_edges(lum_linear, logfmin, zmax, cosmo: CosmoTable,
+                     nbins: int):
+    """Reference linear-space edges: from the luminosity of the minimum
+    flux at zmax up to max(L) (``getBootErr``, ``VmaxLumFunc.py:411-413``).
+    ``lum_linear`` is linear luminosity [erg/s]."""
+    lmin = 10.0 ** (logfmin + _LOG10_4PI
+                    + 2.0 * cosmo.log10_dl_cm_at(zmax))
+    return jnp.linspace(lmin, jnp.max(lum_linear), nbins + 1)
+
+
+def apply_partial_bin_correction(edges, lfbinorig, var, logfmin, zmin,
+                                 zmax, cosmo: CosmoTable):
+    """Scale partially-covered faint bins by the ``get_mult_factor``
+    ratio (``getBootErrLog`` correct_low branch, ``VmaxLumFunc.py:
+    363-378``): walk up from the faintest bin until the factor is 1."""
+    edges = np.asarray(edges)
+    lf = np.array(lfbinorig, dtype=np.float64)
+    vr = np.array(var, dtype=np.float64)
+    for j in range(len(lf)):
+        m = float(mult_factor(jnp.asarray(edges[j]),
+                              jnp.asarray(edges[j + 1]), logfmin,
+                              zmin, zmax, cosmo))
+        if abs(m - 1.0) < 1.0e-8:
+            break
+        lf[j] *= m
+        vr[j] *= m * m
+    return lf, vr
+
+
 def mult_factor(lum0, lum1, logfmin, zmin, zmax, cosmo: CosmoTable,
                 n_nodes: int = 128):
     """Partial-bin completeness correction (``get_mult_factor``,

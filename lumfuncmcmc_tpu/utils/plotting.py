@@ -255,6 +255,66 @@ def plot_schechter(Lavg, lfbinorig, var, fit, name, img_dir="ImageFiles",
     return fn
 
 
+_MARKERS = ["o", "^", "*", "s", "+", "v", "<", ">"]
+
+
+def plot_z_evolution(results, name, img_dir="ImageFiles", log=True,
+                     integ=False):
+    """Overlay per-z-bin binned LFs and their Schechter fits on one
+    figure (``zEvolSteps``, ``VmaxLumFunc.py:611-689``).
+
+    ``results``: list of dicts with keys Lavg, lfbinorig, var, fit,
+    zlabel.
+    """
+    fig, ax = plt.subplots()
+    if not log:
+        ax.set_xscale("log")
+    ax.set_yscale("log")
+    for i, r in enumerate(results):
+        pars = r["fit"].params
+        best = r["fit"].best_fit(r["Lavg"])
+        if log:
+            ratio = 1.0
+            amp = pars["integ" if integ else "phistar"]
+            label = (r"%s: $\alpha=%.2f$, amp$=%.2f$, $\log L_*=%.2f$"
+                     % (r["zlabel"], pars["al"], amp, pars["Lstar"]))
+        else:
+            dL = r["Lavg"][1] - r["Lavg"][0]
+            ratio = pars["Lstar"] / dL
+            amp = pars["integ" if integ else "phistar"] * ratio
+            label = (r"%s: $\alpha=%.2f$, amp$=%.1e$, $L_*=%.1e$"
+                     % (r["zlabel"], pars["al"], amp, pars["Lstar"]))
+        eb = ax.errorbar(r["Lavg"], r["lfbinorig"] * ratio,
+                         yerr=np.sqrt(r["var"]) * ratio,
+                         marker=_MARKERS[i % len(_MARKERS)],
+                         linestyle="none", label="")
+        color = eb.lines[0].get_color()
+        ax.plot(r["Lavg"], best * ratio, color=color, label=label)
+        try:
+            dely = r["fit"].eval_uncertainty(r["Lavg"], sigma=3)
+            ax.fill_between(r["Lavg"], ratio * (best - dely),
+                            ratio * (best + dely), color=color,
+                            alpha=0.2, label="")
+        except Exception:
+            pass
+    if log:
+        ax.set_xlabel(r"$\log$ L (erg s$^{-1}$)")
+        ax.set_ylabel(r"$\phi_{\rm{true}}$ (Number Mpc$^{-3}$ dex$^{-1}$)")
+    else:
+        ax.set_xlabel(r"L (erg s$^{-1}$)")
+        ax.set_ylabel(r"$dn/d({\rm{L/L_*}})$ (Number Mpc$^{-3}$)")
+    ax.legend(loc="best", fontsize="x-small")
+    ax.minorticks_on()
+    sub = "Log" if log else "Lin"
+    os.makedirs(os.path.join(img_dir, sub), exist_ok=True)
+    stem = name.split(".")[0]
+    suffix = ("_log" if log else "") + ("_integ" if integ else "")
+    fn = os.path.join(img_dir, sub, f"{stem}_zevol{suffix}.png")
+    fig.savefig(fn, bbox_inches="tight", dpi=300)
+    plt.close(fig)
+    return fn
+
+
 def plot_param_space(mcf, al, ls, mcfmc=None, almc=None, lsmc=None,
                      ln="OIII", lp=r"[OIII] $\lambda 5007$",
                      img_dir="ImageFiles", extratext=""):
