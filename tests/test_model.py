@@ -1,0 +1,96 @@
+"""Model-driver behaviors: checkpoint/resume, diff_rand, config merge,
+sample selection."""
+
+import numpy as np
+import jax
+import pytest
+
+from lumfuncmcmc_tpu.config import LFConfig, merge_config, load_config_file
+from lumfuncmcmc_tpu.models.likelihood import ThetaLayout, sample_init
+from lumfuncmcmc_tpu.models.model import LumFuncModel, select_samples
+from lumfuncmcmc_tpu.utils.synth import make_catalog, apply_completeness_cut
+
+
+@pytest.fixture(scope="module")
+def small_inputs():
+    cfg = LFConfig(min_comp_frac=0.5, fix_comp=True, size_ln=31,
+                   nwalkers=16, nsteps=40)
+    cat = apply_completeness_cut(make_catalog(cfg, n_target=200, seed=8),
+                                 cfg)
+    return cfg, cat
+
+
+def _model(cfg, cat):
+    return LumFuncModel(cfg, z=cat["z"], flux=cat["flux"],
+                        flux_e=cat["flux_e"], field_id=cat["field_id"])
+
+
+def test_checkpoint_and_resume(small_inputs, tmp_path):
+    cfg, cat = small_inputs
+    cfg = cfg.replace(checkpoint_every=10)
+    ck = str(tmp_path / "chain.npz")
+
+    m1 = _model(cfg, cat)
+    s_full = m1.fit_model(checkpoint_path=ck)
+    full_chain = m1.chain.copy()
+
+    # simulate a kill after 20 steps: truncate the checkpoint
+    saved = np.load(ck)
+    np.savez(ck, chain=saved["chain"][:20],
+             lnprobability=saved["lnprobability"][:20])
+
+    m2 = _model(cfg, cat)
+    m2.fit_model(checkpoint_path=ck, resume=True)
+    # key-stream replay makes the continued run identical
+    np.testing.assert_allclose(m2.chain, full_chain, rtol=1e-12)
+
+
+def test_diff_rand_false_collapses_init():
+    cfg = LFConfig(min_comp_frac=0.5)
+    layout = ThetaLayout.from_config(cfg)
+    pos = np.asarray(sample_init(jax.random.PRNGKey(0), layout, 8,
+                                 diff_rand=False))
+    # one U(0,1) per walker across dims -> same normalized coordinate
+    lo = np.asarray(layout.lo); hi = np.asarray(layout.hi)
+    u = (pos - lo) / (hi - lo)
+    assert np.allclose(u, u[:, :1], atol=1e-12)
+    pos2 = np.asarray(sample_init(jax.random.PRNGKey(0), layout, 8,
+                                  diff_rand=True))
+    u2 = (pos2 - lo) / (hi - lo)
+    assert not np.allclose(u2, u2[:, :1], atol=1e-3)
+
+
+def test_select_samples_doubling():
+    rng = np.random.default_rng(0)
+    lnp = np.concatenate([np.full(10, 0.0), np.full(90, -100.0)])
+    samples = np.column_stack([rng.normal(size=100), lnp])
+    # cut=7.5 keeps only 10 < 100//4 -> doubled until >= 25 survive
+    out = select_samples(samples, lnprobcut=7.5)
+    assert len(out) >= 25
+
+
+def test_config_merge_precedence(tmp_path):
+    f = tmp_path / "conf.py"
+    f.write_text("nwalkers = 64\nnsteps = 500\nline_name = 'Ha'\n")
+    over = load_config_file(str(f))
+    cfg = merge_config(LFConfig(), over, {"nsteps": 77, "nbins": None})
+    assert cfg.nwalkers == 64       # from file
+    assert cfg.nsteps == 77         # CLI beats file
+    assert cfg.nbins == 50          # None CLI -> default preserved
+    assert cfg.line_name == "Ha"
+
+
+def test_zero_is_a_value_not_unset():
+    # the reference treated flag value 0 as unset (run_lumfuncmcmc.py:124)
+    cfg = merge_config(LFConfig(), None, {"min_comp_frac": 0.0,
+                                          "checkpoint_every": 0})
+    assert cfg.min_comp_frac == 0.0
+
+
+def test_veff_lf_from_model(small_inputs):
+    cfg, cat = small_inputs
+    m = _model(cfg, cat)
+    lavg, lf, var = m.veff_lf()
+    assert lavg.shape == (cfg.nbins,)
+    assert np.all(var > 0)
+    assert np.any(lf > 0)
