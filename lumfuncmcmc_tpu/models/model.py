@@ -100,6 +100,25 @@ class _BaseModel:
     def get_param_names(self):
         return self.layout.plot_names()
 
+    def get_params(self):
+        """Current central parameter values in theta order
+        (``get_params``, ``lumfuncmcmc.py:463-477``). Also sets
+        ``self.nfreeparams``."""
+        cfg = self.cfg
+        defaults = {"Lstar": cfg.Lstar, "phistar": cfg.phistar,
+                    "sch_al": cfg.sch_al, "alpha": cfg.alpha,
+                    "L1": cfg.Lstar, "L2": cfg.Lstar, "L3": cfg.Lstar,
+                    "phi1": cfg.phistar, "phi2": cfg.phistar,
+                    "phi3": cfg.phistar}
+        vals = []
+        for name in self.layout.names:
+            if name.startswith("Flim_"):
+                vals.append(cfg.Flim[int(name.split("_")[1])])
+            else:
+                vals.append(defaults[name])
+        self.nfreeparams = len(vals)
+        return vals
+
     def lnprob_batch(self):
         if self._lnprob_batch is None:
             if self.mesh is not None:

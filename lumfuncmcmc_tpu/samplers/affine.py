@@ -116,3 +116,24 @@ def run_stretch(lnprob_batch: Callable, pos0, key, nsteps: int,
         (state, acc), (chain, lnps) = jax.lax.scan(
             outer_body, (state, acc0), keys)
     return state, chain, lnps, acc
+
+
+def run_stretch_ensembles(lnprob_batch: Callable, pos0, key, nsteps: int,
+                          a: float = 2.0, thin: int = 1):
+    """Run C independent ensembles in parallel (vmapped).
+
+    ``pos0``: (C, nwalkers, ndim). Independent replicated chains saturate
+    a chip when a single ensemble's batch is small, and give a true
+    multi-chain Gelman-Rubin diagnostic. Returns the same tuple as
+    :func:`run_stretch` with a leading C axis on every output.
+
+    ``lnprob_batch`` must be vmap-compatible (the standard vmap-of-scalar
+    construction is; the shard_map variant is not — use one ensemble per
+    mesh instead).
+    """
+    keys = jax.random.split(key, pos0.shape[0])
+
+    def one(p, k):
+        return run_stretch(lnprob_batch, p, k, nsteps, a, thin)
+
+    return jax.vmap(one)(pos0, keys)

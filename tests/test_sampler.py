@@ -86,3 +86,18 @@ def test_rejects_out_of_bounds_walkers():
     _, chain, lnps, _ = run_stretch(lnprob, pos0, jax.random.PRNGKey(7), 500)
     assert np.all(np.isfinite(np.asarray(lnps)))
     assert np.all(np.abs(np.asarray(chain)) < 3.0)
+
+
+def test_multi_ensemble_runner():
+    from lumfuncmcmc_tpu.samplers.affine import run_stretch_ensembles
+    lnprob = _gauss_lnprob(jnp.zeros(2), jnp.eye(2))
+    pos0 = jax.random.normal(jax.random.PRNGKey(8), (4, 16, 2))
+    st, chain, lnps, acc = run_stretch_ensembles(
+        lnprob, pos0, jax.random.PRNGKey(9), 200)
+    assert chain.shape == (4, 200, 16, 2)
+    # chains are independent (different keys -> different trajectories)
+    c = np.asarray(chain)
+    assert not np.allclose(c[0], c[1])
+    # cross-ensemble R-hat on the stacked walkers is healthy
+    stacked = c[:, 100:].transpose(1, 0, 2, 3).reshape(100, 64, 2)
+    assert np.all(gelman_rubin(stacked) < 1.2)
