@@ -93,11 +93,11 @@ def test_multi_ensemble_runner():
     lnprob = _gauss_lnprob(jnp.zeros(2), jnp.eye(2))
     pos0 = jax.random.normal(jax.random.PRNGKey(8), (4, 16, 2))
     st, chain, lnps, acc = run_stretch_ensembles(
-        lnprob, pos0, jax.random.PRNGKey(9), 200)
-    assert chain.shape == (4, 200, 16, 2)
+        lnprob, pos0, jax.random.PRNGKey(9), 800)
+    assert chain.shape == (4, 800, 16, 2)
     # chains are independent (different keys -> different trajectories)
     c = np.asarray(chain)
     assert not np.allclose(c[0], c[1])
     # cross-ensemble R-hat on the stacked walkers is healthy
-    stacked = c[:, 100:].transpose(1, 0, 2, 3).reshape(100, 64, 2)
-    assert np.all(gelman_rubin(stacked) < 1.2)
+    stacked = c[:, 400:].transpose(1, 0, 2, 3).reshape(400, 64, 2)
+    assert np.all(gelman_rubin(stacked) < 1.1)
