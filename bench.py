@@ -124,11 +124,14 @@ def main():
     lnprob = jax.vmap(make_lnprob(ctx, layout))
     pos0 = sample_init(jax.random.PRNGKey(0), layout, args.walkers)
 
-    # compile warmup (excluded from timing)
+    # compile warmup: run the FULL-length program once so the timed call
+    # is a pure cache-hit execution (a 3-step warmup compiles a different
+    # program — the scan trip count is static — and the timed call would
+    # silently include a fresh multi-minute XLA compile)
     t0 = time.time()
-    out = run_stretch(lnprob, pos0, jax.random.PRNGKey(1), 3)
+    out = run_stretch(lnprob, pos0, jax.random.PRNGKey(1), args.steps)
     jax.block_until_ready(out[0].pos)
-    log(f"compile+warmup: {time.time() - t0:.1f}s")
+    log(f"compile+warmup (full-length program): {time.time() - t0:.1f}s")
 
     t0 = time.time()
     state, chain, lnps, acc = run_stretch(lnprob, pos0,
@@ -147,7 +150,7 @@ def main():
                              flux_e=cat["flux_e"],
                              field_id=cat["field_id"])
     lnprob_g = jax.vmap(make_lnprob(ctx_g, layout))
-    out = run_stretch(lnprob_g, pos0, jax.random.PRNGKey(1), 3)
+    out = run_stretch(lnprob_g, pos0, jax.random.PRNGKey(1), args.steps)
     jax.block_until_ready(out[0].pos)
     t0 = time.time()
     state_g, *_ = run_stretch(lnprob_g, pos0, jax.random.PRNGKey(2),

@@ -118,6 +118,16 @@ def _load_inputs(args, cfg):
                 field_names=cat["field_names"])
 
 
+def _apply_precision(cfg):
+    """Apply the config precision policy (LFConfig.use_x64): None = auto
+    (float64 on CPU for accuracy, float32 on TPU for speed)."""
+    import jax
+    use = cfg.use_x64
+    if use is None:
+        use = jax.default_backend() == "cpu"
+    jax.config.update("jax_enable_x64", bool(use))
+
+
 def _make_mesh_maybe(cfg):
     import jax
     if cfg.mesh_walkers or cfg.mesh_sources > 1:
@@ -248,6 +258,7 @@ def _resume_if_done(model, cfg, args, outdir):
 def cmd_fit(args):
     from lumfuncmcmc_tpu.models.model import LumFuncModel
     cfg = _build_cfg(args)
+    _apply_precision(cfg)
     outdir = "LFMCMCOut"
     os.makedirs(outdir, exist_ok=True)
     inputs = _load_inputs(args, cfg)
@@ -284,6 +295,7 @@ def cmd_fit(args):
 def cmd_fitz(args):
     from lumfuncmcmc_tpu.models.model import LumFuncModelZ
     cfg = _pivot_z(_build_cfg(args), args.filename)
+    _apply_precision(cfg)
     outdir = "LFMCMCzOut"
     os.makedirs(outdir, exist_ok=True)
     inputs = _load_inputs(args, cfg)
@@ -321,6 +333,7 @@ def cmd_vmax(args):
     from lumfuncmcmc_tpu.ops.completeness import fleming_root_logf_np
 
     cfg = _build_cfg(args)
+    _apply_precision(cfg)
     if args.synthetic:
         inputs = _load_inputs(args, cfg)
         flux = np.asarray(inputs["flux"]) * 1e-17

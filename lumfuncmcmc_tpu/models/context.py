@@ -70,6 +70,11 @@ class LFContext:
     sum_pow_lum: jnp.ndarray      # () sum of 10^(lum - lref)
     sum_ln_om: jnp.ndarray        # () sum of ln Omega(lum_n, z_n) at the
                                   #    build-time completeness parameters
+    # --- same scalars per field (hierarchical multi-field model) ---
+    nsrc_f: jnp.ndarray           # (F,)
+    sum_lum_f: jnp.ndarray        # (F,)
+    sum_pow_lum_f: jnp.ndarray    # (F,) sum of 10^(lum - lref) per field
+    sum_ln_om_f: jnp.ndarray      # (F,)
     # --- per-source arrays (for free-completeness / z-evolving paths) ---
     lum: jnp.ndarray              # (N,)
     zsrc: jnp.ndarray             # (N,)
@@ -112,6 +117,7 @@ jax.tree_util.register_pytree_node(
 
 _CTX_FIELDS = (
     "nsrc", "sum_lum", "lref", "sum_pow_lum", "sum_ln_om",
+    "nsrc_f", "sum_lum_f", "sum_pow_lum_f", "sum_ln_om_f",
     "lum", "zsrc", "logf_src", "omega0_src", "ln_om_src", "field_id",
     "src_mask",
     "zarr", "log_dl_zarr", "volume_part", "logL_grid",
@@ -314,12 +320,23 @@ def build_context(cfg: LFConfig,
         flux_e=None if flux_e is None else cast(flux_e),
         field_id=jnp.asarray(field_id),
     )
+    pow_lum = 10.0 ** (lum - lref)
+    nsrc_f = np.bincount(field_id, minlength=nfields).astype(np.float64)
+    sum_lum_f = np.bincount(field_id, weights=lum, minlength=nfields)
+    sum_pow_f = np.bincount(field_id, weights=pow_lum, minlength=nfields)
+    sum_lnom_f = np.bincount(field_id, weights=ln_om_src,
+                             minlength=nfields)
+
     ctx = LFContext(
         nsrc=cast(float(n)),
         sum_lum=cast(lum.sum()),
         lref=cast(lref),
-        sum_pow_lum=cast(np.sum(10.0 ** (lum - lref))),
+        sum_pow_lum=cast(pow_lum.sum()),
         sum_ln_om=cast(ln_om_src.sum()),
+        nsrc_f=cast(nsrc_f),
+        sum_lum_f=cast(sum_lum_f),
+        sum_pow_lum_f=cast(sum_pow_f),
+        sum_ln_om_f=cast(sum_lnom_f),
         lum=cast(lum), zsrc=cast(z), logf_src=cast(logf_src),
         omega0_src=cast(omega0_src), ln_om_src=cast(ln_om_src),
         field_id=jnp.asarray(field_id),

@@ -1,0 +1,140 @@
+"""Hierarchical multi-field joint Schechter fit (new capability).
+
+The reference fits one global (L*, phi*, alpha) across all fields
+(fields differ only in completeness). This model gives every field its
+own (logL*_f, logphi*_f) drawn from Gaussian population hyperpriors —
+the "joint multi-field hierarchical fit" target configuration of
+BASELINE.json — while sharing the faint-end slope:
+
+    theta = [mu_L, sig_L, mu_p, sig_p, sch_al,
+             Lstar_0..Lstar_{F-1}, phistar_0..phistar_{F-1}]
+
+    lnpost = sum_f [ lnpart_f(Lstar_f, phistar_f, sch_al)
+                     - integral_f(Lstar_f, phistar_f, sch_al) ]
+           + sum_f [ ln N(Lstar_f | mu_L, sig_L)
+                     + ln N(phistar_f | mu_p, sig_p) ]
+           + priors(mu, sig, sch_al)
+
+Per-field ln-terms use the same exact O(1) collapsed form as the
+single-epoch model, via the per-field catalog scalars in
+:class:`~lumfuncmcmc_tpu.models.context.LFContext` — so the whole
+likelihood is a handful of (F,)-vector ops plus the per-field grid
+reduction. Completeness is fixed (build-time parameters), matching the
+fixed-comp path this extends.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+from lumfuncmcmc_tpu.config import LFConfig
+from lumfuncmcmc_tpu.models.context import LFContext
+from lumfuncmcmc_tpu.ops.schechter import LN10, log_true_lum_func
+
+NEG_INF = -jnp.inf
+_LOG_2PI = float(np.log(2.0 * np.pi))
+
+
+@dataclass(frozen=True)
+class ThetaLayoutH:
+    names: tuple
+    lo: tuple
+    hi: tuple
+    nfields: int
+    fix_sch_al: bool
+    sch_al0: float
+
+    @property
+    def ndim(self) -> int:
+        return len(self.names)
+
+    @classmethod
+    def from_config(cls, cfg: LFConfig) -> "ThetaLayoutH":
+        nf = len(cfg.Flim)
+        names = ["mu_L", "sig_L", "mu_p", "sig_p"]
+        lo = [cfg.Lstar_lims[0], 0.01, cfg.phistar_lims[0], 0.01]
+        hi = [cfg.Lstar_lims[1], 2.0, cfg.phistar_lims[1], 3.0]
+        if not cfg.fix_sch_al:
+            names.append("sch_al")
+            lo.append(cfg.sch_al_lims[0]); hi.append(cfg.sch_al_lims[1])
+        for i in range(nf):
+            names.append(f"Lstar_{i}")
+            lo.append(cfg.Lstar_lims[0]); hi.append(cfg.Lstar_lims[1])
+        for i in range(nf):
+            names.append(f"phistar_{i}")
+            lo.append(cfg.phistar_lims[0]); hi.append(cfg.phistar_lims[1])
+        return cls(names=tuple(names), lo=tuple(lo), hi=tuple(hi),
+                   nfields=nf, fix_sch_al=cfg.fix_sch_al,
+                   sch_al0=cfg.sch_al)
+
+    def plot_names(self):
+        out = [r"$\mu_{L_*}$", r"$\sigma_{L_*}$", r"$\mu_{\phi_*}$",
+               r"$\sigma_{\phi_*}$"]
+        if not self.fix_sch_al:
+            out.append(r"$\alpha$")
+        out += [r"$\log L_{*,%d}$" % i for i in range(self.nfields)]
+        out += [r"$\log \phi_{*,%d}$" % i for i in range(self.nfields)]
+        return out
+
+    def unpack(self, theta):
+        mu_l, sig_l, mu_p, sig_p = theta[0], theta[1], theta[2], theta[3]
+        k = 4
+        if self.fix_sch_al:
+            sch_al = jnp.asarray(self.sch_al0, theta.dtype)
+        else:
+            sch_al = theta[k]; k += 1
+        lstar_f = theta[k:k + self.nfields]
+        phistar_f = theta[k + self.nfields:k + 2 * self.nfields]
+        return mu_l, sig_l, mu_p, sig_p, sch_al, lstar_f, phistar_f
+
+    def bounds_arrays(self, dtype=None):
+        return (jnp.asarray(self.lo, dtype=dtype),
+                jnp.asarray(self.hi, dtype=dtype))
+
+
+def _ln_normal(x, mu, sig):
+    return -0.5 * (((x - mu) / sig) ** 2 + _LOG_2PI) - jnp.log(sig)
+
+
+def lnprior_h(theta, layout: ThetaLayoutH):
+    lo, hi = layout.bounds_arrays(theta.dtype)
+    ok = jnp.all((theta >= lo) & (theta <= hi))
+    return jnp.where(ok, 0.0, NEG_INF)
+
+
+def lnlike_h(theta, ctx: LFContext, layout: ThetaLayoutH):
+    """Joint likelihood with per-field (L*, phi*) and shared alpha."""
+    mu_l, sig_l, mu_p, sig_p, sch_al, lstar_f, phistar_f = \
+        layout.unpack(theta)
+    dt = theta.dtype
+    log_ln10 = jnp.log(jnp.asarray(LN10, dt))
+
+    # per-field collapsed ln-terms (exact; see likelihood.py)
+    lnpart_f = (ctx.nsrc_f * (log_ln10 + LN10 * phistar_f)
+                + LN10 * (sch_al + 1.0)
+                * (ctx.sum_lum_f - ctx.nsrc_f * lstar_f)
+                - jnp.exp(LN10 * (ctx.lref - lstar_f)) * ctx.sum_pow_lum_f
+                + ctx.sum_ln_om_f)
+
+    # per-field grid integrals: phi_f on field f's frozen grid
+    lnphi_grid = log_true_lum_func(
+        ctx.logL_grid, sch_al, lstar_f[:, None, None],
+        phistar_f[:, None, None])
+    int_f = jnp.sum(jnp.exp(lnphi_grid) * ctx.w_fixed, axis=(1, 2))
+
+    # population hyperprior terms
+    hyper = (jnp.sum(_ln_normal(lstar_f, mu_l, sig_l))
+             + jnp.sum(_ln_normal(phistar_f, mu_p, sig_p)))
+
+    return jnp.sum(lnpart_f - int_f) + hyper
+
+
+def make_lnprob_h(ctx: LFContext, layout: ThetaLayoutH):
+    def lnprob(theta):
+        lp = lnprior_h(theta, layout)
+        lnl = lnlike_h(theta, ctx, layout)
+        return jnp.where(jnp.isfinite(lp), lp + lnl, NEG_INF)
+    return lnprob

@@ -88,6 +88,10 @@ def _no_sources_ctx(ctx: LFContext) -> LFContext:
         sum_lum=jnp.zeros_like(ctx.sum_lum),
         sum_pow_lum=jnp.zeros_like(ctx.sum_pow_lum),
         sum_ln_om=jnp.zeros_like(ctx.sum_ln_om),
+        nsrc_f=jnp.zeros_like(ctx.nsrc_f),
+        sum_lum_f=jnp.zeros_like(ctx.sum_lum_f),
+        sum_pow_lum_f=jnp.zeros_like(ctx.sum_pow_lum_f),
+        sum_ln_om_f=jnp.zeros_like(ctx.sum_ln_om_f),
     ))
 
 
