@@ -317,6 +317,32 @@ def cmd_fitz(args):
     return 0
 
 
+def cmd_fith(args):
+    """Hierarchical multi-field joint fit (new capability)."""
+    from lumfuncmcmc_tpu.models.model import LumFuncModelH
+    cfg = _build_cfg(args)
+    _apply_precision(cfg)
+    outdir = "LFMCMCHOut"
+    os.makedirs(outdir, exist_ok=True)
+    inputs = _load_inputs(args, cfg)
+    print("Read Input File")
+    model = LumFuncModelH(cfg, z=inputs["z"], flux=inputs["flux"],
+                          flux_e=inputs["flux_e"], lum=inputs["lum"],
+                          lum_e=inputs["lum_e"],
+                          field_id=inputs["field_id"],
+                          field_names=inputs["field_names"],
+                          mesh=_make_mesh_maybe(cfg))
+    print("Initialized LumFuncModelH")
+    if _resume_if_done(model, cfg, args, outdir):
+        return 0
+    names = model.get_param_names()
+    print("Labels:", names)
+    model.fit_model()
+    print("Finished fitting model and about to create outputs")
+    _write_outputs(model, cfg, args, outdir, names)
+    return 0
+
+
 def cmd_vmax(args):
     """Standalone V_eff pipeline (``combineStepsLog``,
     ``VmaxLumFunc.py:594-609``; per-z-bin variant ``zEvolSteps``)."""
@@ -430,6 +456,11 @@ def main(argv=None):
     p_fitz = sub.add_parser("fitz", help="redshift-evolving Schechter fit")
     _add_common_flags(p_fitz)
     p_fitz.set_defaults(func=cmd_fitz)
+
+    p_fith = sub.add_parser(
+        "fith", help="hierarchical multi-field joint fit (new)")
+    _add_common_flags(p_fith)
+    p_fith.set_defaults(func=cmd_fith)
 
     p_vmax = sub.add_parser("vmax", help="standalone 1/V_eff pipeline")
     _add_common_flags(p_vmax)

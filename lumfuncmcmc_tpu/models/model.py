@@ -126,6 +126,12 @@ class _BaseModel:
                     make_lnprob_sharded)
                 self._lnprob_batch = make_lnprob_sharded(
                     self.ctx, self.layout, self.mesh, model=self.model_kind)
+            elif (self.cfg.use_pallas and self.model_kind == "single"
+                  and not self.cfg.fix_comp and not self.cfg.fix_sch_al):
+                from lumfuncmcmc_tpu.ops.pallas_lnlike import (
+                    make_pallas_lnprob)
+                self._lnprob_batch = make_pallas_lnprob(self.ctx,
+                                                        self.layout)
             else:
                 self._lnprob_batch = jax.vmap(self._make_scalar_lnprob())
         return self._lnprob_batch
@@ -360,6 +366,56 @@ class LumFuncModel(_BaseModel):
     def triangle_plot(self, outname, lnprobcut=7.5, imgtype="png"):
         from lumfuncmcmc_tpu.utils.plotting import triangle_plot_single
         triangle_plot_single(self, outname, lnprobcut, imgtype)
+
+
+class LumFuncModelH(_BaseModel):
+    """Hierarchical multi-field joint fit (new capability; see
+    ``models/hierarchical.py``). Completeness fixed, like the z model."""
+
+    model_kind = "hier"
+
+    def __init__(self, cfg: LFConfig, *args, **kw):
+        super().__init__(cfg.replace(fix_comp=True), *args, **kw)
+
+    def _make_layout(self):
+        from lumfuncmcmc_tpu.models.hierarchical import ThetaLayoutH
+        return ThetaLayoutH.from_config(self.cfg)
+
+    def _make_scalar_lnprob(self):
+        from lumfuncmcmc_tpu.models.hierarchical import make_lnprob_h
+        return make_lnprob_h(self.ctx, self.layout)
+
+    def _initial_positions(self, key):
+        lo, hi = self.layout.bounds_arrays()
+        u = jax.random.uniform(key, (self.cfg.nwalkers, self.layout.ndim),
+                               dtype=lo.dtype)
+        return u * (hi - lo) + lo
+
+    def set_median_fit(self, rndsamples=200, lnprobcut=7.5, key=None):
+        """Median LF at the population-mean parameters over posterior
+        draws, plus the V_eff cross-check."""
+        nsamples = select_samples(self.samples, lnprobcut)
+        rng = np.random.default_rng(self.cfg.seed + 2)
+        idx = rng.integers(0, nsamples.shape[0], rndsamples)
+        lum = self.lum
+        lf = []
+        for th in nsamples[idx, :-1]:
+            mu_l, _, mu_p, _, sch_al, _, _ = self.layout.unpack(
+                jnp.asarray(th))
+            lf.append(np.asarray(true_lum_func(jnp.asarray(lum), sch_al,
+                                               mu_l, mu_p)))
+        self.medianLF = np.median(np.asarray(lf), axis=0)
+        self.veff_lf(key=key)
+        return self.medianLF
+
+    def triangle_plot(self, outname, lnprobcut=7.5, imgtype="png"):
+        from lumfuncmcmc_tpu.utils.plotting import corner_plot
+        import matplotlib.pyplot as plt
+        self.set_median_fit(lnprobcut=lnprobcut)  # artifacts downstream
+        nsamples = select_samples(self.samples, lnprobcut)
+        fig = corner_plot(nsamples[:, :-1], self.get_param_names())
+        fig.savefig(f"{outname}.{imgtype}", dpi=200)
+        plt.close(fig)
 
 
 class LumFuncModelZ(_BaseModel):

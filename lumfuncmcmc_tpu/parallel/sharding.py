@@ -128,6 +128,13 @@ def make_lnprob_sharded(ctx: LFContext, layout, mesh, model="single",
         def scalar_lnlike(theta, c):
             return lnlike_z(theta, c, layout)
         scalar_lnprior = partial(lnprior_z, layout=layout)
+    elif model == "hier":
+        from lumfuncmcmc_tpu.models.hierarchical import (
+            lnlike_h, lnprior_h)
+
+        def scalar_lnlike(theta, c):
+            return lnlike_h(theta, c, layout)
+        scalar_lnprior = partial(lnprior_h, layout=layout)
     else:
         raise ValueError(f"unknown model {model!r}")
 

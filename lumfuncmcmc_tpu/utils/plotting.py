@@ -72,17 +72,17 @@ def corner_plot(samples, labels, bins=30, range_frac=0.95, fig=None):
                 ax.pcolormesh(xe, ye, h.T, cmap="Greys", rasterized=True)
                 hs = np.sort(h.ravel())[::-1]
                 cdf = np.cumsum(hs) / max(hs.sum(), 1)
-                levels = sorted({hs[np.searchsorted(cdf, f)]
+                levels = sorted({float(hs[np.searchsorted(cdf, f)])
                                  for f in (0.39, 0.86)
                                  if np.searchsorted(cdf, f) < hs.size})
-                if levels and levels[-1] > levels[0] or len(levels) == 1:
+                if levels:
                     xc = 0.5 * (xe[:-1] + xe[1:])
                     yc = 0.5 * (ye[:-1] + ye[1:])
                     try:
                         ax.contour(xc, yc, h.T, levels=levels,
                                    colors="k", linewidths=0.8)
                     except ValueError:
-                        pass
+                        pass  # degenerate histogram (e.g. single cell)
             ax.set_xlim(lo[j], hi[j])
             if i != j:
                 ax.set_ylim(lo[i], hi[i])

@@ -70,3 +70,11 @@ def test_fixed_width_roundtrip(tmp_path):
     np.testing.assert_allclose(back["A Name"], cols["A Name"])
     np.testing.assert_allclose(back["B"], cols["B"])
     assert list(back["Line"]) == ["OIII", "Ha"]
+
+
+def test_fith_runs(workdir):
+    assert main(["fith"] + ARGS) == 0
+    base = "t_nb50_nw16_ns60_mcf50"
+    tab = read_fixed_width_two_line(
+        str(workdir / "LFMCMCHOut" / f"fitposterior_{base}.dat"))
+    assert r"$\mu_{L_*}$" in tab and "Ln Prob" in tab
