@@ -79,9 +79,12 @@ def _build_cfg(args) -> LFConfig:
         overrides["Flim"] = tuple(overrides["Flim"])
     file_over = load_config_file(args.config) if args.config else None
     cfg = merge_config(LFConfig(), file_over, overrides)
-    if args.line_name == "OIII":
+    # label special-casing applies to the MERGED line name (the reference
+    # applies it post-merge too, run_lumfuncmcmc.py:129-132), so a
+    # line_name set only in a --config file still gets the right label
+    if cfg.line_name == "OIII":
         cfg = cfg.replace(line_plot_name=r"[OIII] $\lambda 5007$")
-    elif args.line_name == "Ha":
+    elif cfg.line_name == "Ha":
         cfg = cfg.replace(line_plot_name=r"${\rm{H\alpha}}$")
     return cfg
 

@@ -109,11 +109,18 @@ class _BaseModel:
                     "sch_al": cfg.sch_al, "alpha": cfg.alpha,
                     "L1": cfg.Lstar, "L2": cfg.Lstar, "L3": cfg.Lstar,
                     "phi1": cfg.phistar, "phi2": cfg.phistar,
-                    "phi3": cfg.phistar}
+                    "phi3": cfg.phistar,
+                    # hierarchical hyperparameters
+                    "mu_L": cfg.Lstar, "sig_L": 0.3,
+                    "mu_p": cfg.phistar, "sig_p": 0.5}
         vals = []
         for name in self.layout.names:
             if name.startswith("Flim_"):
                 vals.append(cfg.Flim[int(name.split("_")[1])])
+            elif name.startswith("Lstar_"):
+                vals.append(cfg.Lstar)
+            elif name.startswith("phistar_"):
+                vals.append(cfg.phistar)
             else:
                 vals.append(defaults[name])
         self.nfreeparams = len(vals)
@@ -162,6 +169,7 @@ class _BaseModel:
         start = time.time()
 
         every = cfg.checkpoint_every or 0
+        acc_steps = cfg.nsteps   # steps the acceptance counter covers
         if every and 0 < every < cfg.nsteps:
             chains, lnps_parts, acc = [], [], 0.0
             state_pos = pos0
@@ -174,6 +182,7 @@ class _BaseModel:
                 lnps_parts = [ck["lnprobability"]]
                 state_pos = jnp.asarray(ck["chain"][-1])
                 remaining = cfg.nsteps - done
+                acc_steps = max(remaining, 1)  # counter restarts here
                 # replay the key stream so the continued run matches
                 for _ in range(-(-done // every)):
                     kk, _ = jax.random.split(kk)
@@ -207,7 +216,7 @@ class _BaseModel:
 
         burn, tau = burnin_steps(chain, cfg.nsteps)
         self.log.info("Mean acceptance fraction: %0.2f" %
-                      (np.mean(acc) / cfg.nsteps))
+                      (np.mean(acc) / acc_steps))
         self.log.info("AutoCorrelation Steps: %i, Number of Burn-in "
                       "Steps: %i" % (round(tau), burn))
         ess = effective_sample_size(chain[burn:])
@@ -253,13 +262,17 @@ class _BaseModel:
         self.log.info("Fitting with NUTS (%d chains, %d warmup, %d "
                       "samples)" % (nchains, num_warmup, cfg.nsteps))
         t0 = time.time()
-        samples_y, lnps, alphas, eps = run_nuts(
+        samples_y, lnps_y, alphas, eps = run_nuts(
             lnp_y, y0, k_run, num_warmup=int(num_warmup),
             num_samples=int(cfg.nsteps))
-        jax.block_until_ready(lnps)
+        jax.block_until_ready(lnps_y)
         elapsed = time.time() - t0
-        chain = np.asarray(jax.vmap(jax.vmap(to_theta))(samples_y))
-        lnps = np.asarray(lnps)
+        chain_dev = jax.vmap(jax.vmap(to_theta))(samples_y)
+        chain = np.asarray(chain_dev)
+        # record the THETA-space lnprob (the y-space density includes the
+        # logit-transform Jacobian, which would contaminate lnprobcut
+        # selection and the fitposterior "Ln Prob" column)
+        lnps = np.asarray(jax.vmap(jax.vmap(scalar))(chain_dev))
         self.log.info("Total time taken: %0.2f s; step size %.4g; mean "
                       "accept-stat %.2f"
                       % (elapsed, float(eps), float(np.mean(alphas))))

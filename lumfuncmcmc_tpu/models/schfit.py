@@ -149,7 +149,7 @@ def fit_schechter(Lavg, lfbinorig, var, name="OIII", alpha_value=None,
     x = x0.copy()
     lam = 1e-3
     cost = float(np.sum(np.asarray(res_jit(jnp.asarray(x))) ** 2))
-    success = False
+    converged = False
     for _ in range(max_iter):
         r = np.asarray(res_jit(jnp.asarray(x)), dtype=np.float64)
         J = np.asarray(jac_jit(jnp.asarray(x)), dtype=np.float64)
@@ -169,12 +169,13 @@ def fit_schechter(Lavg, lfbinorig, var, name="OIII", alpha_value=None,
             x, cost = x_new, cost_new
             lam = max(lam / 10.0, 1e-12)
             if rel < 1e-12:
-                success = True
+                converged = True
                 break
         else:
             lam *= 10.0
             if lam > 1e12:
-                success = True
+                # no step improves the cost anymore: a (local) optimum
+                converged = True
                 break
 
     # covariance from the Gauss-Newton approximation at the optimum
@@ -195,5 +196,5 @@ def fit_schechter(Lavg, lfbinorig, var, name="OIII", alpha_value=None,
         stderr[nm] = float(np.sqrt(max(cov[i, i], 0.0)))
     return SchechterFit(params=params, stderr=stderr, cov=cov,
                         free_names=free_names, chisqr=cost, redchi=redchi,
-                        success=True if success or max_iter else False,
+                        success=converged,  # False = max_iter exhausted
                         log=log, integ=integ, alpha_fixed=alpha_value)

@@ -67,16 +67,6 @@ def veff_weights(logf_src, lum, logF50_src, roots_logf_src, omega0_total,
     return w
 
 
-def _bin_matrix(lum, edges):
-    """(N, nbins) one-hot membership: edges[j] <= L < edges[j+1]."""
-    nbins = edges.shape[0] - 1
-    idx = jnp.searchsorted(edges, lum, side="right") - 1
-    inside = (lum >= edges[0]) & (lum < edges[-1])
-    idx = jnp.clip(idx, 0, nbins - 1)
-    return (jax.nn.one_hot(idx, nbins, dtype=lum.dtype)
-            * inside[:, None].astype(lum.dtype))
-
-
 @partial(jax.jit, static_argnames=("nboot", "nbins", "log_bins"))
 def binned_lf_bootstrap(key, lum, phi, edges, nboot: int, nbins: int,
                         log_bins: bool = True):
@@ -86,20 +76,31 @@ def binned_lf_bootstrap(key, lum, phi, edges, nboot: int, nbins: int,
     version; linear version leaves the dL division out,
     ``VmaxLumFunc.py:304-449``), and the ddof=1 bootstrap variance with
     the reference's positive floor for zero entries.
+
+    Memory: the resamples run as a ``lax.scan`` of per-resample
+    segment-sums — O(N) working set, so the 1e6-source mega-catalog fits
+    (a gathered one-hot formulation would need nboot*N*nbins elements).
     """
     n = lum.shape[0]
     lavg = 0.5 * (edges[:-1] + edges[1:])
     dl = lavg[1] - lavg[0]
-    b = _bin_matrix(lum, edges)                     # (N, nbins)
     denom = dl if log_bins else 1.0
-    lfbinorig = (phi @ b) / denom
 
-    idx = jax.random.randint(key, (nboot, n), 0, n)
-    phi_boot = phi[idx]                             # (nboot, N)
-    lum_boot = lum[idx]
-    # per-resample membership differs only through the gathered rows
-    b_boot = b[idx]                                 # (nboot, N, nbins)
-    lfbin = jnp.einsum("bn,bnj->bj", phi_boot, b_boot) / denom
+    bin_idx = jnp.clip(jnp.searchsorted(edges, lum, side="right") - 1,
+                       0, nbins - 1)
+    inside = ((lum >= edges[0]) & (lum < edges[-1])).astype(phi.dtype)
+    contrib = phi * inside
+    lfbinorig = jnp.zeros(nbins, phi.dtype).at[bin_idx].add(contrib) \
+        / denom
+
+    def one_resample(carry, key_k):
+        idx = jax.random.randint(key_k, (n,), 0, n)
+        lf_k = jnp.zeros(nbins, phi.dtype).at[bin_idx[idx]].add(
+            contrib[idx]) / denom
+        return carry, lf_k
+
+    keys = jax.random.split(key, nboot)
+    _, lfbin = jax.lax.scan(one_resample, 0, keys)   # (nboot, nbins)
     binavg = jnp.mean(lfbin, axis=0)
     var = jnp.sum((lfbin - binavg) ** 2, axis=0) / (nboot - 1)
     # floor zero/negative variances at the smallest positive value

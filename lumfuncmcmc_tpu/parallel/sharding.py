@@ -115,6 +115,12 @@ def make_lnprob_sharded(ctx: LFContext, layout, mesh, model="single",
     nw_shards = mesh.shape[AXIS_WALKERS]
     ns_shards = mesh.shape[AXIS_SOURCES]
     shard_sources = ns_shards > 1
+    if model == "hier":
+        # the hierarchical likelihood reads only replicated per-field
+        # catalog scalars — there is no per-source term to shard, and
+        # psum'ing its "source part" would double-count the data term
+        # once per shard. Replicate instead.
+        shard_sources = False
     if shard_sources:
         collapse = False  # collapsed scalars are whole-catalog quantities
         ctx = pad_sources(ctx, ns_shards)

@@ -75,20 +75,6 @@ class _Traj(NamedTuple):
     n_alpha: jnp.ndarray
 
 
-def _leapfrog(value_and_grad, y, p, eps, nsteps):
-    def body(_, carry):
-        y, p, g = carry
-        p_half = p + 0.5 * eps * g
-        y_new = y + eps * p_half
-        v, g_new = value_and_grad(y_new)
-        p_new = p_half + 0.5 * eps * g_new
-        return (y_new, p_new, g_new)
-    v0, g0 = value_and_grad(y)
-    y, p, g = jax.lax.fori_loop(0, nsteps, body, (y, p, g0))
-    v, _ = value_and_grad(y)
-    return y, p, v
-
-
 def _uturn(y_minus, y_plus, p_minus, p_plus):
     dy = y_plus - y_minus
     return (jnp.dot(dy, p_minus) < 0.0) | (jnp.dot(dy, p_plus) < 0.0)
@@ -116,10 +102,18 @@ def _nuts_step(value_and_grad, max_doublings, eps, key, y0):
         p_start = jnp.where(go_right, traj.p_plus, traj.p_minus)
         eps_signed = jnp.where(go_right, eps, -eps)
 
-        # subtree: integrate step by step, accumulating multinomial weight
+        # subtree: integrate step by step, accumulating multinomial
+        # weight. The gradient at the current point is carried through
+        # the scan, so each leapfrog step costs exactly one
+        # value_and_grad evaluation.
+        _, g_start = value_and_grad(y_start)
+
         def sub_body(carry, _):
-            y, p, lw_sum, y_prop, lw_prop, key, div = carry
-            y_n, p_n, v_n = _leapfrog(value_and_grad, y, p, eps_signed, 1)
+            y, p, g, lw_sum, y_prop, lw_prop, key, div = carry
+            p_half = p + 0.5 * eps_signed * g
+            y_n = y + eps_signed * p_half
+            v_n, g_n = value_and_grad(y_n)
+            p_n = p_half + 0.5 * eps_signed * g_n
             lw = v_n - 0.5 * jnp.dot(p_n, p_n)
             div = div | ~jnp.isfinite(lw) | (lw0 - lw > 1000.0)
             lw = jnp.where(div, -jnp.inf, lw)
@@ -131,13 +125,15 @@ def _nuts_step(value_and_grad, max_doublings, eps, key, y0):
             lw_prop = jnp.where(take, lw, lw_prop)
             # acceptance statistic vs initial energy
             alpha = jnp.minimum(1.0, jnp.exp(lw - lw0))
-            return (y_n, p_n, lw_sum_new, y_prop, lw_prop, key, div), alpha
+            return (y_n, p_n, g_n, lw_sum_new, y_prop, lw_prop, key,
+                    div), alpha
 
-        (y_end, p_end, lw_sub, y_sub, lw_subprop, _, diverged), alphas = \
-            jax.lax.scan(sub_body,
-                         (y_start, p_start, -jnp.inf, y_start, -jnp.inf,
-                          k_swap, traj.diverged),
-                         None, length=nsteps)
+        (y_end, p_end, _, lw_sub, y_sub, lw_subprop, _, diverged), \
+            alphas = jax.lax.scan(
+                sub_body,
+                (y_start, p_start, g_start, -jnp.inf, y_start, -jnp.inf,
+                 k_swap, traj.diverged),
+                None, length=nsteps)
 
         # progressive biased sampling between old trajectory and subtree
         key, k_b = jax.random.split(key)

@@ -85,3 +85,20 @@ def test_hierarchical_recovery(setup):
         med = np.median(post[:, 5 + i])
         assert abs(med - TRUTH["Lstar"]) < 0.5, (i, med)
     assert float(np.mean(np.asarray(acc))) / 600 > 0.1
+
+
+def test_hier_sharded_matches_unsharded(setup):
+    """Regression: source-axis mesh must not double-count the per-field
+    data term (the hier likelihood has no shardable source axis)."""
+    from lumfuncmcmc_tpu.parallel.mesh import make_mesh
+    from lumfuncmcmc_tpu.parallel.sharding import make_lnprob_sharded
+    cfg, ctx = setup
+    layout = ThetaLayoutH.from_config(cfg)
+    nf = layout.nfields
+    th = jnp.asarray([[42.6, 0.3, -2.8, 0.5, -1.5]
+                      + [42.6] * nf + [-2.8] * nf] * 8)
+    ref = np.asarray(jax.vmap(make_lnprob_h(ctx, layout))(th))
+    mesh = make_mesh(2, 4)
+    got = np.asarray(make_lnprob_sharded(ctx, layout, mesh,
+                                         model="hier")(th))
+    np.testing.assert_allclose(got, ref, rtol=1e-9)

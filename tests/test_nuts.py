@@ -75,3 +75,25 @@ def test_nuts_on_lf_posterior():
     # posterior concentrated near the truth
     assert abs(np.median(th[:, 0]) - 42.5) < 0.5
     assert abs(np.median(th[:, 2]) - (-1.6)) < 0.4
+
+
+def test_nuts_model_lnprob_column_is_theta_space():
+    """Regression: the fitposterior Ln Prob column must be the theta-space
+    lnprob, not the unconstrained-space density (which carries the logit
+    Jacobian)."""
+    from lumfuncmcmc_tpu.config import LFConfig
+    from lumfuncmcmc_tpu.models.model import LumFuncModel
+    from lumfuncmcmc_tpu.utils.synth import (
+        make_catalog, apply_completeness_cut)
+
+    cfg = LFConfig(min_comp_frac=0.5, fix_comp=True, size_ln=31,
+                   nwalkers=8, nsteps=40)
+    cat = apply_completeness_cut(make_catalog(cfg, n_target=250, seed=9),
+                                 cfg)
+    m = LumFuncModel(cfg, z=cat["z"], flux=cat["flux"],
+                     flux_e=cat["flux_e"], field_id=cat["field_id"])
+    samples = m.fit_model_nuts(num_warmup=60, nchains=4)
+    scalar = m._make_scalar_lnprob()
+    recomputed = np.asarray(jax.vmap(scalar)(
+        jnp.asarray(samples[:, :-1])))
+    np.testing.assert_allclose(samples[:, -1], recomputed, rtol=1e-8)

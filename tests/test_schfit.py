@@ -72,3 +72,11 @@ def test_uncertainty_band_scales(rng):
     b1 = fit.eval_uncertainty(L, sigma=1)
     b3 = fit.eval_uncertainty(L, sigma=3)
     np.testing.assert_allclose(b3, 3 * b1, rtol=1e-10)
+
+
+def test_success_false_when_iterations_exhausted(rng):
+    L, y, var, _ = _fake_binned_lf(rng)
+    fit = fit_schechter(L, y, var, log=True, max_iter=1)
+    assert fit.success is False
+    fit2 = fit_schechter(L, y, var, log=True)
+    assert fit2.success is True
