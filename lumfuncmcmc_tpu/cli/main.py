@@ -70,6 +70,11 @@ def _add_common_flags(p):
                    choices=["trapz", "gauss"],
                    help="trapz = reference parity; gauss = production "
                         "split-panel Gauss-Legendre (default trapz)")
+    p.add_argument("--exact-bounds", dest="exact_bounds",
+                   action="store_true", default=None,
+                   help="free completeness: re-derive the integration "
+                        "bound from theta each eval (reference freezes "
+                        "it at the build-time parameters)")
 
 
 def _build_cfg(args) -> LFConfig:
@@ -400,10 +405,23 @@ def cmd_vmax(args):
                          jnp.full(len(fz), np.log10(root)), omega0,
                          zmin, zmax, cfg.alpha, cosmo, cfg.fcmin,
                          cfg.min_comp_frac)
-        edges = log_bin_edges(lum, cfg.nbins)
-        lavg, lfbin, var = binned_lf_bootstrap(
-            jax.random.PRNGKey(cfg.seed), lum, w, edges, cfg.nboot,
-            cfg.nbins)
+        linear = bool(getattr(args, "linear", False))
+        if linear:
+            # combineSteps path (VmaxLumFunc.py:581-592): linear
+            # luminosities, edges from the min-flux luminosity at zmax,
+            # bins hold sum(phi) (no dL division)
+            from lumfuncmcmc_tpu.models.veff import linear_bin_edges
+            lum_lin = 10.0 ** lum
+            edges = linear_bin_edges(lum_lin, float(np.log10(root)),
+                                     zmax, cosmo, cfg.nbins)
+            lavg, lfbin, var = binned_lf_bootstrap(
+                jax.random.PRNGKey(cfg.seed), lum_lin, w, edges,
+                cfg.nboot, cfg.nbins, log_bins=False)
+        else:
+            edges = log_bin_edges(lum, cfg.nbins)
+            lavg, lfbin, var = binned_lf_bootstrap(
+                jax.random.PRNGKey(cfg.seed), lum, w, edges, cfg.nboot,
+                cfg.nbins)
         lavg, lfbin, var = map(np.asarray, (lavg, lfbin, var))
         if getattr(args, "correct_low", False):
             from lumfuncmcmc_tpu.models.veff import (
@@ -413,21 +431,23 @@ def cmd_vmax(args):
                 zmin, zmax, cosmo)
         print("Finished getting bootstrap-based errors")
         fit = fit_schechter(lavg, lfbin, var, name=cfg.line_name,
-                            log=True, integ=args.integ)
+                            log=not linear, integ=args.integ)
         print(fit.fit_report())
         name = (args.output_filename or
                 f"{cfg.line_name}_Vmax_LF_mcf_"
                 f"{int(100 * cfg.min_comp_frac)}_bins_{cfg.nbins}.png")
         if zbins > 1:
             name = f"{name.split('.')[0]}_zbin{b}.png"
-        os.makedirs(os.path.join(img_dir, "Log"), exist_ok=True)
+        sub = "Lin" if linear else "Log"
+        os.makedirs(os.path.join(img_dir, sub), exist_ok=True)
+        suffix = "" if linear else "_log"
         write_fixed_width_two_line(
-            os.path.join(img_dir, "Log",
-                         f"{name.split('.')[0]}_log.dat"),
+            os.path.join(img_dir, sub,
+                         f"{name.split('.')[0]}{suffix}.dat"),
             {"Luminosity": lavg, "BinLF": lfbin,
              "BinLFErr": np.sqrt(var)})
-        plot_schechter(lavg, lfbin, var, fit, name, img_dir, log=True,
-                       integ=args.integ)
+        plot_schechter(lavg, lfbin, var, fit, name, img_dir,
+                       log=not linear, integ=args.integ)
         zevol_results.append({"Lavg": lavg, "lfbinorig": lfbin,
                               "var": var, "fit": fit,
                               "zlabel": r"$%.2f < z \leq %.2f$"
@@ -438,7 +458,9 @@ def cmd_vmax(args):
         from lumfuncmcmc_tpu.utils.plotting import plot_z_evolution
         fn = plot_z_evolution(zevol_results,
                               args.output_filename or cfg.line_name,
-                              img_dir, log=True, integ=args.integ)
+                              img_dir, log=not getattr(args, "linear",
+                                                       False),
+                              integ=args.integ)
         print("Wrote z-evolution overlay:", fn)
     return 0
 
@@ -469,6 +491,9 @@ def main(argv=None):
     _add_common_flags(p_vmax)
     p_vmax.add_argument("--zbins", type=int, default=1)
     p_vmax.add_argument("--integ", action="store_true")
+    p_vmax.add_argument("--linear", action="store_true",
+                        help="linear-luminosity pipeline (combineSteps; "
+                             "default is the log pipeline)")
     p_vmax.add_argument("--correct-low", dest="correct_low",
                         action="store_true",
                         help="partial-bin completeness correction "

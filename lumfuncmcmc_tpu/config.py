@@ -102,6 +102,12 @@ class LFConfig:
                                            #   rule (101 free-comp / 201 fixed-comp,
                                            #   lumfuncmcmc.py:219-220)
     quadrature: str = "trapz"              # "trapz" (reference parity) | "gauss"
+    exact_bounds: bool = False             # free-comp: re-derive the
+                                           #   completeness integration bound
+                                           #   from theta each eval (the
+                                           #   reference freezes it; its exact
+                                           #   routine is dead code,
+                                           #   lumfuncmcmc.py:372)
     use_pallas: bool = False               # fused Pallas likelihood kernel
     checkpoint_every: int = 0              # steps between chain checkpoints (0=off)
     mesh_walkers: int = 0                  # device-mesh walker axis (0 = all devices)

@@ -42,8 +42,12 @@ import numpy as np
 
 from lumfuncmcmc_tpu.config import LFConfig
 from lumfuncmcmc_tpu.models.context import LFContext
+from lumfuncmcmc_tpu.ops.completeness import fleming_root_logf
 from lumfuncmcmc_tpu.ops.omega import omega_from_logf
+from lumfuncmcmc_tpu.ops.quadrature import gl_nodes_unit
 from lumfuncmcmc_tpu.ops.schechter import LN10, log_true_lum_func
+
+_LOG10_4PI = 1.0992098640220963
 
 NEG_INF = -jnp.inf
 
@@ -187,17 +191,89 @@ def lnlike_single_epoch(theta, ctx: LFContext, layout: ThetaLayout,
     return lnpart - fullint
 
 
-def make_lnprob(ctx: LFContext, layout: ThetaLayout, collapse: bool = True):
+def lnlike_exact_bounds(theta, ctx: LFContext, layout: ThetaLayout,
+                        min_comp_frac: float, lum_floor, lh,
+                        n_nodes: int = 32):
+    """Free-completeness lnL with theta-EXACT integration bounds.
+
+    The reference freezes the logL grid's lower bound at the build-time
+    completeness parameters even while sampling Flim/alpha_c (its exact
+    -bounds routine ``setlncomp`` exists but is dead code — its call is
+    commented out at ``lumfuncmcmc.py:372``; SURVEY.md §3.2 prescribes
+    offering the exact treatment as an option). Here the bound
+
+        minlum_f(z | theta) = max( log10(4 pi dL^2 root_f(theta)),
+                                   min(lum) )
+
+    is re-derived per evaluation: the completeness root by fixed
+    -iteration bisection (jittable), and the (L, z) integral by
+    Gauss-Legendre on [0, 1]^2 mapped through the theta-dependent bounds
+    — static shapes, fully differentiable.
+    """
+    lstar, phistar, sch_al, logf50, alpha_c = layout.unpack(theta)
+    dt = theta.dtype
+
+    # per-source term (identical to the free-completeness path)
+    logf50_src = logf50[ctx.field_id]
+    om_src = omega_from_logf(ctx.logf_src, ctx.omega0_src, logf50_src,
+                             alpha_c, layout.fcmin)
+    lnpart = _ln_term_direct(ctx, lstar, phistar, sch_al,
+                             jnp.log(om_src))
+
+    u, w = gl_nodes_unit(n_nodes)
+    u = jnp.asarray(u, dt); w = jnp.asarray(w, dt)
+    # true data z-range (the gauss-mode zarr holds interior GL nodes)
+    zmin = jnp.min(ctx.zsrc)
+    zmax = jnp.max(ctx.zsrc)
+    znodes = zmin + u * (zmax - zmin)                       # (S,)
+    wz = w * (zmax - zmin)
+    log_dl = ctx.cosmo.log10_dl_cm_at(znodes)               # (S,)
+    dvdz = ctx.cosmo.differential_comoving_volume(znodes)
+
+    if min_comp_frac > 0.001:
+        # theta-exact completeness roots per field (in-jit bisection)
+        roots = fleming_root_logf(logf50, alpha_c, min_comp_frac,
+                                  layout.fcmin, iters=50)   # (F,)
+        minlum = jnp.maximum(roots[:, None] + _LOG10_4PI
+                             + 2.0 * log_dl[None, :], lum_floor)
+    else:
+        minlum = jnp.full((layout.nfields, n_nodes), lum_floor, dt)
+    span = lh - minlum
+    logL = minlum[:, None, :] + u[None, :, None] * span[:, None, :]
+    wl = w[None, :, None] * span[:, None, :]                # (F, S, S)
+    logf = logL - _LOG10_4PI - 2.0 * log_dl[None, None, :]
+    om = omega_from_logf(logf, ctx.omega0_f[:, None, None],
+                         logf50[:, None, None], alpha_c, layout.fcmin)
+    lnphi = log_true_lum_func(logL, sch_al, lstar, phistar)
+    fullint = jnp.sum(jnp.exp(lnphi) * om * wl
+                      * (wz * dvdz)[None, None, :])
+    return lnpart - fullint
+
+
+def make_lnprob(ctx: LFContext, layout: ThetaLayout, collapse: bool = True,
+                exact_bounds: bool = False, min_comp_frac: float = 0.5,
+                lh: float = 46.0):
     """Build the scalar lnprob(theta) (``lumfuncmcmc.py:395-424``).
 
     Branchless: the likelihood is always evaluated and masked by the
     prior; box bounds are finite so out-of-bounds thetas still produce
     finite lnlike (no NaN leakage into the -inf sum).
+
+    ``exact_bounds`` (free-completeness only) switches to
+    :func:`lnlike_exact_bounds`.
     """
+    if exact_bounds and layout.fix_comp:
+        raise ValueError("exact_bounds applies to free completeness only")
+    lum_floor = float(jnp.min(ctx.lum))
 
     def lnprob(theta):
         lp = lnprior(theta, layout)
-        lnl = lnlike_single_epoch(theta, ctx, layout, collapse=collapse)
+        if exact_bounds:
+            lnl = lnlike_exact_bounds(theta, ctx, layout, min_comp_frac,
+                                      lum_floor, lh)
+        else:
+            lnl = lnlike_single_epoch(theta, ctx, layout,
+                                      collapse=collapse)
         return jnp.where(jnp.isfinite(lp), lp + lnl, NEG_INF)
 
     return lnprob

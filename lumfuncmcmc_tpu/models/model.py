@@ -342,7 +342,11 @@ class LumFuncModel(_BaseModel):
         return ThetaLayout.from_config(self.cfg)
 
     def _make_scalar_lnprob(self):
-        return make_lnprob(self.ctx, self.layout)
+        return make_lnprob(self.ctx, self.layout,
+                           exact_bounds=(self.cfg.exact_bounds
+                                         and not self.cfg.fix_comp),
+                           min_comp_frac=self.cfg.min_comp_frac,
+                           lh=self.cfg.Lh)
 
     def _initial_positions(self, key):
         return sample_init(key, self.layout, self.cfg.nwalkers,

@@ -165,3 +165,43 @@ def test_lnprob_gradient_finite(catalog):
     fd = (float(lnlike(th.at[0].add(eps))) -
           float(lnlike(th.at[0].add(-eps)))) / (2 * eps)
     np.testing.assert_allclose(g[0], fd, rtol=1e-5)
+
+
+def test_exact_bounds_matches_frozen_at_build_theta(catalog):
+    """At the build-time completeness parameters the exact-bounds
+    likelihood must agree with the frozen-grid gauss likelihood (same
+    bounds, same quadrature family)."""
+    from lumfuncmcmc_tpu.models.likelihood import lnlike_exact_bounds
+    cfg = LFConfig(min_comp_frac=0.5, fix_comp=False, quadrature="gauss",
+                   size_ln=48)
+    data, ctx, layout = _build(cfg, catalog)
+    lum_floor = float(np.min(np.asarray(ctx.lum)))
+    # theta with Flim/alpha at the build-time values
+    th = jnp.asarray([42.6, -2.8, -1.5] + list(cfg.Flim) + [cfg.alpha])
+    frozen = float(lnlike_single_epoch(th, ctx, layout))
+    exact = float(lnlike_exact_bounds(th, ctx, layout, cfg.min_comp_frac,
+                                      lum_floor, cfg.Lh, n_nodes=48))
+    # the frozen grid splits the z panel at the kink; the exact-bounds
+    # single-panel GL-48 carries the kink error (~1e-3 absolute)
+    np.testing.assert_allclose(exact, frozen, atol=0.05, rtol=0)
+
+
+def test_exact_bounds_responds_to_theta_flim(catalog):
+    """Moving Flim must move the exact-bounds integral (the frozen grid
+    keeps its build-time bounds by design)."""
+    from lumfuncmcmc_tpu.models.likelihood import lnlike_exact_bounds
+    cfg = LFConfig(min_comp_frac=0.5, fix_comp=False, quadrature="gauss")
+    data, ctx, layout = _build(cfg, catalog)
+    lum_floor = float(np.min(np.asarray(ctx.lum)))
+    base = [42.6, -2.8, -1.5]
+    th1 = jnp.asarray(base + list(cfg.Flim) + [cfg.alpha])
+    th2 = jnp.asarray(base + [f * 1.4 for f in cfg.Flim] + [cfg.alpha])
+    e1 = float(lnlike_exact_bounds(th1, ctx, layout, 0.5, lum_floor,
+                                   cfg.Lh))
+    e2 = float(lnlike_exact_bounds(th2, ctx, layout, 0.5, lum_floor,
+                                   cfg.Lh))
+    assert abs(e1 - e2) > 1.0  # bounds actually moved
+    # and it is differentiable end to end
+    g = jax.grad(lambda t: lnlike_exact_bounds(
+        t, ctx, layout, 0.5, lum_floor, cfg.Lh))(th1)
+    assert np.all(np.isfinite(np.asarray(g)))
