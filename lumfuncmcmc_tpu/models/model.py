@@ -66,9 +66,14 @@ class _BaseModel:
         self.log = setup_logging()
         self.field_names = field_names
         self.mesh = mesh
+        t0 = time.time()
         self.data, self.ctx = build_context(
             cfg, z=z, flux=flux, flux_e=flux_e, lum=lum, lum_e=lum_e,
             field_id=field_id)
+        self.log.info("Context build: %0.2f s (%d sources, grid %s, "
+                      "quadrature=%s)"
+                      % (time.time() - t0, len(np.asarray(z)),
+                         tuple(self.ctx.logL_grid.shape), cfg.quadrature))
         self.zmin = float(np.min(np.asarray(z)))
         self.zmax = float(np.max(np.asarray(z)))
         self.layout = self._make_layout()
