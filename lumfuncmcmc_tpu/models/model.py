@@ -240,6 +240,61 @@ class _BaseModel:
                       % (np.median(lnps), np.max(lnps)))
         return self.samples
 
+    def fit_model_until(self, min_ess: float, block_steps: int = None,
+                        max_blocks: int = 50, key=None):
+        """Run until every parameter reaches ``min_ess`` effective
+        samples (new capability — the reference runs a fixed step count
+        with no convergence control).
+
+        Repeats ``block_steps``-step blocks (default: cfg.nsteps),
+        recomputing the post-burn-in min ESS after each; stops at the
+        target or after ``max_blocks``. Produces the same ``samples``
+        layout as :meth:`fit_model`.
+        """
+        cfg = self.cfg
+        block_steps = int(block_steps or cfg.nsteps)
+        if key is None:
+            key = jax.random.PRNGKey(cfg.seed)
+        k_init, kk = jax.random.split(key)
+        lnprob = self.lnprob_batch()
+        pos = self._initial_positions(k_init)
+        ndim = pos.shape[1]
+
+        chains, lnps_parts = [], []
+        acc = 0.0
+        start = time.time()
+        ess_min = 0.0
+        nblocks = 0
+        for nblocks in range(1, max_blocks + 1):
+            kk, k_blk = jax.random.split(kk)
+            state, ch, lp, ac = run_stretch(lnprob, pos, k_blk,
+                                            block_steps)
+            pos = state.pos
+            chains.append(np.asarray(ch))
+            lnps_parts.append(np.asarray(lp))
+            acc = acc + np.asarray(ac)
+            chain = np.concatenate(chains)
+            burn, tau = burnin_steps(chain, chain.shape[0])
+            post = chain[burn:]
+            if post.shape[0] >= 8:
+                ess_min = float(effective_sample_size(post).min())
+            self.log.info("Block %d: %d total steps, tau=%.1f, "
+                          "min ESS=%.0f (target %.0f)"
+                          % (nblocks, chain.shape[0], tau, ess_min,
+                             min_ess))
+            if ess_min >= min_ess:
+                break
+        elapsed = time.time() - start
+        total_steps = chain.shape[0]
+        self.log.info("Total time taken: %0.2f s (%d steps, ESS/sec "
+                      "%.0f)" % (elapsed, total_steps,
+                                 ess_min / max(elapsed, 1e-9)))
+        lnps = np.concatenate(lnps_parts)
+        self.chain = chain
+        full = np.concatenate([chain, lnps[:, :, None]], axis=2)
+        self.samples = full[burn:].reshape(-1, ndim + 1)
+        return self.samples
+
     def fit_model_nuts(self, key=None, num_warmup=None, nchains=8):
         """Gradient-based NUTS fit of the same posterior (new capability;
         the reference likelihood is not differentiable). Produces the

@@ -94,3 +94,18 @@ def test_veff_lf_from_model(small_inputs):
     assert lavg.shape == (cfg.nbins,)
     assert np.all(var > 0)
     assert np.any(lf > 0)
+
+
+def test_fit_model_until_reaches_ess(small_inputs):
+    cfg, cat = small_inputs
+    m = _model(cfg, cat)
+    samples = m.fit_model_until(min_ess=150, block_steps=60,
+                                max_blocks=12)
+    from lumfuncmcmc_tpu.samplers.diagnostics import effective_sample_size
+    burnless = m.chain  # (steps, W, D)
+    # the accumulated chain must actually meet the target post-burn
+    from lumfuncmcmc_tpu.samplers.diagnostics import burnin_steps
+    burn, _ = burnin_steps(burnless, burnless.shape[0])
+    ess = effective_sample_size(burnless[burn:]).min()
+    assert ess >= 150
+    assert samples.shape[1] == m.layout.ndim + 1
