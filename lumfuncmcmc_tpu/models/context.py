@@ -38,7 +38,7 @@ import numpy as np
 
 from lumfuncmcmc_tpu.config import LFConfig
 from lumfuncmcmc_tpu.cosmology import (
-    CosmoTable, build_cosmo_arrays, build_cosmo_table, SQARCSEC_PER_SR)
+    CosmoTable, build_cosmo_arrays, SQARCSEC_PER_SR)
 from lumfuncmcmc_tpu.ops.completeness import (
     fleming_from_logf_np, fleming_root_logf_np)
 from lumfuncmcmc_tpu.ops.omega import (

@@ -20,7 +20,7 @@ which is float32-exact; the reference's linear ``L / (4 pi dL_cm^2)``
 
 from __future__ import annotations
 
-import jax.numpy as jnp
+
 
 from lumfuncmcmc_tpu.cosmology import SQARCSEC_PER_SR
 from lumfuncmcmc_tpu.ops.completeness import fleming_from_logf

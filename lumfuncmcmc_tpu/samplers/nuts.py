@@ -13,11 +13,13 @@ Design:
   the log-Jacobian added, so the Hamiltonian flow never sees a hard
   boundary.
 - :func:`run_nuts` runs C independent chains (vmapped) of multinomial
-  NUTS: trajectories double until the endpoints U-turn (or max
-  doublings), with progressive biased multinomial selection between the
-  old trajectory and each new subtree (Betancourt 2017). Subtree U-turn
-  checks are applied at doubling granularity — the standard lightweight
-  iterative formulation.
+  NUTS: trajectories double until a U-turn (or max doublings), with
+  progressive biased multinomial selection between the old trajectory
+  and each new subtree (Betancourt 2017). U-turns are checked at EVERY
+  dyadic sub-subtree boundary via the iterative checkpoint scheme (as in
+  Stan/numpyro) — endpoint-only checking breaks detailed balance and
+  measurably inflates posterior widths (caught by the cross-sampler
+  agreement test).
 - Step size is adapted during warmup by dual averaging to a target
   acceptance statistic; the mass matrix is identity (the logit transform
   already brings all coordinates to O(1) scale).
@@ -104,12 +106,17 @@ def _nuts_step(value_and_grad, max_doublings, eps, key, y0):
 
         # subtree: integrate step by step, accumulating multinomial
         # weight. The gradient at the current point is carried through
-        # the scan, so each leapfrog step costs exactly one
-        # value_and_grad evaluation.
+        # the scan (one value_and_grad per leapfrog step), and dyadic
+        # checkpoints give the full set of sub-subtree U-turn checks:
+        # leaf i is stored as the LEFT edge of every scale-k sub-subtree
+        # with i % 2^k == 0, and closing edges ((i+1) % 2^k == 0) are
+        # checked against the stored state.
         _, g_start = value_and_grad(y_start)
+        ckpt0 = jnp.zeros((max(j, 1),) + y_start.shape, y_start.dtype)
 
-        def sub_body(carry, _):
-            y, p, g, lw_sum, y_prop, lw_prop, key, div = carry
+        def sub_body(carry, i):
+            (y, p, g, lw_sum, y_prop, lw_prop, key, div, turning,
+             ck_y, ck_p) = carry
             p_half = p + 0.5 * eps_signed * g
             y_n = y + eps_signed * p_half
             v_n, g_n = value_and_grad(y_n)
@@ -123,35 +130,63 @@ def _nuts_step(value_and_grad, max_doublings, eps, key, y0):
                     < lw - lw_sum_new)
             y_prop = jnp.where(take, y_n, y_prop)
             lw_prop = jnp.where(take, lw, lw_prop)
-            # acceptance statistic vs initial energy
             alpha = jnp.minimum(1.0, jnp.exp(lw - lw0))
-            return (y_n, p_n, g_n, lw_sum_new, y_prop, lw_prop, key,
-                    div), alpha
 
-        (y_end, p_end, _, lw_sub, y_sub, lw_subprop, _, diverged), \
-            alphas = jax.lax.scan(
-                sub_body,
-                (y_start, p_start, g_start, -jnp.inf, y_start, -jnp.inf,
-                 k_swap, traj.diverged),
-                None, length=nsteps)
+            # sub-subtree U-turn bookkeeping (scales 1..j, including the
+            # new subtree's own full span)
+            for k_scale in range(1, j + 1):
+                size = 2 ** k_scale
+                opens = (i % size) == 0
+                ck_y = ck_y.at[k_scale - 1].set(
+                    jnp.where(opens, y_n, ck_y[k_scale - 1]))
+                ck_p = ck_p.at[k_scale - 1].set(
+                    jnp.where(opens, p_n, ck_p[k_scale - 1]))
+                closes = ((i + 1) % size) == 0
+                turn_k = _uturn(ck_y[k_scale - 1], y_n,
+                                ck_p[k_scale - 1], p_n)
+                # orientation: for leftward integration the stored state
+                # is "later" in trajectory time; _uturn is invariant
+                # under (dy, p) -> (-dy, -p), so the same formula holds.
+                turning = turning | (closes & turn_k)
+
+            return (y_n, p_n, g_n, lw_sum_new, y_prop, lw_prop, key,
+                    div, turning, ck_y, ck_p), alpha
+
+        (y_end, p_end, _, lw_sub, y_sub, lw_subprop, _, diverged,
+         turning_sub, _, _), alphas = jax.lax.scan(
+            sub_body,
+            (y_start, p_start, g_start, -jnp.inf, y_start, -jnp.inf,
+             k_swap, traj.diverged, jnp.asarray(False), ckpt0, ckpt0),
+            jnp.arange(nsteps))
+
+        # a subtree that diverged or U-turned internally is invalid: it
+        # is NOT merged (no proposal, no weight, no endpoint extension)
+        # and the trajectory stops growing (Stan semantics)
+        bad_sub = diverged | turning_sub
 
         # progressive biased sampling between old trajectory and subtree
         key, k_b = jax.random.split(key)
         accept_sub = (jnp.log(jax.random.uniform(k_b, dtype=y0.dtype))
                       < lw_sub - traj.lw_sum)
-        y_prop = jnp.where(accept_sub & ~diverged, y_sub, traj.y_prop)
-        lw_prop = jnp.where(accept_sub & ~diverged, lw_subprop,
+        y_prop = jnp.where(accept_sub & ~bad_sub, y_sub, traj.y_prop)
+        lw_prop = jnp.where(accept_sub & ~bad_sub, lw_subprop,
                             traj.lw_prop)
 
-        y_minus = jnp.where(go_right, traj.y_minus, y_end)
-        p_minus = jnp.where(go_right, traj.p_minus, p_end)
-        y_plus = jnp.where(go_right, y_end, traj.y_plus)
-        p_plus = jnp.where(go_right, p_end, traj.p_plus)
+        keep = lambda old, new_: jnp.where(bad_sub, old, new_)
+        y_minus = keep(traj.y_minus,
+                       jnp.where(go_right, traj.y_minus, y_end))
+        p_minus = keep(traj.p_minus,
+                       jnp.where(go_right, traj.p_minus, p_end))
+        y_plus = keep(traj.y_plus,
+                      jnp.where(go_right, y_end, traj.y_plus))
+        p_plus = keep(traj.p_plus,
+                      jnp.where(go_right, p_end, traj.p_plus))
 
-        turning = traj.turning | _uturn(y_minus, y_plus, p_minus, p_plus)
+        turning = (traj.turning | turning_sub
+                   | _uturn(y_minus, y_plus, p_minus, p_plus))
         new = _Traj(
             y_minus, p_minus, y_plus, p_plus, y_prop, lw_prop,
-            jnp.logaddexp(traj.lw_sum, jnp.where(diverged, -jnp.inf,
+            jnp.logaddexp(traj.lw_sum, jnp.where(bad_sub, -jnp.inf,
                                                  lw_sub)),
             turning, traj.diverged | diverged,
             traj.sum_alpha + jnp.sum(alphas),

@@ -1,0 +1,63 @@
+"""Cross-sampler validation: the stretch ensemble and NUTS must agree on
+the same posterior (independent algorithms, shared likelihood) — a
+correctness check neither sampler can pass alone."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lumfuncmcmc_tpu.config import LFConfig
+from lumfuncmcmc_tpu.models.context import build_context
+from lumfuncmcmc_tpu.models.likelihood import (
+    ThetaLayout, lnlike_single_epoch, make_lnprob)
+from lumfuncmcmc_tpu.samplers.affine import run_stretch
+from lumfuncmcmc_tpu.samplers.diagnostics import burnin_steps
+from lumfuncmcmc_tpu.samplers.nuts import make_unconstrained, run_nuts
+from lumfuncmcmc_tpu.utils.synth import make_catalog, apply_completeness_cut
+
+
+@pytest.mark.slow
+def test_stretch_and_nuts_agree():
+    cfg = LFConfig(min_comp_frac=0.5, fix_comp=True, size_ln=41,
+                   quadrature="gauss", Lstar=42.5, phistar=-2.6,
+                   sch_al=-1.6)
+    cat = apply_completeness_cut(make_catalog(cfg, n_target=1200, seed=2),
+                                 cfg)
+    _, ctx = build_context(cfg, z=cat["z"], flux=cat["flux"],
+                           flux_e=cat["flux_e"], field_id=cat["field_id"])
+    layout = ThetaLayout.from_config(cfg)
+
+    # stretch ensemble
+    lnprob = jax.vmap(make_lnprob(ctx, layout))
+    rng = np.random.default_rng(0)
+    pos0 = jnp.asarray(np.column_stack(
+        [rng.uniform(42.2, 42.9, 64), rng.uniform(-3.2, -2.0, 64),
+         rng.uniform(-1.9, -1.2, 64)]))
+    _, chain, _, _ = run_stretch(lnprob, pos0, jax.random.PRNGKey(1),
+                                 1200)
+    chain = np.asarray(chain)
+    burn, _ = burnin_steps(chain, 1200)
+    post_s = chain[burn:].reshape(-1, 3)
+
+    # NUTS on the same posterior
+    lo, hi = layout.bounds_arrays()
+    lnp_y, to_theta, to_y = make_unconstrained(
+        lambda th: lnlike_single_epoch(th, ctx, layout), lo, hi)
+    start = jnp.asarray([[42.5, -2.6, -1.6]] * 6) + \
+        0.02 * jax.random.normal(jax.random.PRNGKey(2), (6, 3))
+    samples, _, _, _ = run_nuts(lnp_y, jax.vmap(to_y)(start),
+                                jax.random.PRNGKey(3), num_warmup=300,
+                                num_samples=400, max_doublings=7)
+    post_n = np.asarray(jax.vmap(jax.vmap(to_theta))(samples)
+                        ).reshape(-1, 3)
+
+    mean_s, mean_n = post_s.mean(axis=0), post_n.mean(axis=0)
+    std_s, std_n = post_s.std(axis=0), post_n.std(axis=0)
+    # means agree within a fraction of the posterior width
+    for i in range(3):
+        tol = 0.35 * max(std_s[i], std_n[i])
+        assert abs(mean_s[i] - mean_n[i]) < tol, (
+            i, mean_s, mean_n, std_s, std_n)
+    # widths agree to ~40%
+    np.testing.assert_allclose(std_s, std_n, rtol=0.4)
