@@ -206,51 +206,88 @@ def _nuts_step(value_and_grad, max_doublings, eps, key, y0):
 
 
 @partial(jax.jit, static_argnames=("lnpost_y", "num_warmup", "num_samples",
-                                   "max_doublings", "target_accept"))
+                                   "max_doublings", "target_accept",
+                                   "adapt_mass"))
 def run_nuts(lnpost_y: Callable, y0, key, num_warmup: int,
              num_samples: int, max_doublings: int = 8,
-             target_accept: float = 0.8, init_step: float = 0.1):
+             target_accept: float = 0.8, init_step: float = 0.1,
+             adapt_mass: bool = True):
     """Run NUTS chains.
 
     ``y0``: (C, D) initial unconstrained positions — C chains vmapped.
     Returns (samples (num_samples, C, D), lnp (num_samples, C),
     accept_stat (num_samples, C), eps).
+
+    ``adapt_mass``: two-stage warmup — stage A adapts the step size with
+    identity mass, a diagonal mass matrix is estimated from the stage-A
+    states, and stage B re-adapts the step size in the rescaled
+    coordinates (y' = y / scale; equivalent to diag-mass HMC but needs
+    no kernel changes). Handles posteriors whose unconstrained scales
+    differ by orders of magnitude.
     """
-    vg = jax.value_and_grad(lnpost_y)
     nchains = y0.shape[0]
-
     step = jax.vmap(_nuts_step, in_axes=(None, None, None, 0, 0))
+    gamma, t0c, kappa = 0.05, 10.0, 0.75
 
-    # --- warmup with dual averaging (Nesterov/Stan parameters) ---
-    mu = jnp.log(10.0 * init_step)
-    gamma, t0, kappa = 0.05, 10.0, 0.75
+    def dual_averaging_phase(vg_fn, y_init, key_w, nsteps, eps0):
+        mu = jnp.log(10.0 * eps0)
 
-    def warm_body(carry, k):
-        y, log_eps, log_eps_bar, h_bar, t = carry
-        keys = jax.random.split(k, nchains)
-        y_new, alpha, _ = step(vg, max_doublings, jnp.exp(log_eps), keys, y)
-        a = jnp.mean(alpha)
-        t = t + 1.0
-        h_bar = (1 - 1 / (t + t0)) * h_bar + (target_accept - a) / (t + t0)
-        log_eps = mu - jnp.sqrt(t) / gamma * h_bar
-        w = t ** (-kappa)
-        log_eps_bar = w * log_eps + (1 - w) * log_eps_bar
-        return (y_new, log_eps, log_eps_bar, h_bar, t), None
+        def warm_body(carry, k):
+            y, log_eps, log_eps_bar, h_bar, t = carry
+            keys = jax.random.split(k, nchains)
+            y_new, alpha, _ = step(vg_fn, max_doublings,
+                                   jnp.exp(log_eps), keys, y)
+            a = jnp.mean(alpha)
+            t = t + 1.0
+            h_bar = ((1 - 1 / (t + t0c)) * h_bar
+                     + (target_accept - a) / (t + t0c))
+            log_eps = mu - jnp.sqrt(t) / gamma * h_bar
+            w = t ** (-kappa)
+            log_eps_bar = w * log_eps + (1 - w) * log_eps_bar
+            return (y_new, log_eps, log_eps_bar, h_bar, t), y_new
 
-    keys_w = jax.random.split(key, num_warmup + 1)
-    (y, _, log_eps_bar, _, _), _ = jax.lax.scan(
-        warm_body,
-        (y0, jnp.log(init_step), jnp.log(init_step), 0.0, 0.0),
-        keys_w[:-1])
-    eps = jnp.exp(log_eps_bar)
+        keys = jax.random.split(key_w, nsteps)
+        (y_end, _, log_eps_bar, _, _), trace = jax.lax.scan(
+            warm_body, (y_init, jnp.log(eps0), jnp.log(eps0), 0.0, 0.0),
+            keys)
+        return y_end, jnp.exp(log_eps_bar), trace
+
+    vg = jax.value_and_grad(lnpost_y)
+    k_a, k_b, k_s = jax.random.split(key, 3)
+
+    if adapt_mass and num_warmup >= 40:
+        n_a = num_warmup // 2
+        n_b = num_warmup - n_a
+        y, eps_a, trace = dual_averaging_phase(vg, y0, k_a, n_a,
+                                               init_step)
+        # diag mass from the second half of stage A (all chains pooled)
+        pool = trace[n_a // 2:].reshape(-1, y0.shape[1])
+        scale = jnp.sqrt(jnp.maximum(jnp.var(pool, axis=0), 1e-10))
+
+        def lnpost_scaled(yp):
+            return lnpost_y(yp * scale)
+
+        vg_s = jax.value_and_grad(lnpost_scaled)
+        yp = y / scale
+        yp, eps, _ = dual_averaging_phase(vg_s, yp, k_b, n_b,
+                                          init_step)
+        vg_run, y_run = vg_s, yp
+        unscale = lambda yp_: yp_ * scale
+    else:
+        y, eps, _ = dual_averaging_phase(vg, y0, k_a, num_warmup,
+                                         init_step)
+        vg_run, y_run = vg, y
+        unscale = lambda yp_: yp_
+        scale = jnp.ones(y0.shape[1], y0.dtype)
 
     # --- sampling ---
-    def samp_body(y, k):
+    def samp_body(yc, k):
         keys = jax.random.split(k, nchains)
-        y_new, alpha, div = step(vg, max_doublings, eps, keys, y)
-        lnp = jax.vmap(lnpost_y)(y_new)
-        return y_new, (y_new, lnp, alpha)
+        y_new, alpha, div = step(vg_run, max_doublings, eps, keys, yc)
+        lnp = jax.vmap(lnpost_y)(unscale(y_new))
+        return y_new, (unscale(y_new), lnp, alpha)
 
-    keys_s = jax.random.split(keys_w[-1], num_samples)
-    y, (samples, lnps, alphas) = jax.lax.scan(samp_body, y, keys_s)
+    keys_s = jax.random.split(k_s, num_samples)
+    y_run, (samples, lnps, alphas) = jax.lax.scan(samp_body, y_run,
+                                                  keys_s)
     return samples, lnps, alphas, eps
