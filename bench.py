@@ -86,6 +86,9 @@ def main():
     ap.add_argument("--walkers", type=int, default=100)
     ap.add_argument("--nsrc", type=int, default=1000)
     ap.add_argument("--baseline-evals", type=int, default=30)
+    ap.add_argument("--mega", action="store_true",
+                    help="also run the 1e6-source x 1000-walker "
+                         "mega-catalog configuration (BASELINE.json)")
     args = ap.parse_args()
 
     import jax
@@ -183,6 +186,36 @@ def main():
         f"{base_rate:,.1f} evals/s "
         f"(sample lnp {vals[0]:.1f})")
 
+    mega_detail = {}
+    if args.mega:
+        log("mega-catalog configuration (collapsed fixed-comp ln-term)")
+        cfg_m = LFConfig(min_comp_frac=0.5, fix_comp=True,
+                         quadrature="gauss", nwalkers=1000)
+        cat_m = apply_completeness_cut(
+            make_catalog(cfg_m, n_target=1_200_000, seed=7), cfg_m)
+        _, ctx_m = build_context(cfg_m, z=cat_m["z"], flux=cat_m["flux"],
+                                 flux_e=cat_m["flux_e"],
+                                 field_id=cat_m["field_id"])
+        layout_m = ThetaLayout.from_config(cfg_m)
+        lnprob_m = jax.vmap(make_lnprob(ctx_m, layout_m))
+        pos_m = sample_init(jax.random.PRNGKey(0), layout_m, 1000)
+        out = run_stretch(lnprob_m, pos_m, jax.random.PRNGKey(1), 2000)
+        jax.block_until_ready(out[0].pos)
+        t0 = time.time()
+        st_m, *_ = run_stretch(lnprob_m, pos_m, jax.random.PRNGKey(2),
+                               2000)
+        jax.block_until_ready(st_m.pos)
+        wall_m = time.time() - t0
+        mega_detail = {
+            "mega_sources": len(cat_m["z"]),
+            "mega_walkers": 1000,
+            "mega_steps": 2000,
+            "mega_wall_s": round(wall_m, 3),
+            "mega_evals_per_sec": round(2_000_000 / wall_m, 1),
+        }
+        log(f"mega: {wall_m:.2f}s for 2000 x 1000 "
+            f"({2e6 / wall_m:,.0f} evals/s, N={len(cat_m['z']):,})")
+
     result = {
         "metric": "lnprob_evals_per_sec_100walker_chain",
         "value": round(evals_per_sec, 1),
@@ -198,6 +231,7 @@ def main():
             "gauss32_wall_s": round(wall_g, 3),
             "gauss32_evals_per_sec": round(evals / wall_g, 1),
             "gauss32_vs_baseline": round(evals / wall_g / base_rate, 2),
+            **mega_detail,
         },
     }
     print(json.dumps(result), flush=True)

@@ -120,6 +120,29 @@ def fleming_root_logf_np(logF50, alpha, min_comp_frac, fcmin=0.1, iters=80):
     return 0.5 * (lo + hi)
 
 
+def min_flux_p_curve(min_comp_frac, Flim, alpha, iters=80):
+    """Flux where the legacy ``p`` curve reaches ``min_comp_frac``
+    (``get_min_flux``, ``VmaxLumFunc.py:701-720``; note the reference's
+    standalone Vmax ``main`` uses this 2.5x-slope convention while the
+    MCMC drivers root-solve the modified Fleming curve). Bisection on
+    the monotone-decreasing-in-alpha<0 / increasing form; returns 0 for
+    min_comp_frac ~ 0 like the reference."""
+    import numpy as np
+    if abs(min_comp_frac) < 1.0e-6:
+        return 0.0
+    lo, hi = np.log10(Flim) - 6.0, np.log10(Flim) + 6.0
+    for _ in range(iters):
+        mid = 0.5 * (lo + hi)
+        x = 2.5 * alpha * (mid - np.log10(Flim))
+        val = 0.5 * (1.0 - x / np.sqrt(1.0 + x * x))
+        # p is increasing in F for alpha < 0 (the reference's usage)
+        if (val < min_comp_frac) == (alpha < 0):
+            lo = mid
+        else:
+            hi = mid
+    return 10.0 ** (0.5 * (lo + hi))
+
+
 def fleming_root_logf(logF50, alpha, min_comp_frac, fcmin=0.1, iters=80):
     """log10 of the flux where the modified Fleming curve crosses
     ``min_comp_frac``.

@@ -122,3 +122,13 @@ def test_schechter_z_matches_reference(rng):
     ours = np.asarray(schechter_z(jnp.asarray(logL), jnp.asarray(z), *args))
     ref = ref_schechter_z(logL, z, *args)
     np.testing.assert_allclose(ours, ref, rtol=1e-12)
+
+
+def test_min_flux_p_curve_matches_reference():
+    from lumfuncmcmc_tpu.ops.completeness import min_flux_p_curve
+    from scipy.optimize import fsolve
+    for flim, alpha, mcf in [(3.0e-17, -3.5, 0.5), (4.0e-17, -2.12, 0.3)]:
+        ref = fsolve(lambda x: ref_p(x, flim, alpha) - mcf, [flim])[0]
+        got = min_flux_p_curve(mcf, flim, alpha)
+        np.testing.assert_allclose(got, ref, rtol=1e-8)
+    assert min_flux_p_curve(0.0, 3e-17, -3.5) == 0.0
