@@ -173,10 +173,21 @@ def build_context(cfg: LFConfig,
 
     z = np.asarray(z, dtype=np.float64)
     n = z.shape[0]
+    if n == 0:
+        raise ValueError("empty catalog: no sources after cuts")
     if field_id is None:
         field_id = np.zeros(n, dtype=np.int32)
     field_id = np.asarray(field_id, dtype=np.int32)
     nfields = len(cfg.Flim)
+    if field_id.max() >= nfields:
+        raise ValueError(
+            f"field_id goes up to {int(field_id.max())} but the config "
+            f"provides only {nfields} Flim values — per-field gathers "
+            f"would clamp silently; supply one Flim/Omega_0 per field")
+    if len(cfg.Omega_0) < nfields:
+        raise ValueError(
+            f"Omega_0 has {len(cfg.Omega_0)} entries for {nfields} "
+            f"fields")
 
     zmin, zmax = float(z.min()), float(z.max())
     tabs = build_cosmo_arrays(zmax=1.05 * zmax + 0.1)

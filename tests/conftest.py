@@ -19,6 +19,9 @@ import jax  # noqa: E402
 # 8-virtual-device host platform is used for all tests.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# persistent compile cache: repeat suite runs skip the big scan compiles
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
 import sys  # noqa: E402
 

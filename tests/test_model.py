@@ -109,3 +109,23 @@ def test_fit_model_until_reaches_ess(small_inputs):
     ess = effective_sample_size(burnless[burn:]).min()
     assert ess >= 150
     assert samples.shape[1] == m.layout.ndim + 1
+
+
+def test_single_field_catalog_works():
+    cfg = LFConfig(min_comp_frac=0.5, fix_comp=True, size_ln=31,
+                   Flim=(2.72,), Omega_0=(300000.0,), nwalkers=16,
+                   nsteps=30)
+    cat = apply_completeness_cut(make_catalog(cfg, n_target=150, seed=4),
+                                 cfg)
+    m = _model(cfg, cat)
+    samples = m.fit_model()
+    assert np.all(np.isfinite(samples[:, -1]))
+
+
+def test_field_id_out_of_range_raises():
+    from lumfuncmcmc_tpu.models.context import build_context
+    cfg = LFConfig(Flim=(2.72, 3.61))  # 2 fields configured
+    with pytest.raises(ValueError, match="field_id"):
+        build_context(cfg, z=np.array([1.3, 1.4]),
+                      flux=np.array([5.0, 6.0]),
+                      field_id=np.array([0, 3]))  # field 3 undefined
