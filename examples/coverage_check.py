@@ -1,0 +1,97 @@
+"""Frequentist coverage check of the full inference pipeline.
+
+Draws K independent synthetic catalogs from known truths (varied per
+replicate), runs the complete fit on each, and reports how often the
+central 68% / 95% posterior intervals cover the true parameters. A
+correctly-implemented likelihood + sampler + quadrature stack gives
+nominal coverage (binomial error ~ sqrt(p(1-p)/K)); biases in any layer
+show up as under/over-coverage. Results recorded in docs/VALIDATION.md.
+
+    python examples/coverage_check.py [K]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+if jax.default_backend() == "cpu":
+    jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+
+import numpy as np
+
+from lumfuncmcmc_tpu.config import LFConfig
+from lumfuncmcmc_tpu.models.context import build_context
+from lumfuncmcmc_tpu.models.likelihood import (
+    ThetaLayout, make_lnprob, sample_init)
+from lumfuncmcmc_tpu.samplers.affine import run_stretch
+from lumfuncmcmc_tpu.samplers.diagnostics import burnin_steps
+from lumfuncmcmc_tpu.utils.synth import make_catalog, apply_completeness_cut
+
+PARAMS = ["Lstar", "phistar", "sch_al"]
+
+
+def one_replicate(k, rng):
+    truth = dict(Lstar=rng.uniform(42.2, 42.8),
+                 phistar=rng.uniform(-3.2, -2.2),
+                 sch_al=rng.uniform(-1.8, -1.2))
+    cfg = LFConfig(min_comp_frac=0.5, fix_comp=True, quadrature="gauss",
+                   nwalkers=64, nsteps=600, seed=k, **truth)
+    cat = apply_completeness_cut(
+        make_catalog(cfg, n_target=1500, seed=1000 + k), cfg)
+    truth = dict(truth)
+    truth["phistar"] = cat["theta_true"]["phistar"]  # amplitude rescale
+    _, ctx = build_context(cfg, z=cat["z"], flux=cat["flux"],
+                           flux_e=cat["flux_e"],
+                           field_id=cat["field_id"])
+    # pad the source axis to a fixed size so every replicate reuses ONE
+    # compiled program (shapes are static under jit)
+    from lumfuncmcmc_tpu.parallel.sharding import pad_sources
+    ctx = pad_sources(ctx, 2048)
+    layout = ThetaLayout.from_config(cfg)
+    lnprob = jax.vmap(make_lnprob(ctx, layout))
+    pos0 = sample_init(jax.random.PRNGKey(2 * k), layout, cfg.nwalkers)
+    _, chain, _, _ = run_stretch(lnprob, pos0,
+                                 jax.random.PRNGKey(2 * k + 1),
+                                 cfg.nsteps)
+    chain = np.asarray(chain)
+    burn, _ = burnin_steps(chain, cfg.nsteps)
+    post = chain[burn:].reshape(-1, 3)
+    cover = {}
+    for i, name in enumerate(PARAMS):
+        lo68, hi68 = np.percentile(post[:, i], [16, 84])
+        lo95, hi95 = np.percentile(post[:, i], [2.5, 97.5])
+        cover[name] = (lo68 <= truth[name] <= hi68,
+                       lo95 <= truth[name] <= hi95)
+    return cover
+
+
+def main():
+    K = int(sys.argv[1]) if len(sys.argv) > 1 else 40
+    rng = np.random.default_rng(7)
+    hits68 = {p: 0 for p in PARAMS}
+    hits95 = {p: 0 for p in PARAMS}
+    t0 = time.time()
+    for k in range(K):
+        cover = one_replicate(k, rng)
+        for p in PARAMS:
+            hits68[p] += cover[p][0]
+            hits95[p] += cover[p][1]
+        done = {p: f"{hits68[p]}/{k + 1}" for p in PARAMS}
+        print(f"replicate {k + 1}/{K}: 68% running coverage {done}",
+              flush=True)
+    dt = time.time() - t0
+    print(f"\n=== coverage over {K} replicates ({dt:.0f}s) ===")
+    err = np.sqrt(0.68 * 0.32 / K)
+    for p in PARAMS:
+        print(f"  {p:8s}: 68% interval covers {hits68[p] / K:.2f} "
+              f"(nominal 0.68 +- {err:.2f}); "
+              f"95% covers {hits95[p] / K:.2f} (nominal 0.95)")
+
+
+if __name__ == "__main__":
+    main()

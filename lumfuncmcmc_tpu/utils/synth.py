@@ -83,13 +83,19 @@ def make_catalog(cfg: LFConfig, zmin=1.16, zmax=1.90,
 
     flux = np.concatenate(out_flux)
     flux_e = 0.1 * flux  # nominal 10% flux errors
+    # n_target rescales the process AMPLITUDE: the catalog is drawn from
+    # a Schechter with log-amplitude phistar + log10(scale). Report that
+    # effective truth — comparing posteriors against the unscaled
+    # phistar mislabels them by log10(scale) (caught by the frequentist
+    # coverage check, examples/coverage_check.py).
     return {
         "z": np.concatenate(out_z),
         "flux": flux,
         "flux_e": flux_e,
         "field_id": np.concatenate(out_fid),
         "true_lum": np.concatenate(out_lum),
-        "theta_true": {"Lstar": cfg.Lstar, "phistar": cfg.phistar,
+        "theta_true": {"Lstar": cfg.Lstar,
+                       "phistar": cfg.phistar + float(np.log10(scale)),
                        "sch_al": cfg.sch_al},
     }
 

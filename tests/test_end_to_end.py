@@ -29,16 +29,16 @@ def fit():
     pos0 = sample_init(jax.random.PRNGKey(0), layout, 64)
     _, chain, lnps, acc = run_stretch(lnprob, pos0, jax.random.PRNGKey(1),
                                       500)
-    return np.asarray(chain), np.asarray(acc), layout
+    return np.asarray(chain), np.asarray(acc), layout, cat["theta_true"]
 
 
 def test_posterior_covers_truth(fit):
-    chain, acc, layout = fit
+    chain, acc, layout, truth_eff = fit
     burn, tau = burnin_steps(chain, 500)
     post = chain[burn:].reshape(-1, layout.ndim)
     mean, std = post.mean(axis=0), post.std(axis=0)
     for i, name in enumerate(layout.names):
-        true = TRUTH[name]
+        true = truth_eff[name]
         assert abs(mean[i] - true) < 3.0 * std[i] + 0.05, (
             f"{name}: posterior {mean[i]:.3f}+-{std[i]:.3f} vs truth {true}")
     # posteriors should actually constrain the parameters
@@ -46,7 +46,7 @@ def test_posterior_covers_truth(fit):
 
 
 def test_healthy_acceptance(fit):
-    chain, acc, layout = fit
+    chain, acc, layout, _ = fit
     frac = acc.mean() / 500
     assert 0.15 < frac < 0.9
 
