@@ -156,7 +156,7 @@ def _write_outputs(model, cfg, args, outdir, names, z_variant=False):
     if od.get("triangle plot"):
         model.triangle_plot(
             artifact_path(outdir, "triangle", args.output_filename,
-                          cfg, ext="")[:-1],
+                          cfg),
             imgtype=od.get("image format", "png"))
         print("Finished making Triangle Plot with Best-fit LF "
               "(and V_eff-method-based data)")
@@ -170,7 +170,7 @@ def _write_outputs(model, cfg, args, outdir, names, z_variant=False):
                 for i, nm in enumerate(full_names)}
         write_fixed_width_two_line(
             artifact_path(outdir, "fitposterior", args.output_filename,
-                          cfg), cols)
+                          cfg, ext="dat"), cols)
         print("Finished writing fitposterior file")
     if od.get("bestfitLF"):
         if not z_variant:
@@ -185,12 +185,14 @@ def _write_outputs(model, cfg, args, outdir, names, z_variant=False):
                     **{f"LF_z{i}": model.medianLF[i]
                        for i in range(model.medianLF.shape[0])}}
         write_fixed_width_two_line(
-            artifact_path(outdir, "bestfitLF", args.output_filename, cfg),
+            artifact_path(outdir, "bestfitLF", args.output_filename, cfg,
+                          ext="dat"),
             cols)
         print("Finished writing bestfitLF file")
     if od.get("VeffLF"):
         write_fixed_width_two_line(
-            artifact_path(outdir, "VeffLF", args.output_filename, cfg),
+            artifact_path(outdir, "VeffLF", args.output_filename, cfg,
+                          ext="dat"),
             {"Luminosity": model.Lavg, "BinLF": model.lfbinorig,
              "BinLFErr": np.sqrt(model.var)})
         print("Finished writing VeffLF file")
@@ -250,14 +252,14 @@ class _SimpleTable:
 def _resume_if_done(model, cfg, args, outdir):
     from lumfuncmcmc_tpu.utils.io import (
         artifact_path, read_fixed_width_two_line)
-    fn = artifact_path(outdir, "fitposterior", args.output_filename, cfg)
+    fn = artifact_path(outdir, "fitposterior", args.output_filename,
+                       cfg, ext="dat")
     if not os.path.isfile(fn):
         return False
     tab = read_fixed_width_two_line(fn)
     model.samples = np.column_stack([tab[k] for k in tab])
     model.triangle_plot(
-        artifact_path(outdir, "triangle", args.output_filename, cfg,
-                      ext="")[:-1],
+        artifact_path(outdir, "triangle", args.output_filename, cfg),
         imgtype=cfg.output_dict.get("image format", "png"))
     print(f"Resumed from existing {fn}; regenerated plots only")
     return True

@@ -42,9 +42,8 @@ from lumfuncmcmc_tpu.cosmology import (
 from lumfuncmcmc_tpu.ops.completeness import (
     fleming_from_logf_np, fleming_root_logf_np)
 from lumfuncmcmc_tpu.ops.omega import (
-    logflux_from_loglum, loglum_from_logflux)
+    LOG10_4PI as _LOG10_4PI, logflux_from_loglum, loglum_from_logflux)
 
-_LOG10_4PI = 1.0992098640220963
 
 
 @dataclass(frozen=True)

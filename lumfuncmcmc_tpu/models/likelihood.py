@@ -43,11 +43,9 @@ import numpy as np
 from lumfuncmcmc_tpu.config import LFConfig
 from lumfuncmcmc_tpu.models.context import LFContext
 from lumfuncmcmc_tpu.ops.completeness import fleming_root_logf
-from lumfuncmcmc_tpu.ops.omega import omega_from_logf
+from lumfuncmcmc_tpu.ops.omega import LOG10_4PI as _LOG10_4PI, omega_from_logf
 from lumfuncmcmc_tpu.ops.quadrature import gl_nodes_unit
 from lumfuncmcmc_tpu.ops.schechter import LN10, log_true_lum_func
-
-_LOG10_4PI = 1.0992098640220963
 
 NEG_INF = -jnp.inf
 

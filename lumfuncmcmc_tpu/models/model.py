@@ -90,7 +90,11 @@ class _BaseModel:
         raise NotImplementedError
 
     def _initial_positions(self, key):
-        raise NotImplementedError
+        """Default: uniform draws inside the prior box."""
+        lo, hi = self.layout.bounds_arrays()
+        u = jax.random.uniform(key, (self.cfg.nwalkers, self.layout.ndim),
+                               dtype=lo.dtype)
+        return u * (hi - lo) + lo
 
     # --- shared API -----------------------------------------------------
     @property
@@ -462,12 +466,6 @@ class LumFuncModelH(_BaseModel):
         from lumfuncmcmc_tpu.models.hierarchical import make_lnprob_h
         return make_lnprob_h(self.ctx, self.layout)
 
-    def _initial_positions(self, key):
-        lo, hi = self.layout.bounds_arrays()
-        u = jax.random.uniform(key, (self.cfg.nwalkers, self.layout.ndim),
-                               dtype=lo.dtype)
-        return u * (hi - lo) + lo
-
     def set_median_fit(self, rndsamples=200, lnprobcut=7.5, key=None):
         """Median LF at the population-mean parameters over posterior
         draws, plus the V_eff cross-check."""
@@ -511,12 +509,6 @@ class LumFuncModelZ(_BaseModel):
 
     def _make_scalar_lnprob(self):
         return make_lnprob_z(self.ctx, self.layout)
-
-    def _initial_positions(self, key):
-        lo, hi = self.layout.bounds_arrays()
-        u = jax.random.uniform(key, (self.cfg.nwalkers, self.layout.ndim),
-                               dtype=lo.dtype)
-        return u * (hi - lo) + lo
 
     def set_median_fit(self, lnprobcut=7.5, zlen=100, Llen=100, key=None):
         """Median-theta LF *matrix* over (z, L)

@@ -33,9 +33,9 @@ import numpy as np
 
 from lumfuncmcmc_tpu.cosmology import CosmoTable, SQARCSEC_PER_SR
 from lumfuncmcmc_tpu.ops.completeness import fleming_from_logf
+from lumfuncmcmc_tpu.ops.omega import LOG10_4PI as _LOG10_4PI
 from lumfuncmcmc_tpu.ops.quadrature import gl_nodes_unit
 
-_LOG10_4PI = 1.0992098640220963
 
 
 def max_z_for_lum(lum, logfmin, cosmo: CosmoTable):

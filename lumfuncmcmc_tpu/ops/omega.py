@@ -25,7 +25,8 @@ from __future__ import annotations
 from lumfuncmcmc_tpu.cosmology import SQARCSEC_PER_SR
 from lumfuncmcmc_tpu.ops.completeness import fleming_from_logf
 
-_LOG10_4PI = 1.0992098640220963  # log10(4*pi)
+LOG10_4PI = 1.0992098640220963  # log10(4*pi)
+_LOG10_4PI = LOG10_4PI  # module-internal alias
 
 
 def logflux_from_loglum(logL, log10_dl_cm):

@@ -39,8 +39,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from lumfuncmcmc_tpu.models.context import LFContext
 from lumfuncmcmc_tpu.cosmology import SQARCSEC_PER_SR
+from lumfuncmcmc_tpu.ops.schechter import LN10
 
-LN10 = 2.302585092994046
 _LOG_LN10 = float(np.log(LN10))
 
 

@@ -21,6 +21,7 @@ Omega paths (free completeness, z evolution) and mega-catalogs.
 
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 
 import jax
@@ -36,13 +37,6 @@ from lumfuncmcmc_tpu.parallel.mesh import AXIS_SOURCES, AXIS_WALKERS
 # context fields carrying a leading source axis
 _SRC_FIELDS = ("lum", "zsrc", "logf_src", "omega0_src", "ln_om_src",
                "field_id", "src_mask")
-
-
-def _ctx_kwargs(ctx: LFContext, **updates):
-    kw = {name: getattr(ctx, name)
-          for name in type(ctx).__dataclass_fields__}
-    kw.update(updates)
-    return kw
 
 
 def pad_sources(ctx: LFContext, multiple: int) -> LFContext:
@@ -61,7 +55,7 @@ def pad_sources(ctx: LFContext, multiple: int) -> LFContext:
         arr = getattr(ctx, f)
         fill = (jnp.zeros_like(arr[0:1]) if f == "src_mask" else arr[0:1])
         updates[f] = jnp.concatenate([arr, jnp.repeat(fill, pad, axis=0)])
-    return LFContext(**_ctx_kwargs(ctx, **updates))
+    return dataclasses.replace(ctx, **updates)
 
 
 def _no_sources_ctx(ctx: LFContext) -> LFContext:
@@ -75,7 +69,7 @@ def _no_sources_ctx(ctx: LFContext) -> LFContext:
     dt = ctx.lum.dtype
     nd = 8
     zmid = ctx.zarr[0, ctx.zarr.shape[1] // 2]
-    return LFContext(**_ctx_kwargs(
+    return dataclasses.replace(
         ctx,
         lum=jnp.full((nd,), 42.0, dt),
         zsrc=jnp.full((nd,), 1.0, dt) * zmid,
@@ -92,7 +86,7 @@ def _no_sources_ctx(ctx: LFContext) -> LFContext:
         sum_lum_f=jnp.zeros_like(ctx.sum_lum_f),
         sum_pow_lum_f=jnp.zeros_like(ctx.sum_pow_lum_f),
         sum_ln_om_f=jnp.zeros_like(ctx.sum_ln_om_f),
-    ))
+    )
 
 
 def _ctx_specs(ctx: LFContext, shard_sources: bool):

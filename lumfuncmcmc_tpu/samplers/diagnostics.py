@@ -18,38 +18,33 @@ def _next_pow2(n: int) -> int:
     return i
 
 
-def _autocorr_func_1d(x):
-    """Normalized autocorrelation function via FFT (emcee's method)."""
-    x = np.atleast_1d(np.asarray(x, dtype=np.float64))
-    n = _next_pow2(len(x))
-    f = np.fft.fft(x - np.mean(x), n=2 * n)
-    acf = np.fft.ifft(f * np.conjugate(f))[: len(x)].real
-    if acf[0] == 0:
-        return np.zeros_like(acf)
-    return acf / acf[0]
-
-
 def integrated_autocorr_time(chain, c: float = 5.0):
     """Integrated autocorrelation time per parameter.
 
     ``chain``: (nsteps, nwalkers, ndim). Uses the emcee estimator: the
     ACF of each walker is averaged, tau = 2 cumsum(rho) - 1, and the
     summation window M is the smallest index with M >= c * tau(M)
-    (Sokal's auto-windowing).
+    (Sokal's auto-windowing). All walker/parameter ACFs come from one
+    batched FFT along the step axis.
     """
     chain = np.asarray(chain, dtype=np.float64)
     nsteps, nwalkers, ndim = chain.shape
+    n = _next_pow2(nsteps)
+    x = chain - chain.mean(axis=0, keepdims=True)
+    f = np.fft.fft(x, n=2 * n, axis=0)
+    acf = np.fft.ifft(f * np.conjugate(f), axis=0)[:nsteps].real
+    acf0 = acf[0].copy()
+    acf0[acf0 == 0] = 1.0
+    rho = (acf / acf0).mean(axis=1)            # (nsteps, ndim)
+
     taus = np.empty(ndim)
+    steps = np.arange(nsteps)
     for d in range(ndim):
-        acf = np.zeros(nsteps)
-        for w in range(nwalkers):
-            acf += _autocorr_func_1d(chain[:, w, d])
-        acf /= nwalkers
-        tau_cum = 2.0 * np.cumsum(acf) - 1.0
+        tau_cum = 2.0 * np.cumsum(rho[:, d]) - 1.0
         # Sokal auto-window: smallest M with M >= c * tau(M)
-        too_small = np.arange(len(tau_cum)) < c * tau_cum
+        too_small = steps < c * tau_cum
         m = int(np.argmin(too_small)) if not too_small.all() \
-            else len(tau_cum) - 1
+            else nsteps - 1
         taus[d] = tau_cum[m]
     return taus
 

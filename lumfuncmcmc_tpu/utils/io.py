@@ -192,11 +192,11 @@ def read_catalog(filename: str, cfg: LFConfig, dust_fn: Optional[str] = None):
 
 
 def artifact_path(outdir: str, kind: str, output_filename: str,
-                  cfg: LFConfig, ext: str = "dat") -> str:
+                  cfg: LFConfig, ext=None) -> str:
     """Reference artifact naming: ``{kind}_{base}_nb{n}_nw{n}_ns{n}_mcf{n}``
-    (``run_lumfuncmcmc.py:260,292-314``)."""
+    (``run_lumfuncmcmc.py:260,292-314``). ``ext=None`` omits the
+    extension (plot writers append their own)."""
     base = output_filename.split(".")[0]
-    return os.path.join(
-        outdir,
-        f"{kind}_{base}_nb{cfg.nbins}_nw{cfg.nwalkers}_ns{cfg.nsteps}"
-        f"_mcf{int(100 * cfg.min_comp_frac)}.{ext}")
+    stem = (f"{kind}_{base}_nb{cfg.nbins}_nw{cfg.nwalkers}_ns{cfg.nsteps}"
+            f"_mcf{int(100 * cfg.min_comp_frac)}")
+    return os.path.join(outdir, stem if ext is None else f"{stem}.{ext}")

@@ -21,7 +21,7 @@ matplotlib.use("Agg")
 import matplotlib.pyplot as plt  # noqa: E402
 import numpy as np  # noqa: E402
 
-_LOG10_4PI = 1.0992098640220963
+from lumfuncmcmc_tpu.ops.omega import LOG10_4PI as _LOG10_4PI  # noqa: E402
 
 plt.rcParams.update({
     "xtick.direction": "in", "ytick.direction": "in",

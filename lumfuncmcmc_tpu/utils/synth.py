@@ -19,8 +19,8 @@ from lumfuncmcmc_tpu.config import LFConfig
 from lumfuncmcmc_tpu.cosmology import build_cosmo_arrays, SQARCSEC_PER_SR
 from lumfuncmcmc_tpu.ops.completeness import (
     fleming_from_logf_np, fleming_root_logf_np)
+from lumfuncmcmc_tpu.ops.omega import LOG10_4PI as _LOG10_4PI
 
-_LOG10_4PI = 1.0992098640220963
 
 
 def make_catalog(cfg: LFConfig, zmin=1.16, zmax=1.90,
