@@ -321,7 +321,10 @@ def cmd_fitz(args):
         return 0
     names = model.get_param_names()
     print("Labels:", names)
-    model.fit_model()
+    if cfg.sampler == "nuts":
+        model.fit_model_nuts()
+    else:
+        model.fit_model()
     print("Finished fitting model and about to create outputs")
     _write_outputs(model, cfg, args, outdir, names, z_variant=True)
     return 0
@@ -347,7 +350,10 @@ def cmd_fith(args):
         return 0
     names = model.get_param_names()
     print("Labels:", names)
-    model.fit_model()
+    if cfg.sampler == "nuts":
+        model.fit_model_nuts()
+    else:
+        model.fit_model()
     print("Finished fitting model and about to create outputs")
     _write_outputs(model, cfg, args, outdir, names)
     return 0
