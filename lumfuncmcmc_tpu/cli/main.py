@@ -105,6 +105,25 @@ def _pivot_z(cfg: LFConfig, filename) -> LFConfig:
     return cfg.replace(z1=z[0], z2=z[1], z3=z[2])
 
 
+def _align_fields(cfg, field_names):
+    """Truncate the per-field config arrays to the catalog's field count.
+
+    With fewer unique fields in the data than configured Flim/Omega_0
+    entries, the extra entries would enter the Poisson integral as
+    surveyed-but-empty fields and bias phistar low (the reference crashes
+    in this situation, run_lumfuncmcmc.py:174/defineFlimOmArr). Keeping a
+    genuinely surveyed zero-detection field is a library-level choice —
+    pass the full arrays to build_context directly for that.
+    """
+    nf = len(field_names)
+    if nf < len(cfg.Flim):
+        print(f"Catalog has {nf} fields; using the first {nf} of "
+              f"{len(cfg.Flim)} configured Flim/Omega_0 entries")
+        cfg = cfg.replace(Flim=tuple(cfg.Flim[:nf]),
+                          Omega_0=tuple(cfg.Omega_0[:nf]))
+    return cfg
+
+
 def _load_inputs(args, cfg):
     from lumfuncmcmc_tpu.utils.io import read_catalog
     if args.synthetic:
@@ -272,6 +291,7 @@ def cmd_fit(args):
     outdir = "LFMCMCOut"
     os.makedirs(outdir, exist_ok=True)
     inputs = _load_inputs(args, cfg)
+    cfg = _align_fields(cfg, inputs["field_names"])
     print("Read Input File")
     model = LumFuncModel(cfg, z=inputs["z"], flux=inputs["flux"],
                          flux_e=inputs["flux_e"], lum=inputs["lum"],
@@ -309,6 +329,7 @@ def cmd_fitz(args):
     outdir = "LFMCMCzOut"
     os.makedirs(outdir, exist_ok=True)
     inputs = _load_inputs(args, cfg)
+    cfg = _align_fields(cfg, inputs["field_names"])
     print("Read Input File")
     model = LumFuncModelZ(cfg, z=inputs["z"], flux=inputs["flux"],
                           flux_e=inputs["flux_e"], lum=inputs["lum"],
@@ -338,6 +359,7 @@ def cmd_fith(args):
     outdir = "LFMCMCHOut"
     os.makedirs(outdir, exist_ok=True)
     inputs = _load_inputs(args, cfg)
+    cfg = _align_fields(cfg, inputs["field_names"])
     print("Read Input File")
     model = LumFuncModelH(cfg, z=inputs["z"], flux=inputs["flux"],
                           flux_e=inputs["flux_e"], lum=inputs["lum"],
@@ -386,9 +408,11 @@ def cmd_vmax(args):
         z = np.asarray(tab["z"])
     flim = cfg.Flim[0] * 1e-17
     omega0 = float(np.sum(cfg.Omega_0))
-    root = float(10.0 ** fleming_root_logf_np(
-        np.log10(flim), cfg.alpha, max(cfg.min_comp_frac, 0.01),
-        cfg.fcmin))
+    if cfg.min_comp_frac > 1.0e-6:
+        root = float(10.0 ** fleming_root_logf_np(
+            np.log10(flim), cfg.alpha, cfg.min_comp_frac, cfg.fcmin))
+    else:
+        root = 0.0  # reference get_min_flux: mcf ~ 0 means no cut
     keep = flux > root
     flux, z = flux[keep], z[keep]
     print("About to start Veff process for", cfg.line_name)
@@ -409,8 +433,9 @@ def cmd_vmax(args):
         logf = jnp.asarray(np.log10(fz))
         lum = logf + 1.0992098640220963 \
             + 2.0 * cosmo.log10_dl_cm_at(jnp.asarray(zz))
+        log_root = np.log10(root) if root > 0 else -np.inf
         w = veff_weights(logf, lum, jnp.full(len(fz), np.log10(flim)),
-                         jnp.full(len(fz), np.log10(root)), omega0,
+                         jnp.full(len(fz), log_root), omega0,
                          zmin, zmax, cfg.alpha, cosmo, cfg.fcmin,
                          cfg.min_comp_frac)
         linear = bool(getattr(args, "linear", False))
@@ -420,8 +445,8 @@ def cmd_vmax(args):
             # bins hold sum(phi) (no dL division)
             from lumfuncmcmc_tpu.models.veff import linear_bin_edges
             lum_lin = 10.0 ** lum
-            edges = linear_bin_edges(lum_lin, float(np.log10(root)),
-                                     zmax, cosmo, cfg.nbins)
+            edges = linear_bin_edges(lum_lin, log_root, zmax, cosmo,
+                                     cfg.nbins)
             lavg, lfbin, var = binned_lf_bootstrap(
                 jax.random.PRNGKey(cfg.seed), lum_lin, w, edges,
                 cfg.nboot, cfg.nbins, log_bins=False)
@@ -435,8 +460,8 @@ def cmd_vmax(args):
             from lumfuncmcmc_tpu.models.veff import (
                 apply_partial_bin_correction)
             lfbin, var = apply_partial_bin_correction(
-                np.asarray(edges), lfbin, var, float(np.log10(root)),
-                zmin, zmax, cosmo)
+                np.asarray(edges), lfbin, var, log_root, zmin, zmax,
+                cosmo)
         print("Finished getting bootstrap-based errors")
         fit = fit_schechter(lavg, lfbin, var, name=cfg.line_name,
                             log=not linear, integ=args.integ)

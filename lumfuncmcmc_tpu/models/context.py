@@ -98,6 +98,9 @@ class LFContext:
     w_open: jnp.ndarray           # (F, S, S) weights excl. Omega (for paths
                                   #    that recompute Omega from theta)
     logf_grid: jnp.ndarray        # (F, S, S) log10 implied flux on the grid
+    # --- scalars ---
+    z_lo: jnp.ndarray             # () catalog z range (replicated scalars;
+    z_hi: jnp.ndarray             # () safe under any source sharding)
     # --- per-field parameters ---
     omega0_f: jnp.ndarray         # (F,)
     logF50_f: jnp.ndarray         # (F,) log10 of build-time Flim [cgs]
@@ -120,7 +123,7 @@ _CTX_FIELDS = (
     "lum", "zsrc", "logf_src", "omega0_src", "ln_om_src", "field_id",
     "src_mask",
     "zarr", "log_dl_zarr", "volume_part", "logL_grid",
-    "w_fixed", "w_open", "logf_grid",
+    "w_fixed", "w_open", "logf_grid", "z_lo", "z_hi",
     "omega0_f", "logF50_f", "alpha_c", "roots_logf", "cosmo",
 )
 jax.tree_util.register_pytree_node(
@@ -178,6 +181,8 @@ def build_context(cfg: LFConfig,
         field_id = np.zeros(n, dtype=np.int32)
     field_id = np.asarray(field_id, dtype=np.int32)
     nfields = len(cfg.Flim)
+    if field_id.min() < 0:
+        raise ValueError("field_id contains negative entries")
     if field_id.max() >= nfields:
         raise ValueError(
             f"field_id goes up to {int(field_id.max())} but the config "
@@ -351,6 +356,7 @@ def build_context(cfg: LFConfig,
         omega0_src=cast(omega0_src), ln_om_src=cast(ln_om_src),
         field_id=jnp.asarray(field_id),
         src_mask=cast(np.ones(n)),
+        z_lo=cast(zmin), z_hi=cast(zmax),
         zarr=cast(zarr), log_dl_zarr=cast(log_dl_zarr),
         volume_part=cast(volume_part),
         logL_grid=cast(logL_grid), w_fixed=cast(w_fixed),

@@ -220,9 +220,10 @@ def lnlike_exact_bounds(theta, ctx: LFContext, layout: ThetaLayout,
 
     u, w = gl_nodes_unit(n_nodes)
     u = jnp.asarray(u, dt); w = jnp.asarray(w, dt)
-    # true data z-range (the gauss-mode zarr holds interior GL nodes)
-    zmin = jnp.min(ctx.zsrc)
-    zmax = jnp.max(ctx.zsrc)
+    # true data z-range: replicated context scalars (min/max of zsrc
+    # would break under source sharding, where each shard sees a slice)
+    zmin = ctx.z_lo
+    zmax = ctx.z_hi
     znodes = zmin + u * (zmax - zmin)                       # (S,)
     wz = w * (zmax - zmin)
     log_dl = ctx.cosmo.log10_dl_cm_at(znodes)               # (S,)

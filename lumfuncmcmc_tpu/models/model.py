@@ -137,17 +137,33 @@ class _BaseModel:
 
     def lnprob_batch(self):
         if self._lnprob_batch is None:
+            cfg = self.cfg
             if self.mesh is not None:
+                if cfg.use_pallas:
+                    self.log.warning(
+                        "use_pallas is ignored when a device mesh is "
+                        "active (the sharded path uses the XLA kernels)")
                 from lumfuncmcmc_tpu.parallel.sharding import (
                     make_lnprob_sharded)
                 self._lnprob_batch = make_lnprob_sharded(
-                    self.ctx, self.layout, self.mesh, model=self.model_kind)
-            elif (self.cfg.use_pallas and self.model_kind == "single"
-                  and not self.cfg.fix_comp and not self.cfg.fix_sch_al):
-                from lumfuncmcmc_tpu.ops.pallas_lnlike import (
-                    make_pallas_lnprob)
-                self._lnprob_batch = make_pallas_lnprob(self.ctx,
-                                                        self.layout)
+                    self.ctx, self.layout, self.mesh,
+                    model=self.model_kind,
+                    exact_bounds=(cfg.exact_bounds and not cfg.fix_comp
+                                  and self.model_kind == "single"),
+                    min_comp_frac=cfg.min_comp_frac, lh=cfg.Lh)
+            elif (cfg.use_pallas and self.model_kind == "single"
+                  and not cfg.fix_comp and not cfg.fix_sch_al):
+                if cfg.exact_bounds:
+                    self.log.warning(
+                        "exact_bounds is not implemented in the Pallas "
+                        "kernel; using the XLA exact-bounds path instead")
+                    self._lnprob_batch = jax.vmap(
+                        self._make_scalar_lnprob())
+                else:
+                    from lumfuncmcmc_tpu.ops.pallas_lnlike import (
+                        make_pallas_lnprob)
+                    self._lnprob_batch = make_pallas_lnprob(self.ctx,
+                                                            self.layout)
             else:
                 self._lnprob_batch = jax.vmap(self._make_scalar_lnprob())
         return self._lnprob_batch

@@ -152,16 +152,57 @@ def fleming_root_logf(logF50, alpha, min_comp_frac, fcmin=0.1, iters=80):
     12-dex bracket reaches ~4e-3 ulp in float64; float32 saturates its
     precision after ~30.
 
+    Differentiable w.r.t. ``logF50`` and ``alpha`` via the implicit
+    function theorem (a raw bisection's gradients flow only through
+    boolean comparisons and come out zero — which would silently drop
+    the completeness-boundary term from NUTS trajectories in the
+    exact-bounds likelihood).
+
     Replaces the fsolve grids at ``lumfuncmcmc.py:272-281`` and the
     per-field solves at ``run_lumfuncmcmc.py:174-176`` /
     ``lumfuncmcmc_z.py:292-297``.
     """
-    lo = logF50 - 6.0
-    hi = logF50 + 6.0
-    for _ in range(iters):
+    return _fleming_root_ift(logF50, alpha, min_comp_frac, fcmin, iters)
+
+
+from functools import partial as _partial  # noqa: E402
+import jax as _jax  # noqa: E402
+
+
+@_partial(_jax.custom_jvp, nondiff_argnums=(2, 3, 4))
+def _fleming_root_ift(logF50, alpha, min_comp_frac, fcmin, iters):
+    # fori_loop keeps the compiled program tiny (an unrolled 50-80 step
+    # bisection under vmap/shard_map made XLA compiles take minutes);
+    # the custom IFT jvp below means nothing differentiates through it.
+    def body(_, carry):
+        lo, hi = carry
         mid = 0.5 * (lo + hi)
         val = fleming_from_logf(mid, logF50, alpha, fcmin)
         go_right = val < min_comp_frac
-        lo = jnp.where(go_right, mid, lo)
-        hi = jnp.where(go_right, hi, mid)
+        return (jnp.where(go_right, mid, lo),
+                jnp.where(go_right, hi, mid))
+
+    lo, hi = _jax.lax.fori_loop(0, iters, body,
+                                (logF50 - 6.0, logF50 + 6.0))
     return 0.5 * (lo + hi)
+
+
+@_fleming_root_ift.defjvp
+def _fleming_root_jvp(min_comp_frac, fcmin, iters, primals, tangents):
+    logF50, alpha = primals
+    dlogF50, dalpha = tangents
+    root = _fleming_root_ift(logF50, alpha, min_comp_frac, fcmin, iters)
+    # F(root, logF50, alpha) = mcf  =>  dr = -(F_logF50 dF50 + F_a da)/F_r
+    f_r = _jax.grad(fleming_from_logf, argnums=0)
+    f_f50 = _jax.grad(fleming_from_logf, argnums=1)
+    f_a = _jax.grad(fleming_from_logf, argnums=2)
+    shape = jnp.shape(root)
+    b = lambda x: jnp.broadcast_to(jnp.asarray(x, root.dtype), shape)
+    logF50_b, alpha_b = b(logF50), b(alpha)
+    if shape:  # vmap the scalar grads over (broadcast) array inputs
+        f_r, f_f50, f_a = (_jax.vmap(g, in_axes=(0, 0, 0, None))
+                           for g in (f_r, f_f50, f_a))
+    denom = f_r(root, logF50_b, alpha_b, fcmin)
+    num = (f_f50(root, logF50_b, alpha_b, fcmin) * b(dlogF50)
+           + f_a(root, logF50_b, alpha_b, fcmin) * b(dalpha))
+    return root, -num / denom

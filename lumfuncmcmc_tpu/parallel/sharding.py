@@ -99,12 +99,14 @@ def _ctx_specs(ctx: LFContext, shard_sources: bool):
 
 
 def make_lnprob_sharded(ctx: LFContext, layout, mesh, model="single",
-                        collapse=True):
+                        collapse=True, exact_bounds=False,
+                        min_comp_frac=0.5, lh=46.0):
     """Build a (W, D) -> (W,) batched lnprob running on ``mesh``.
 
-    ``model``: "single" (ThetaLayout) or "z" (ThetaLayoutZ). Any walker
-    batch size is accepted — padded up to a walker-axis multiple and
-    sliced back.
+    ``model``: "single" (ThetaLayout), "z" (ThetaLayoutZ) or "hier".
+    ``exact_bounds`` selects the theta-exact integration-bound likelihood
+    for the free-completeness single-epoch model. Any walker batch size
+    is accepted — padded up to a walker-axis multiple and sliced back.
     """
     nw_shards = mesh.shape[AXIS_WALKERS]
     ns_shards = mesh.shape[AXIS_SOURCES]
@@ -121,8 +123,18 @@ def make_lnprob_sharded(ctx: LFContext, layout, mesh, model="single",
     cspecs = _ctx_specs(ctx, shard_sources)
 
     if model == "single":
-        def scalar_lnlike(theta, c):
-            return lnlike_single_epoch(theta, c, layout, collapse=collapse)
+        if exact_bounds:
+            from lumfuncmcmc_tpu.models.likelihood import (
+                lnlike_exact_bounds)
+            lum_floor = float(jnp.min(ctx.lum))
+
+            def scalar_lnlike(theta, c):
+                return lnlike_exact_bounds(theta, c, layout,
+                                           min_comp_frac, lum_floor, lh)
+        else:
+            def scalar_lnlike(theta, c):
+                return lnlike_single_epoch(theta, c, layout,
+                                           collapse=collapse)
         scalar_lnprior = partial(lnprior, layout=layout)
     elif model == "z":
         def scalar_lnlike(theta, c):

@@ -78,3 +78,28 @@ def test_fith_runs(workdir):
     tab = read_fixed_width_two_line(
         str(workdir / "LFMCMCHOut" / f"fitposterior_{base}.dat"))
     assert r"$\mu_{L_*}$" in tab and "Ln Prob" in tab
+
+
+def test_vmax_no_cut_at_zero_mcf(workdir):
+    """Regression: min_comp_frac=0 must mean NO flux cut (the reference's
+    get_min_flux returns 0), not a hidden 1%-completeness floor."""
+    assert main(["vmax", "--synthetic", "200", "-mcf", "0",
+                 "-nbins", "10", "-o", "nz.dat"]) == 0
+    assert (workdir / "ImageFiles" / "Log" / "nz_log.dat").exists()
+
+
+def test_fit_with_fewer_catalog_fields(workdir, tmp_path):
+    """Regression: a catalog with fewer unique fields than configured
+    Flim entries must not add phantom surveyed-area terms."""
+    import numpy as np
+    cat = tmp_path / "two_fields.dat"
+    rng = np.random.default_rng(3)
+    with open(cat, "w") as fh:
+        fh.write("Field ID z OIII_flux OIII_flux_e\n")
+        for i in range(60):
+            fd = "A" if i % 2 else "B"
+            fh.write(f"{fd} {i} {rng.uniform(1.2, 1.8):.4f} "
+                     f"{rng.uniform(5, 40):.3f} 0.5\n")
+    out = main(["fit", "-f", str(cat), "-ns", "40", "-nw", "16",
+                "-mcf", "0.5", "--size-ln", "21", "-o", "tf.dat"])
+    assert out == 0

@@ -82,3 +82,27 @@ def test_full_sampler_step_sharded(setup):
     assert chain.shape == (3, 16, layout.ndim)
     assert np.all(np.isfinite(np.asarray(lnps)) |
                   (np.asarray(lnps) == -np.inf))
+
+
+def test_exact_bounds_sharded_matches_single_device(setup):
+    """Regression: cfg.exact_bounds must survive the mesh path (it was
+    silently dropped), including with a sharded source axis."""
+    from lumfuncmcmc_tpu.models.likelihood import lnlike_exact_bounds
+    cfg, ctx, layout = setup
+    lum_floor = float(np.min(np.asarray(ctx.lum)))
+
+    def ref_scalar(th):
+        from lumfuncmcmc_tpu.models.likelihood import lnprior
+        import jax.numpy as jnp2
+        lnl = lnlike_exact_bounds(th, ctx, layout, cfg.min_comp_frac,
+                                  lum_floor, cfg.Lh)
+        lp = lnprior(th, layout)
+        return jnp2.where(jnp2.isfinite(lp), lp + lnl, -jnp2.inf)
+
+    thetas = sample_init(jax.random.PRNGKey(5), layout, 16)
+    ref = np.asarray(jax.vmap(ref_scalar)(thetas))
+    mesh = make_mesh(2, 4)  # source axis sharded — the hard case
+    got = np.asarray(make_lnprob_sharded(
+        ctx, layout, mesh, model="single", exact_bounds=True,
+        min_comp_frac=cfg.min_comp_frac, lh=cfg.Lh)(thetas))
+    np.testing.assert_allclose(got, ref, rtol=1e-9)
