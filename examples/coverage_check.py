@@ -33,14 +33,17 @@ from lumfuncmcmc_tpu.samplers.diagnostics import burnin_steps
 from lumfuncmcmc_tpu.utils.synth import make_catalog, apply_completeness_cut
 
 PARAMS = ["Lstar", "phistar", "sch_al"]
+FREE = "--free" in sys.argv  # 9-parameter free-completeness model
 
 
 def one_replicate(k, rng):
     truth = dict(Lstar=rng.uniform(42.2, 42.8),
                  phistar=rng.uniform(-3.2, -2.2),
                  sch_al=rng.uniform(-1.8, -1.2))
-    cfg = LFConfig(min_comp_frac=0.5, fix_comp=True, quadrature="gauss",
-                   nwalkers=64, nsteps=600, seed=k, **truth)
+    nsteps = 1500 if FREE else 600
+    cfg = LFConfig(min_comp_frac=0.5, fix_comp=not FREE,
+                   quadrature="gauss", nwalkers=64, nsteps=nsteps,
+                   seed=k, **truth)
     cat = apply_completeness_cut(
         make_catalog(cfg, n_target=1500, seed=1000 + k), cfg)
     truth = dict(truth)
@@ -60,9 +63,15 @@ def one_replicate(k, rng):
                                  cfg.nsteps)
     chain = np.asarray(chain)
     burn, _ = burnin_steps(chain, cfg.nsteps)
-    post = chain[burn:].reshape(-1, 3)
+    post = chain[burn:].reshape(-1, layout.ndim)
     cover = {}
-    for i, name in enumerate(PARAMS):
+    # in the free model the completeness truths are the config values
+    if FREE:
+        for i in range(len(cfg.Flim)):
+            truth[f"Flim_{i}"] = cfg.Flim[i]
+        truth["alpha"] = cfg.alpha
+    names = list(layout.names)
+    for i, name in enumerate(names):
         lo68, hi68 = np.percentile(post[:, i], [16, 84])
         lo95, hi95 = np.percentile(post[:, i], [2.5, 97.5])
         cover[name] = (lo68 <= truth[name] <= hi68,
@@ -71,23 +80,26 @@ def one_replicate(k, rng):
 
 
 def main():
-    K = int(sys.argv[1]) if len(sys.argv) > 1 else 40
+    args = [a for a in sys.argv[1:] if not a.startswith("-")]
+    K = int(args[0]) if args else 40
     rng = np.random.default_rng(7)
-    hits68 = {p: 0 for p in PARAMS}
-    hits95 = {p: 0 for p in PARAMS}
+    params = PARAMS + ([f"Flim_{i}" for i in range(5)] + ["alpha"]
+                       if FREE else [])
+    hits68 = {p: 0 for p in params}
+    hits95 = {p: 0 for p in params}
     t0 = time.time()
     for k in range(K):
         cover = one_replicate(k, rng)
-        for p in PARAMS:
+        for p in params:
             hits68[p] += cover[p][0]
             hits95[p] += cover[p][1]
-        done = {p: f"{hits68[p]}/{k + 1}" for p in PARAMS}
+        done = {p: f"{hits68[p]}/{k + 1}" for p in params}
         print(f"replicate {k + 1}/{K}: 68% running coverage {done}",
               flush=True)
     dt = time.time() - t0
     print(f"\n=== coverage over {K} replicates ({dt:.0f}s) ===")
     err = np.sqrt(0.68 * 0.32 / K)
-    for p in PARAMS:
+    for p in params:
         print(f"  {p:8s}: 68% interval covers {hits68[p] / K:.2f} "
               f"(nominal 0.68 +- {err:.2f}); "
               f"95% covers {hits95[p] / K:.2f} (nominal 0.95)")
