@@ -70,6 +70,9 @@ def _add_common_flags(p):
                    choices=["trapz", "gauss"],
                    help="trapz = reference parity; gauss = production "
                         "split-panel Gauss-Legendre (default trapz)")
+    p.add_argument("--ppc", action="store_true",
+                   help="write a posterior predictive check (counts per "
+                        "L bin vs the model's Poisson prediction)")
     p.add_argument("--exact-bounds", dest="exact_bounds",
                    action="store_true", default=None,
                    help="free completeness: re-derive the integration "
@@ -319,7 +322,30 @@ def cmd_fit(args):
                             resume=bool(ck and os.path.exists(ck)))
     print("Finished fitting model and about to create outputs")
     _write_outputs(model, cfg, args, outdir, names)
+    if getattr(args, "ppc", False):
+        _write_ppc(model, cfg, args, outdir)
     return 0
+
+
+def _write_ppc(model, cfg, args, outdir):
+    from lumfuncmcmc_tpu.models.ppc import (
+        posterior_predictive_check, plot_ppc)
+    from lumfuncmcmc_tpu.utils.io import (
+        artifact_path, write_fixed_width_two_line)
+    ppc = posterior_predictive_check(model.samples, model.ctx,
+                                     model.layout, nbins=cfg.nbins,
+                                     seed=cfg.seed)
+    write_fixed_width_two_line(
+        artifact_path(outdir, "ppc", args.output_filename, cfg,
+                      ext="dat"),
+        {"Luminosity": ppc["centers"], "Observed": ppc["observed"],
+         "PredMean": ppc["rate_mean"], "Pred16": ppc["pred_p16"],
+         "Pred84": ppc["pred_p84"], "PValue": ppc["pvalue"]})
+    plot_ppc(ppc, artifact_path(outdir, "ppc", args.output_filename,
+                                cfg, ext="png"))
+    print("Finished writing posterior predictive check "
+          f"(N_obs={ppc['total_observed']}, "
+          f"E[N_pred]={ppc['total_predicted']:.1f})")
 
 
 def cmd_fitz(args):

@@ -1,0 +1,123 @@
+"""Posterior predictive checks (new capability).
+
+Neither the reference nor the classical 1/V_eff overlay answers "does
+the fitted model actually reproduce the observed counts?". The Poisson
+point-process model makes this exact: for any luminosity bin B,
+
+    N_pred(B | theta) = sum_f integral_B phi(L|theta) Omega_f dV/dz dz,
+
+a Poisson rate, evaluated here by re-binning the same frozen quadrature
+grid the likelihood uses (each grid node carries logL[f,i,j] and weight
+w_fixed[f,i,j]; a one-hot segment-sum accumulates nodes into L bins).
+Drawing theta from the posterior gives the posterior predictive count
+distribution per bin; comparing to the observed histogram yields
+bin-wise predictive p-values and a chi^2-style summary.
+
+Fixed-completeness path (Omega frozen); free-completeness thetas are
+handled by recomputing Omega per draw like the likelihood does.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lumfuncmcmc_tpu.models.context import LFContext
+from lumfuncmcmc_tpu.models.likelihood import ThetaLayout
+from lumfuncmcmc_tpu.ops.omega import omega_from_logf
+from lumfuncmcmc_tpu.ops.schechter import log_true_lum_func
+
+
+def predicted_counts(theta, ctx: LFContext, layout: ThetaLayout, edges):
+    """Expected counts per luminosity bin for one theta (jittable)."""
+    lstar, phistar, sch_al, logf50, alpha_c = layout.unpack(theta)
+    lnphi = log_true_lum_func(ctx.logL_grid, sch_al, lstar, phistar)
+    if layout.fix_comp:
+        contrib = jnp.exp(lnphi) * ctx.w_fixed
+    else:
+        om = omega_from_logf(ctx.logf_grid, ctx.omega0_f[:, None, None],
+                             logf50[:, None, None], alpha_c,
+                             layout.fcmin)
+        contrib = jnp.exp(lnphi) * om * ctx.w_open
+    nbins = edges.shape[0] - 1
+    idx = jnp.clip(jnp.searchsorted(edges, ctx.logL_grid, side="right")
+                   - 1, 0, nbins - 1)
+    inside = ((ctx.logL_grid >= edges[0])
+              & (ctx.logL_grid < edges[-1])).astype(contrib.dtype)
+    return jnp.zeros(nbins, contrib.dtype).at[idx.ravel()].add(
+        (contrib * inside).ravel())
+
+
+def posterior_predictive_check(samples, ctx: LFContext,
+                               layout: ThetaLayout, nbins: int = 20,
+                               ndraws: int = 200, seed: int = 0):
+    """Bin-wise posterior predictive check.
+
+    ``samples``: flat posterior array (n, ndim [+ lnp column allowed —
+    extra columns are ignored]).
+
+    Returns a dict with bin centers, observed counts, the predictive
+    mean/16/84 bands (including Poisson scatter), and two-sided
+    predictive p-values per bin.
+    """
+    rng = np.random.default_rng(seed)
+    lum = np.asarray(ctx.lum)
+    mask = np.asarray(ctx.src_mask) > 0
+    lum = lum[mask]
+    edges = np.linspace(lum.min() - 1e-9, lum.max() + 1e-9, nbins + 1)
+    observed, _ = np.histogram(lum, bins=edges)
+
+    idx = rng.integers(0, samples.shape[0], ndraws)
+    thetas = jnp.asarray(samples[idx, : layout.ndim])
+    rates = np.asarray(jax.vmap(
+        lambda th: predicted_counts(th, ctx, layout,
+                                    jnp.asarray(edges)))(thetas))
+    # posterior predictive includes Poisson scatter
+    draws = rng.poisson(np.maximum(rates, 0.0))
+    lo, med, hi = np.percentile(draws, [16, 50, 84], axis=0)
+    # two-sided predictive p-value per bin (with continuity correction)
+    p_hi = (draws >= observed[None, :]).mean(axis=0)
+    p_lo = (draws <= observed[None, :]).mean(axis=0)
+    pval = np.minimum(1.0, 2.0 * np.minimum(p_hi, p_lo))
+
+    centers = 0.5 * (edges[:-1] + edges[1:])
+    return {
+        "centers": centers,
+        "edges": edges,
+        "observed": observed,
+        "rate_mean": rates.mean(axis=0),
+        "pred_p16": lo, "pred_p50": med, "pred_p84": hi,
+        "pvalue": pval,
+        "total_observed": int(observed.sum()),
+        "total_predicted": float(rates.sum(axis=1).mean()),
+    }
+
+
+def plot_ppc(ppc: dict, outname: str):
+    """Observed counts vs the posterior predictive band."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, (ax, axp) = plt.subplots(
+        2, 1, sharex=True, figsize=(7, 6),
+        gridspec_kw={"height_ratios": [3, 1]})
+    ax.fill_between(ppc["centers"], ppc["pred_p16"], ppc["pred_p84"],
+                    alpha=0.3, color="C0",
+                    label="posterior predictive 68%")
+    ax.plot(ppc["centers"], ppc["pred_p50"], color="C0", lw=1)
+    ax.plot(ppc["centers"], ppc["observed"], "k.", label="observed")
+    ax.set_yscale("log")
+    ax.set_ylabel("counts per bin")
+    ax.legend(loc="best")
+    ax.set_title(f"N_obs={ppc['total_observed']}  "
+                 f"E[N_pred]={ppc['total_predicted']:.1f}")
+    axp.plot(ppc["centers"], ppc["pvalue"], "k.-", lw=0.8)
+    axp.axhline(0.05, color="r", ls=":", lw=0.8)
+    axp.set_ylim(0, 1.05)
+    axp.set_xlabel(r"$\log$ L (erg s$^{-1}$)")
+    axp.set_ylabel("pred. p-value")
+    fig.savefig(outname, dpi=200, bbox_inches="tight")
+    plt.close(fig)
+    return outname
