@@ -193,8 +193,14 @@ def triangle_plot_z(model, outname, lnprobcut=7.5, imgtype="png",
     model.set_median_fit(lnprobcut=lnprobcut, zlen=zlen, Llen=Llen)
     LL, _ = np.meshgrid(model.Lout, model.zout)
     _, zzout = np.meshgrid(model.Lout, model.zout)
-    im = ax1.pcolormesh(LL, model.medianLF, zzout, shading="auto",
-                        cmap="viridis")
+    # reference semantics (lumfuncmcmc_z.py:534): y coordinates are the
+    # LF *values* (non-monotonic by construction) colored by redshift —
+    # matplotlib warns about the cell-center interpretation; intentional.
+    import warnings
+    with warnings.catch_warnings():
+        warnings.filterwarnings("ignore", message=".*cell centers.*")
+        im = ax1.pcolormesh(LL, model.medianLF, zzout, shading="auto",
+                            cmap="viridis")
     med = np.percentile(nsamples[:, :3], 50.0, axis=0)
     xmax = min(np.max(med) + 0.5, model.Lout.max())
     cond = model.Lout <= xmax
