@@ -103,3 +103,22 @@ def test_fit_with_fewer_catalog_fields(workdir, tmp_path):
     out = main(["fit", "-f", str(cat), "-ns", "40", "-nw", "16",
                 "-mcf", "0.5", "--size-ln", "21", "-o", "tf.dat"])
     assert out == 0
+
+
+def test_output_dict_toggles_via_config(workdir, tmp_path):
+    """'triangle plot': False routes through set_median_fit (the
+    reference's else-branch, run_lumfuncmcmc.py:295) and suppressed
+    artifacts stay unwritten."""
+    conf = tmp_path / "conf.py"
+    conf.write_text(
+        "output_dict = {'parameters': True, 'settings': False,\n"
+        "  'fitposterior': True, 'bestfitLF': True, 'VeffLF': False,\n"
+        "  'triangle plot': False, 'image format': 'png'}\n")
+    assert main(["fit", "--config", str(conf)] + ARGS) == 0
+    base = "t_nb50_nw16_ns60_mcf50"
+    out = workdir / "LFMCMCOut"
+    assert (out / f"fitposterior_{base}.dat").exists()
+    assert (out / f"bestfitLF_{base}.dat").exists()
+    assert not (out / f"VeffLF_{base}.dat").exists()
+    assert not (out / f"triangle_{base}.png").exists()
+    assert not (out / "t.dat.args").exists()
