@@ -58,3 +58,11 @@ def omega(logL, z, cosmo, omega_0, logF50, alpha, fcmin=0.1):
     """
     logf = logflux_from_loglum(logL, cosmo.log10_dl_cm_at(z))
     return omega_from_logf(logf, omega_0, logF50, alpha, fcmin)
+
+
+def lum_at_flux(F, z, cosmo):
+    """Luminosity [erg/s] of flux ``F`` [cgs] at redshift ``z``
+    (``get_L_constF``, ``VmaxLumFunc.py:722-737``)."""
+    import jax.numpy as jnp
+    return 10.0 ** loglum_from_logflux(jnp.log10(F),
+                                       cosmo.log10_dl_cm_at(z))

@@ -164,3 +164,11 @@ def test_equal_count_z_bins():
     # bins ordered in z
     for b in range(4):
         assert z[idx == b].max() <= z[idx == b + 1].min()
+
+
+def test_lum_at_flux_matches_reference(cosmo, oracle):
+    from lumfuncmcmc_tpu.ops.omega import lum_at_flux
+    for F, z in [(3e-17, 1.2), (1e-16, 1.9)]:
+        ref = 4 * np.pi * (oracle.luminosity_distance(z) * 3.086e24)**2 * F
+        got = float(lum_at_flux(F, z, cosmo))
+        np.testing.assert_allclose(got, ref, rtol=1e-7)
