@@ -111,6 +111,11 @@ def main():
 
     dev = jax.devices()[0]
     log(f"backend: {jax.default_backend()}  device: {dev}")
+    if jax.default_backend() == "cpu" and args.steps == 10000:
+        # defensive: the full TPU workload would take ~an hour on a CPU
+        # backend; shrink so the benchmark still completes and reports
+        args.steps = 500
+        log("cpu backend detected: reducing steps to 500")
 
     # flagship workload: free completeness (9-dim theta), reference grid
     # size 101, 5 fields, min_comp_frac=0.5
