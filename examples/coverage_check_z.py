@@ -31,12 +31,16 @@ from lumfuncmcmc_tpu.samplers.diagnostics import burnin_steps
 from lumfuncmcmc_tpu.utils.synth import make_catalog, apply_completeness_cut
 
 
+NATURAL = "--natural" in sys.argv
+
+
 def one_replicate(k, rng):
     truth = dict(Lstar=rng.uniform(42.2, 42.8),
                  phistar=rng.uniform(-3.2, -2.2),
                  sch_al=rng.uniform(-1.8, -1.2))
     cfg = LFConfig(min_comp_frac=0.5, fix_comp=True, quadrature="gauss",
-                   nwalkers=64, nsteps=3000, seed=k, **truth)
+                   nwalkers=64, nsteps=1500, seed=k,
+                   z_param="natural" if NATURAL else "pivots", **truth)
     cat = apply_completeness_cut(
         make_catalog(cfg, n_target=1500, seed=2000 + k), cfg)
     phistar_eff = cat["theta_true"]["phistar"]
@@ -57,7 +61,12 @@ def one_replicate(k, rng):
     chain = np.asarray(chain)
     burn, _ = burnin_steps(chain, cfg.nsteps)
     post = chain[burn:].reshape(-1, layout.ndim)
-    truths = [truth["Lstar"]] * 3 + [phistar_eff] * 3 + [truth["sch_al"]]
+    if NATURAL:
+        truths = [truth["Lstar"], 0.0, 0.0, phistar_eff, 0.0, 0.0,
+                  truth["sch_al"]]
+    else:
+        truths = ([truth["Lstar"]] * 3 + [phistar_eff] * 3
+                  + [truth["sch_al"]])
     cover = {}
     for i, name in enumerate(layout.names):
         lo68, hi68 = np.percentile(post[:, i], [16, 84])
@@ -68,7 +77,8 @@ def one_replicate(k, rng):
 
 
 def main():
-    K = int(sys.argv[1]) if len(sys.argv) > 1 else 30
+    args = [a for a in sys.argv[1:] if not a.startswith("-")]
+    K = int(args[0]) if args else 30
     rng = np.random.default_rng(11)
     hits68 = hits95 = None
     t0 = time.time()

@@ -70,6 +70,10 @@ def _add_common_flags(p):
                    choices=["trapz", "gauss"],
                    help="trapz = reference parity; gauss = production "
                         "split-panel Gauss-Legendre (default trapz)")
+    p.add_argument("--z-param", dest="z_param", type=str, default=None,
+                   choices=["pivots", "natural"],
+                   help="fitz parameterization: pivot values (reference) "
+                        "or value/slope/curvature at z2")
     p.add_argument("--ppc", action="store_true",
                    help="write a posterior predictive check (counts per "
                         "L bin vs the model's Poisson prediction)")

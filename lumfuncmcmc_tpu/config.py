@@ -81,6 +81,11 @@ class LFConfig:
     z1: float = 1.20
     z2: float = 1.53
     z3: float = 1.86
+    z_param: str = "pivots"                # "pivots" (reference) |
+                                           #   "natural" (value/slope/
+                                           #   curvature at z2 — flat
+                                           #   prior on the curvature
+                                           #   direction)
 
     # --- outputs (configLF.py:33-42) ---
     param_percentiles: tuple = (5, 16, 50, 84, 95)

@@ -28,8 +28,18 @@ NEG_INF = -jnp.inf
 
 @dataclass(frozen=True)
 class ThetaLayoutZ:
-    """theta = [L1, L2, L3, phi1, phi2, phi3] (+ [sch_al] if free)
-    (``lumfuncmcmc_z.py:332-341``)."""
+    """Reference parameterization: theta = [L1, L2, L3, phi1, phi2,
+    phi3] (+ [sch_al] if free) (``lumfuncmcmc_z.py:332-341``).
+
+    Alternative ``z_param="natural"`` (new capability): theta =
+    [Lmid, Lslope, Lcurv, pmid, pslope, pcurv] (+ [sch_al]) — the
+    quadratic's value/slope/curvature at the central pivot z2. Uniform
+    priors on pivot *values* are informative about the curvature
+    direction (measurably skewing credible intervals when the data
+    barely constrain evolution — docs/VALIDATION.md); uniform priors on
+    the natural coefficients are flat in that direction. ``unpack``
+    always returns pivot values, so the likelihood is unchanged.
+    """
 
     names: tuple
     lo: tuple
@@ -39,6 +49,7 @@ class ThetaLayoutZ:
     z1: float
     z2: float
     z3: float
+    natural: bool = False
 
     @property
     def ndim(self) -> int:
@@ -46,28 +57,52 @@ class ThetaLayoutZ:
 
     @classmethod
     def from_config(cls, cfg: LFConfig) -> "ThetaLayoutZ":
-        names = ["L1", "L2", "L3", "phi1", "phi2", "phi3"]
-        lo = [cfg.Lstar_lims[0]] * 3 + [cfg.phistar_lims[0]] * 3
-        hi = [cfg.Lstar_lims[1]] * 3 + [cfg.phistar_lims[1]] * 3
+        natural = getattr(cfg, "z_param", "pivots") == "natural"
+        if natural:
+            names = ["Lmid", "Lslope", "Lcurv", "pmid", "pslope", "pcurv"]
+            lo = [cfg.Lstar_lims[0], -3.0, -6.0,
+                  cfg.phistar_lims[0], -5.0, -10.0]
+            hi = [cfg.Lstar_lims[1], 3.0, 6.0,
+                  cfg.phistar_lims[1], 5.0, 10.0]
+        else:
+            names = ["L1", "L2", "L3", "phi1", "phi2", "phi3"]
+            lo = [cfg.Lstar_lims[0]] * 3 + [cfg.phistar_lims[0]] * 3
+            hi = [cfg.Lstar_lims[1]] * 3 + [cfg.phistar_lims[1]] * 3
         if not cfg.fix_sch_al:
             names.append("sch_al")
             lo.append(cfg.sch_al_lims[0]); hi.append(cfg.sch_al_lims[1])
         return cls(names=tuple(names), lo=tuple(lo), hi=tuple(hi),
                    fix_sch_al=cfg.fix_sch_al, sch_al0=cfg.sch_al,
-                   z1=cfg.z1, z2=cfg.z2, z3=cfg.z3)
+                   z1=cfg.z1, z2=cfg.z2, z3=cfg.z3, natural=natural)
 
     def plot_names(self):
         """``get_param_names`` (``lumfuncmcmc_z.py:411-421``)."""
-        out = [r"$\log {\rm{L}}1_*$", r"$\log {\rm{L}}2_*$",
-               r"$\log {\rm{L}}3_*$", r"$\log \phi1_*$",
-               r"$\log \phi2_*$", r"$\log \phi3_*$"]
+        if self.natural:
+            out = [r"$\log L_*(z_2)$", r"$dL_*/dz$", r"$d^2L_*/dz^2$",
+                   r"$\log \phi_*(z_2)$", r"$d\phi_*/dz$",
+                   r"$d^2\phi_*/dz^2$"]
+        else:
+            out = [r"$\log {\rm{L}}1_*$", r"$\log {\rm{L}}2_*$",
+                   r"$\log {\rm{L}}3_*$", r"$\log \phi1_*$",
+                   r"$\log \phi2_*$", r"$\log \phi3_*$"]
         if not self.fix_sch_al:
             out.append(r"$\alpha$")
         return out
 
     def unpack(self, theta):
-        L1, L2, L3 = theta[0], theta[1], theta[2]
-        p1, p2, p3 = theta[3], theta[4], theta[5]
+        """-> (L1, L2, L3, phi1, phi2, phi3, sch_al) pivot values."""
+        if self.natural:
+            dz1, dz3 = self.z1 - self.z2, self.z3 - self.z2
+            Lm, Ls, Lc = theta[0], theta[1], theta[2]
+            pm, ps, pc = theta[3], theta[4], theta[5]
+            L1 = Lm + Ls * dz1 + Lc * dz1 * dz1
+            L3 = Lm + Ls * dz3 + Lc * dz3 * dz3
+            p1 = pm + ps * dz1 + pc * dz1 * dz1
+            p3 = pm + ps * dz3 + pc * dz3 * dz3
+            L2, p2 = Lm, pm
+        else:
+            L1, L2, L3 = theta[0], theta[1], theta[2]
+            p1, p2, p3 = theta[3], theta[4], theta[5]
         sch_al = (jnp.asarray(self.sch_al0, theta.dtype)
                   if self.fix_sch_al else theta[6])
         return L1, L2, L3, p1, p2, p3, sch_al

@@ -89,3 +89,26 @@ def test_lnprob_z_vmap(setup):
                            rng.uniform(-2, -0.8, (16, 1))]).reshape(16, 7)
     vals = np.asarray(lnprob(jnp.asarray(ths)))
     assert vals.shape == (16,) and np.all(np.isfinite(vals))
+
+
+def test_natural_parameterization_equivalence(setup):
+    """Natural (value/slope/curvature) thetas that encode the same
+    quadratic must give identical lnlike to the pivot form."""
+    ctx, layout = setup
+    cfg = LFConfig(min_comp_frac=0.5, fix_comp=True, z_param="natural")
+    layout_n = ThetaLayoutZ.from_config(cfg)
+    assert layout_n.natural
+    # pick natural coefficients, derive the pivot values they imply
+    Lm, Ls, Lc = 42.5, 0.3, -0.5
+    pm, ps, pc = -2.8, -0.4, 0.6
+    al = -1.5
+    dz1 = layout_n.z1 - layout_n.z2
+    dz3 = layout_n.z3 - layout_n.z2
+    th_nat = jnp.asarray([Lm, Ls, Lc, pm, ps, pc, al])
+    th_piv = jnp.asarray([Lm + Ls * dz1 + Lc * dz1**2, Lm,
+                          Lm + Ls * dz3 + Lc * dz3**2,
+                          pm + ps * dz1 + pc * dz1**2, pm,
+                          pm + ps * dz3 + pc * dz3**2, al])
+    a = float(lnlike_z(th_nat, ctx, layout_n))
+    b = float(lnlike_z(th_piv, ctx, layout))
+    np.testing.assert_allclose(a, b, rtol=1e-12)
