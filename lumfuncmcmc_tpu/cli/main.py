@@ -52,6 +52,8 @@ def _add_common_flags(p):
     p.add_argument("--sampler", type=str, default=None,
                    choices=["stretch", "nuts"])
     p.add_argument("--size-ln", dest="size_ln", type=int, default=None)
+    p.add_argument("--thin", type=int, default=None,
+                   help="record every thin-th sampler step")
     p.add_argument("--checkpoint-every", dest="checkpoint_every",
                    type=int, default=None)
     p.add_argument("--mesh-walkers", dest="mesh_walkers", type=int,

@@ -114,6 +114,9 @@ class LFConfig:
                                            #   routine is dead code,
                                            #   lumfuncmcmc.py:372)
     use_pallas: bool = False               # fused Pallas likelihood kernel
+    thin: int = 1                          # record every thin-th step
+                                           #   (memory guard for very long
+                                           #   chains; reference stores all)
     checkpoint_every: int = 0              # steps between chain checkpoints (0=off)
     mesh_walkers: int = 0                  # device-mesh walker axis (0 = all devices)
     mesh_sources: int = 1                  # device-mesh source axis

@@ -230,7 +230,8 @@ class _BaseModel:
             lnps = np.concatenate(lnps_parts)
         else:
             state, chain, lnps, acc = run_stretch(lnprob, pos0, k_run,
-                                                  cfg.nsteps)
+                                                  cfg.nsteps,
+                                                  thin=max(cfg.thin, 1))
             chain, lnps, acc = (np.asarray(chain), np.asarray(lnps),
                                 np.asarray(acc))
         jax.block_until_ready(jnp.zeros(()))
@@ -239,7 +240,10 @@ class _BaseModel:
         self.log.info("Time taken per step per walker: %0.4f ms" %
                       (elapsed / cfg.nsteps * 1000.0 / cfg.nwalkers))
 
-        burn, tau = burnin_steps(chain, cfg.nsteps)
+        # with thinning, the recorded chain has nsteps//thin rows and tau
+        # is measured in recorded-step units — the burn-in rule applies
+        # to the recorded axis
+        burn, tau = burnin_steps(chain, chain.shape[0])
         self.log.info("Mean acceptance fraction: %0.2f" %
                       (np.mean(acc) / acc_steps))
         self.log.info("AutoCorrelation Steps: %i, Number of Burn-in "

@@ -129,3 +129,13 @@ def test_field_id_out_of_range_raises():
         build_context(cfg, z=np.array([1.3, 1.4]),
                       flux=np.array([5.0, 6.0]),
                       field_id=np.array([0, 3]))  # field 3 undefined
+
+
+def test_thinned_fit(small_inputs):
+    cfg, cat = small_inputs
+    m = LumFuncModel(cfg.replace(thin=5, nsteps=100), z=cat["z"],
+                     flux=cat["flux"], flux_e=cat["flux_e"],
+                     field_id=cat["field_id"])
+    m.fit_model()
+    assert m.chain.shape[0] == 20  # 100 steps / thin 5
+    assert np.all(np.isfinite(m.samples[:, -1]))
