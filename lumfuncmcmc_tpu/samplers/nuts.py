@@ -82,6 +82,25 @@ def _uturn(y_minus, y_plus, p_minus, p_plus):
     return (jnp.dot(dy, p_minus) < 0.0) | (jnp.dot(dy, p_plus) < 0.0)
 
 
+def _subtree_turn(go_right, ck_y, y_n, ck_p, p_n):
+    """Trajectory-ordered U-turn decision for one sub-subtree window.
+
+    ``ck`` is the window's opening edge in *integration* order and
+    ``(y_n, p_n)`` its closing edge.  Integration order equals trajectory
+    order only when integrating rightward.  Leapfrog with -eps is the
+    exact inverse map, so the momenta it produces stay in the forward
+    (trajectory-time) convention — reversing integration direction flips
+    dy but NOT the momenta, hence ``_uturn`` is not invariant under it
+    and leftward windows must swap both the position and momentum pairs.
+    (An unflipped leftward check flags healthy windows as "turning" and
+    misses genuine leftward U-turns, truncating leftward growth and
+    breaking the reversibility of the stopping rule.)
+    """
+    return jnp.where(go_right,
+                     _uturn(ck_y, y_n, ck_p, p_n),
+                     _uturn(y_n, ck_y, p_n, ck_p))
+
+
 def _nuts_step(value_and_grad, max_doublings, eps, key, y0):
     ndim = y0.shape[0]
     k_mom, k_dir, k_acc = jax.random.split(key, 3)
@@ -142,11 +161,8 @@ def _nuts_step(value_and_grad, max_doublings, eps, key, y0):
                 ck_p = ck_p.at[k_scale - 1].set(
                     jnp.where(opens, p_n, ck_p[k_scale - 1]))
                 closes = ((i + 1) % size) == 0
-                turn_k = _uturn(ck_y[k_scale - 1], y_n,
-                                ck_p[k_scale - 1], p_n)
-                # orientation: for leftward integration the stored state
-                # is "later" in trajectory time; _uturn is invariant
-                # under (dy, p) -> (-dy, -p), so the same formula holds.
+                turn_k = _subtree_turn(go_right, ck_y[k_scale - 1], y_n,
+                                       ck_p[k_scale - 1], p_n)
                 turning = turning | (closes & turn_k)
 
             return (y_n, p_n, g_n, lw_sum_new, y_prop, lw_prop, key,

@@ -35,20 +35,20 @@ def test_stretch_and_nuts_agree():
         [rng.uniform(42.2, 42.9, 64), rng.uniform(-3.2, -2.0, 64),
          rng.uniform(-1.9, -1.2, 64)]))
     _, chain, _, _ = run_stretch(lnprob, pos0, jax.random.PRNGKey(1),
-                                 1200)
+                                 2500)
     chain = np.asarray(chain)
-    burn, _ = burnin_steps(chain, 1200)
+    burn, _ = burnin_steps(chain, 2500)
     post_s = chain[burn:].reshape(-1, 3)
 
     # NUTS on the same posterior
     lo, hi = layout.bounds_arrays()
     lnp_y, to_theta, to_y = make_unconstrained(
         lambda th: lnlike_single_epoch(th, ctx, layout), lo, hi)
-    start = jnp.asarray([[42.5, -2.6, -1.6]] * 6) + \
-        0.02 * jax.random.normal(jax.random.PRNGKey(2), (6, 3))
+    start = jnp.asarray([[42.5, -2.6, -1.6]] * 8) + \
+        0.02 * jax.random.normal(jax.random.PRNGKey(2), (8, 3))
     samples, _, _, _ = run_nuts(lnp_y, jax.vmap(to_y)(start),
-                                jax.random.PRNGKey(3), num_warmup=300,
-                                num_samples=400, max_doublings=7)
+                                jax.random.PRNGKey(3), num_warmup=400,
+                                num_samples=1000, max_doublings=7)
     post_n = np.asarray(jax.vmap(jax.vmap(to_theta))(samples)
                         ).reshape(-1, 3)
 
@@ -56,8 +56,10 @@ def test_stretch_and_nuts_agree():
     std_s, std_n = post_s.std(axis=0), post_n.std(axis=0)
     # means agree within a fraction of the posterior width
     for i in range(3):
-        tol = 0.35 * max(std_s[i], std_n[i])
+        tol = 0.2 * max(std_s[i], std_n[i])
         assert abs(mean_s[i] - mean_n[i]) < tol, (
             i, mean_s, mean_n, std_s, std_n)
-    # widths agree to ~40%
-    np.testing.assert_allclose(std_s, std_n, rtol=0.4)
+    # widths agree tightly — a ~15% band would have caught (a weakened
+    # form of) both historic width-bias bugs: endpoint-only U-turn
+    # checking (1.7x) and the leftward sub-u-turn orientation flip
+    np.testing.assert_allclose(std_s, std_n, rtol=0.15)

@@ -5,7 +5,81 @@ import jax
 import jax.numpy as jnp
 
 from lumfuncmcmc_tpu.samplers.nuts import (
-    make_unconstrained, run_nuts)
+    _subtree_turn, _uturn, make_unconstrained, run_nuts)
+
+
+def _leapfrog_np(y, p, eps, n, grad):
+    """Plain-NumPy leapfrog; returns the n+1 (y, p) states in
+    integration order (forward-convention momenta for any sign of eps)."""
+    states = [(y.copy(), p.copy())]
+    g = grad(y)
+    for _ in range(n):
+        p_half = p + 0.5 * eps * g
+        y = y + eps * p_half
+        g = grad(y)
+        p = p_half + 0.5 * eps * g
+        states.append((y.copy(), p.copy()))
+    return states
+
+
+def test_subtree_turn_direction_sensitivity():
+    """The sub-subtree U-turn decision must be orientation-aware.
+
+    Leapfrog with -eps is the exact inverse map, so leftward-integrated
+    states keep forward-convention momenta: only dy reverses, and the
+    check must swap both the position and momentum pairs when the window
+    was opened going leftward. Two properties pin this down on a
+    correlated-Gaussian (harmonic oscillator) target:
+
+    1. healthy short windows are not flagged turning in EITHER direction
+       (the unflipped check flagged ~all healthy leftward windows);
+    2. for the same physical window the leftward decision equals the
+       rightward decision (direction symmetry of the stopping rule,
+       required for reversibility).
+    """
+    A = np.array([[1.0, 0.9], [0.9, 1.0]])
+    A = np.linalg.inv(A)  # precision of a rho=0.9 Gaussian
+    grad = lambda y: -A @ y
+
+    rng = np.random.default_rng(7)
+    for _ in range(200):
+        y0 = 0.5 * rng.normal(size=2)
+        p0 = rng.normal(size=2)
+        p0 *= max(1.0, 0.8 / np.linalg.norm(p0))  # keep |p| off zero
+
+        # -- healthy 2-step windows, eps tiny: never turning in EITHER
+        # direction (dy ~ eps*p so dy.p ~ eps|p|^2 > 0; the unflipped
+        # leftward check flagged ~all of these as turning) -------------
+        eps = 0.01
+        fwd = _leapfrog_np(y0, p0, eps, 2, grad)
+        (ya, pa), (yb, pb) = fwd[1], fwd[2]  # leaves of a size-2 window
+        right = bool(_subtree_turn(True, jnp.asarray(ya), jnp.asarray(yb),
+                                   jnp.asarray(pa), jnp.asarray(pb)))
+        assert not right
+        bwd = _leapfrog_np(y0, p0, -eps, 2, grad)
+        (yc, pc), (yd, pd) = bwd[1], bwd[2]  # integration order: later→earlier
+        left = bool(_subtree_turn(False, jnp.asarray(yc), jnp.asarray(yd),
+                                  jnp.asarray(pc), jnp.asarray(pd)))
+        assert not left
+
+        # -- direction symmetry on an arbitrary-length window ----------
+        n = int(rng.integers(2, 17))
+        eps = float(rng.uniform(0.05, 0.6))
+        fwd = _leapfrog_np(y0, p0, eps, n, grad)
+        (ya, pa), (yb, pb) = fwd[0], fwd[n]
+        right = bool(_subtree_turn(True, jnp.asarray(ya), jnp.asarray(yb),
+                                   jnp.asarray(pa), jnp.asarray(pb)))
+        # integrate leftward from the window's right edge: exactly
+        # retraces the same states back to (y0, p0)
+        bwd = _leapfrog_np(yb.copy(), pb.copy(), -eps, n, grad)
+        yd, pd = bwd[n]
+        np.testing.assert_allclose(yd, ya, atol=1e-8)
+        np.testing.assert_allclose(pd, pa, atol=1e-8)
+        left = bool(_subtree_turn(False, jnp.asarray(yb), jnp.asarray(yd),
+                                  jnp.asarray(pb), jnp.asarray(pd)))
+        # the leftward-opened window covers the same physical segment —
+        # its decision must match the rightward one
+        assert left == right, (y0, p0, n, eps)
 
 
 def test_unconstrained_transform_roundtrip():
