@@ -321,6 +321,7 @@ def cmd_fit(args):
         if cfg.sampler == "nuts":
             model.fit_model_nuts()
         else:
+            from lumfuncmcmc_tpu.utils.io import artifact_path
             ck = (artifact_path(outdir, "checkpoint",
                                 args.output_filename, cfg, ext="npz")
                   if cfg.checkpoint_every else None)

@@ -158,14 +158,13 @@ def _ln_term_direct(ctx: LFContext, lstar, phistar, sch_al, ln_om_src):
     return jnp.sum(contrib)
 
 
-def lnlike_single_epoch(theta, ctx: LFContext, layout: ThetaLayout,
-                        collapse: bool = True):
-    """lnL(theta) for the single-epoch Schechter model.
+def lnlike_single_epoch_parts(theta, ctx: LFContext, layout: ThetaLayout,
+                              collapse: bool = True):
+    """(lnpart, fullint) for the single-epoch model.
 
-    Fixed completeness -> ``lnlike_fix_comp`` semantics
-    (``lumfuncmcmc.py:380-393``): frozen Omega caches, collapsed ln-term.
-    Free completeness -> ``lnlike`` semantics (``lumfuncmcmc.py:360-378``):
-    Omega recomputed from theta on the frozen grid and per source.
+    Split exposed so the source-sharded evaluator can ``psum`` the
+    per-source part alone and add the (replicated-input) grid integral
+    exactly once — lnL = lnpart - fullint.
     """
     lstar, phistar, sch_al, logf50, alpha_c = layout.unpack(theta)
 
@@ -186,28 +185,29 @@ def lnlike_single_epoch(theta, ctx: LFContext, layout: ThetaLayout,
             logf50[:, None, None], alpha_c, layout.fcmin)
         lnphi_grid = log_true_lum_func(ctx.logL_grid, sch_al, lstar, phistar)
         fullint = jnp.sum(jnp.exp(lnphi_grid) * om_grid * ctx.w_open)
+    return lnpart, fullint
+
+
+def lnlike_single_epoch(theta, ctx: LFContext, layout: ThetaLayout,
+                        collapse: bool = True):
+    """lnL(theta) for the single-epoch Schechter model.
+
+    Fixed completeness -> ``lnlike_fix_comp`` semantics
+    (``lumfuncmcmc.py:380-393``): frozen Omega caches, collapsed ln-term.
+    Free completeness -> ``lnlike`` semantics (``lumfuncmcmc.py:360-378``):
+    Omega recomputed from theta on the frozen grid and per source.
+    """
+    lnpart, fullint = lnlike_single_epoch_parts(theta, ctx, layout,
+                                                collapse=collapse)
     return lnpart - fullint
 
 
-def lnlike_exact_bounds(theta, ctx: LFContext, layout: ThetaLayout,
-                        min_comp_frac: float, lum_floor, lh,
-                        n_nodes: int = 32):
-    """Free-completeness lnL with theta-EXACT integration bounds.
-
-    The reference freezes the logL grid's lower bound at the build-time
-    completeness parameters even while sampling Flim/alpha_c (its exact
-    -bounds routine ``setlncomp`` exists but is dead code — its call is
-    commented out at ``lumfuncmcmc.py:372``; SURVEY.md §3.2 prescribes
-    offering the exact treatment as an option). Here the bound
-
-        minlum_f(z | theta) = max( log10(4 pi dL^2 root_f(theta)),
-                                   min(lum) )
-
-    is re-derived per evaluation: the completeness root by fixed
-    -iteration bisection (jittable), and the (L, z) integral by
-    Gauss-Legendre on [0, 1]^2 mapped through the theta-dependent bounds
-    — static shapes, fully differentiable.
-    """
+def lnlike_exact_bounds_parts(theta, ctx: LFContext, layout: ThetaLayout,
+                              min_comp_frac: float, lum_floor, lh,
+                              n_nodes: int = 32):
+    """(lnpart, fullint) for the theta-exact-bounds likelihood; split
+    exposed for the source-sharded evaluator (see
+    :func:`lnlike_exact_bounds` for the semantics)."""
     lstar, phistar, sch_al, logf50, alpha_c = layout.unpack(theta)
     dt = theta.dtype
 
@@ -246,6 +246,30 @@ def lnlike_exact_bounds(theta, ctx: LFContext, layout: ThetaLayout,
     lnphi = log_true_lum_func(logL, sch_al, lstar, phistar)
     fullint = jnp.sum(jnp.exp(lnphi) * om * wl
                       * (wz * dvdz)[None, None, :])
+    return lnpart, fullint
+
+
+def lnlike_exact_bounds(theta, ctx: LFContext, layout: ThetaLayout,
+                        min_comp_frac: float, lum_floor, lh,
+                        n_nodes: int = 32):
+    """Free-completeness lnL with theta-EXACT integration bounds.
+
+    The reference freezes the logL grid's lower bound at the build-time
+    completeness parameters even while sampling Flim/alpha_c (its exact
+    -bounds routine ``setlncomp`` exists but is dead code — its call is
+    commented out at ``lumfuncmcmc.py:372``; SURVEY.md §3.2 prescribes
+    offering the exact treatment as an option). The bound
+
+        minlum_f(z | theta) = max( log10(4 pi dL^2 root_f(theta)),
+                                   min(lum) )
+
+    is re-derived per evaluation: the completeness root by fixed
+    -iteration bisection (jittable), and the (L, z) integral by
+    Gauss-Legendre on [0, 1]^2 mapped through the theta-dependent bounds
+    — static shapes, fully differentiable.
+    """
+    lnpart, fullint = lnlike_exact_bounds_parts(
+        theta, ctx, layout, min_comp_frac, lum_floor, lh, n_nodes)
     return lnpart - fullint
 
 

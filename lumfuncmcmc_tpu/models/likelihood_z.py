@@ -125,8 +125,10 @@ def lnprior_z(theta, layout: ThetaLayoutZ):
     return jnp.where(ok, 0.0, NEG_INF)
 
 
-def lnlike_z(theta, ctx: LFContext, layout: ThetaLayoutZ):
-    """lnL for the z-evolving model (``lumfuncmcmc_z.py:364-376``)."""
+def lnlike_z_parts(theta, ctx: LFContext, layout: ThetaLayoutZ):
+    """(lnpart, fullint) split — the per-source reduction and the grid
+    integral — so the source-sharded evaluator can ``psum`` only the
+    source part (lnL = lnpart - fullint)."""
     L1, L2, L3, p1, p2, p3, al = layout.unpack(theta)
     zp = (layout.z1, layout.z2, layout.z3)
 
@@ -139,6 +141,12 @@ def lnlike_z(theta, ctx: LFContext, layout: ThetaLayoutZ):
     lnphi_grid = log_schechter_z(ctx.logL_grid, ctx.zarr[:, None, :],
                                  al, L1, L2, L3, p1, p2, p3, *zp)
     fullint = jnp.sum(jnp.exp(lnphi_grid) * ctx.w_fixed)
+    return lnpart, fullint
+
+
+def lnlike_z(theta, ctx: LFContext, layout: ThetaLayoutZ):
+    """lnL for the z-evolving model (``lumfuncmcmc_z.py:364-376``)."""
+    lnpart, fullint = lnlike_z_parts(theta, ctx, layout)
     return lnpart - fullint
 
 

@@ -194,20 +194,36 @@ class _BaseModel:
         start = time.time()
 
         every = cfg.checkpoint_every or 0
-        acc_steps = cfg.nsteps   # steps the acceptance counter covers
-        if every and 0 < every < cfg.nsteps:
+        thin = max(cfg.thin, 1)
+        nsteps_exec = cfg.nsteps - (cfg.nsteps % thin)
+        if nsteps_exec != cfg.nsteps:
+            self.log.warning(
+                "nsteps=%d is not a multiple of thin=%d; running %d steps"
+                % (cfg.nsteps, thin, nsteps_exec))
+        acc_steps = nsteps_exec  # steps the acceptance counter covers
+        if every and 0 < every < nsteps_exec:
+            if every % thin:
+                every = max(thin, every - (every % thin))
+                self.log.warning(
+                    "checkpoint_every rounded down to %d (a multiple of "
+                    "thin=%d)" % (every, thin))
             chains, lnps_parts, acc = [], [], 0.0
             state_pos = pos0
-            remaining, kk = cfg.nsteps, k_run
+            remaining, kk = nsteps_exec, k_run
             if resume and checkpoint_path and \
                     os.path.exists(checkpoint_path):
                 ck = np.load(checkpoint_path)
-                done = ck["chain"].shape[0]
+                done = ck["chain"].shape[0] * thin  # rows are thinned
                 chains = [ck["chain"]]
                 lnps_parts = [ck["lnprobability"]]
+                if "acc" in ck:
+                    acc = ck["acc"]
+                else:
+                    # legacy checkpoint without per-walker counts: the
+                    # fraction can only cover the resumed tail
+                    acc_steps = max(nsteps_exec - done, 1)
                 state_pos = jnp.asarray(ck["chain"][-1])
-                remaining = cfg.nsteps - done
-                acc_steps = max(remaining, 1)  # counter restarts here
+                remaining = nsteps_exec - done
                 # replay the key stream so the continued run matches
                 for _ in range(-(-done // every)):
                     kk, _ = jax.random.split(kk)
@@ -216,7 +232,7 @@ class _BaseModel:
                 kk, k_blk = jax.random.split(kk)
                 nblk = min(every, remaining)
                 state, ch, lp, ac = run_stretch(lnprob, state_pos, k_blk,
-                                                nblk)
+                                                nblk, thin=thin)
                 state_pos = state.pos
                 chains.append(np.asarray(ch))
                 lnps_parts.append(np.asarray(lp))
@@ -225,27 +241,28 @@ class _BaseModel:
                 if checkpoint_path:
                     np.savez(checkpoint_path,
                              chain=np.concatenate(chains),
-                             lnprobability=np.concatenate(lnps_parts))
+                             lnprobability=np.concatenate(lnps_parts),
+                             acc=np.asarray(acc))
             chain = np.concatenate(chains)
             lnps = np.concatenate(lnps_parts)
         else:
             state, chain, lnps, acc = run_stretch(lnprob, pos0, k_run,
-                                                  cfg.nsteps,
-                                                  thin=max(cfg.thin, 1))
+                                                  nsteps_exec, thin=thin)
             chain, lnps, acc = (np.asarray(chain), np.asarray(lnps),
                                 np.asarray(acc))
         jax.block_until_ready(jnp.zeros(()))
         elapsed = time.time() - start
         self.log.info("Total time taken: %0.2f s" % elapsed)
         self.log.info("Time taken per step per walker: %0.4f ms" %
-                      (elapsed / cfg.nsteps * 1000.0 / cfg.nwalkers))
+                      (elapsed / nsteps_exec * 1000.0 / cfg.nwalkers))
 
         # with thinning, the recorded chain has nsteps//thin rows and tau
         # is measured in recorded-step units — the burn-in rule applies
         # to the recorded axis
         burn, tau = burnin_steps(chain, chain.shape[0])
+        self.acceptance_fraction = float(np.mean(acc) / acc_steps)
         self.log.info("Mean acceptance fraction: %0.2f" %
-                      (np.mean(acc) / acc_steps))
+                      self.acceptance_fraction)
         self.log.info("AutoCorrelation Steps: %i, Number of Burn-in "
                       "Steps: %i" % (round(tau), burn))
         ess = effective_sample_size(chain[burn:])
@@ -336,12 +353,37 @@ class _BaseModel:
 
         pos = self._initial_positions(k_init)
         nchains = min(nchains, pos.shape[0])
+        if self.mesh is not None:
+            # chains are embarrassingly parallel: shard them over the
+            # mesh walker axis and let SPMD partitioning do the rest
+            # (the source axis is unused by NUTS — its devices replicate)
+            from lumfuncmcmc_tpu.parallel.mesh import AXIS_WALKERS
+            nshard = self.mesh.shape[AXIS_WALKERS]
+            if nshard > pos.shape[0]:
+                raise ValueError(
+                    f"mesh walker axis has {nshard} devices but only "
+                    f"{pos.shape[0]} walkers are available to seed NUTS "
+                    "chains; raise nwalkers or shrink the mesh")
+            if nchains % nshard:
+                new = max(nshard, nchains - nchains % nshard)
+                self.log.info("Rounding nchains %d -> %d (multiple of "
+                              "the %d-device mesh walker axis)"
+                              % (nchains, new, nshard))
+                nchains = new
         start = pos[:nchains]
         # shrink random inits toward the box center: NUTS needs a finite
         # gradient start, and extreme corners have ~-1e6 lnlike
         mid = (lo + hi) / 2.0
         start = 0.8 * mid[None, :] + 0.2 * start
         y0 = jax.vmap(to_y)(start)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            from lumfuncmcmc_tpu.parallel.mesh import AXIS_WALKERS
+            y0 = jax.device_put(
+                y0, NamedSharding(self.mesh, PartitionSpec(AXIS_WALKERS)))
+            self.log.info("NUTS chains sharded over mesh axis "
+                          "'%s' (%d devices)"
+                          % (AXIS_WALKERS, self.mesh.shape[AXIS_WALKERS]))
 
         self.log.info("Fitting with NUTS (%d chains, %d warmup, %d "
                       "samples)" % (nchains, num_warmup, cfg.nsteps))

@@ -30,8 +30,8 @@ from jax.sharding import PartitionSpec as P
 
 from lumfuncmcmc_tpu.models.context import LFContext
 from lumfuncmcmc_tpu.models.likelihood import (
-    lnprior, lnlike_single_epoch, NEG_INF)
-from lumfuncmcmc_tpu.models.likelihood_z import lnprior_z, lnlike_z
+    lnprior, lnlike_single_epoch_parts, NEG_INF)
+from lumfuncmcmc_tpu.models.likelihood_z import lnprior_z, lnlike_z_parts
 from lumfuncmcmc_tpu.parallel.mesh import AXIS_SOURCES, AXIS_WALKERS
 
 # context fields carrying a leading source axis
@@ -56,37 +56,6 @@ def pad_sources(ctx: LFContext, multiple: int) -> LFContext:
         fill = (jnp.zeros_like(arr[0:1]) if f == "src_mask" else arr[0:1])
         updates[f] = jnp.concatenate([arr, jnp.repeat(fill, pad, axis=0)])
     return dataclasses.replace(ctx, **updates)
-
-
-def _no_sources_ctx(ctx: LFContext) -> LFContext:
-    """Context whose source axis is a fixed 8-row masked-out dummy.
-
-    Evaluating the likelihood on it yields exactly the catalog-independent
-    terms (-fullint). Built only from replicated arrays and constants, so
-    under shard_map its value is *provably* device-invariant over the
-    source axis (the vma replication check passes without escape hatches).
-    """
-    dt = ctx.lum.dtype
-    nd = 8
-    zmid = ctx.zarr[0, ctx.zarr.shape[1] // 2]
-    return dataclasses.replace(
-        ctx,
-        lum=jnp.full((nd,), 42.0, dt),
-        zsrc=jnp.full((nd,), 1.0, dt) * zmid,
-        logf_src=jnp.full((nd,), -17.0, dt),
-        omega0_src=jnp.ones((nd,), dt),
-        ln_om_src=jnp.zeros((nd,), dt),
-        field_id=jnp.zeros((nd,), jnp.int32),
-        src_mask=jnp.zeros((nd,), dt),
-        nsrc=jnp.zeros_like(ctx.nsrc),
-        sum_lum=jnp.zeros_like(ctx.sum_lum),
-        sum_pow_lum=jnp.zeros_like(ctx.sum_pow_lum),
-        sum_ln_om=jnp.zeros_like(ctx.sum_ln_om),
-        nsrc_f=jnp.zeros_like(ctx.nsrc_f),
-        sum_lum_f=jnp.zeros_like(ctx.sum_lum_f),
-        sum_pow_lum_f=jnp.zeros_like(ctx.sum_pow_lum_f),
-        sum_ln_om_f=jnp.zeros_like(ctx.sum_ln_om_f),
-    )
 
 
 def _ctx_specs(ctx: LFContext, shard_sources: bool):
@@ -125,54 +94,51 @@ def make_lnprob_sharded(ctx: LFContext, layout, mesh, model="single",
     if model == "single":
         if exact_bounds:
             from lumfuncmcmc_tpu.models.likelihood import (
-                lnlike_exact_bounds)
+                lnlike_exact_bounds_parts)
             lum_floor = float(jnp.min(ctx.lum))
 
-            def scalar_lnlike(theta, c):
-                return lnlike_exact_bounds(theta, c, layout,
-                                           min_comp_frac, lum_floor, lh)
+            def scalar_parts(theta, c):
+                return lnlike_exact_bounds_parts(theta, c, layout,
+                                                 min_comp_frac, lum_floor,
+                                                 lh)
         else:
-            def scalar_lnlike(theta, c):
-                return lnlike_single_epoch(theta, c, layout,
-                                           collapse=collapse)
+            def scalar_parts(theta, c):
+                return lnlike_single_epoch_parts(theta, c, layout,
+                                                 collapse=collapse)
         scalar_lnprior = partial(lnprior, layout=layout)
     elif model == "z":
-        def scalar_lnlike(theta, c):
-            return lnlike_z(theta, c, layout)
+        def scalar_parts(theta, c):
+            return lnlike_z_parts(theta, c, layout)
         scalar_lnprior = partial(lnprior_z, layout=layout)
     elif model == "hier":
         from lumfuncmcmc_tpu.models.hierarchical import (
             lnlike_h, lnprior_h)
 
-        def scalar_lnlike(theta, c):
-            return lnlike_h(theta, c, layout)
+        def scalar_parts(theta, c):
+            return lnlike_h(theta, c, layout), jnp.zeros((), theta.dtype)
         scalar_lnprior = partial(lnprior_h, layout=layout)
     else:
         raise ValueError(f"unknown model {model!r}")
 
-    def local_batch(thetas_blk, ctx_blk, ctx_rep):
+    def local_batch(thetas_blk, ctx_blk):
         """Evaluate the local walker block against the local source shard."""
         def one(theta):
-            lnl_local = scalar_lnlike(theta, ctx_blk)
+            # lnpart reduces over the (possibly local) source axis;
+            # fullint is a pure function of replicated grid arrays, so
+            # each device computes the identical value — sum the source
+            # parts across shards and subtract the integral exactly once
+            # (a single grid reduction per theta, not two).
+            lnpart, fullint = scalar_parts(theta, ctx_blk)
             if shard_sources:
-                # lnl_local = lnpart(local sources) - fullint(replicated);
-                # isolate the source part, psum it, add the replicated
-                # part (evaluated on the invariant dummy context) back
-                # exactly once.
-                lnl_rep = scalar_lnlike(theta, ctx_rep)
-                src_part = lnl_local - lnl_rep
-                lnl = jax.lax.psum(src_part, AXIS_SOURCES) + lnl_rep
-            else:
-                lnl = lnl_local
+                lnpart = jax.lax.psum(lnpart, AXIS_SOURCES)
+            lnl = lnpart - fullint
             lp = scalar_lnprior(theta)
             return jnp.where(jnp.isfinite(lp), lp + lnl, NEG_INF)
         return jax.vmap(one)(thetas_blk)
 
-    ctx_rep = _no_sources_ctx(ctx)
-    rep_specs = jax.tree_util.tree_map(lambda _: P(), ctx_rep)
     sharded_fn = jax.shard_map(
         local_batch, mesh=mesh,
-        in_specs=(P(AXIS_WALKERS), cspecs, rep_specs),
+        in_specs=(P(AXIS_WALKERS), cspecs),
         out_specs=P(AXIS_WALKERS))
 
     def batch(thetas):
@@ -182,6 +148,6 @@ def make_lnprob_sharded(ctx: LFContext, layout, mesh, model="single",
             thetas = jnp.concatenate(
                 [thetas,
                  jnp.broadcast_to(thetas[:1], (wpad - w,) + thetas.shape[1:])])
-        return sharded_fn(thetas, ctx, ctx_rep)[:w]
+        return sharded_fn(thetas, ctx)[:w]
 
     return batch

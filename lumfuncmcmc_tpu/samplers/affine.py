@@ -103,7 +103,9 @@ def run_stretch(lnprob_batch: Callable, pos0, key, nsteps: int,
     pos0 : (nwalkers, ndim) initial positions.
     key : PRNG key (explicit — the reference had no seed control at all,
         SURVEY.md §4).
-    nsteps : number of full ensemble steps.
+    nsteps : number of full ensemble steps. With ``thin > 1`` it must be
+        a multiple of ``thin`` — a remainder would otherwise be silently
+        dropped while callers normalize acceptance/timing by ``nsteps``.
     thin : record every ``thin``-th step.
 
     Returns
@@ -116,6 +118,11 @@ def run_stretch(lnprob_batch: Callable, pos0, key, nsteps: int,
     nwalkers = pos0.shape[0]
     if nwalkers % 2:
         raise ValueError("nwalkers must be even for the red-black scheme")
+    if thin > 1 and nsteps % thin:
+        raise ValueError(
+            f"nsteps={nsteps} must be a multiple of thin={thin} "
+            "(round it yourself so acceptance/timing normalization is "
+            "explicit)")
     nh = nwalkers // 2
     state = EnsembleState(pos0, lnprob_batch(pos0))
 
@@ -142,8 +149,7 @@ def run_stretch(lnprob_batch: Callable, pos0, key, nsteps: int,
             (st, acc), _ = jax.lax.scan(scan_body, carry, rands_block)
             return (st, acc), (st.pos, st.lnp)
         nblocks = nsteps // thin
-        reshape = lambda x: x[: nblocks * thin].reshape(
-            (nblocks, thin) + x.shape[1:])
+        reshape = lambda x: x.reshape((nblocks, thin) + x.shape[1:])
         (state, acc), (chain, lnps) = jax.lax.scan(
             outer_body, (state, acc0),
             (reshape(u_z), reshape(j), reshape(ln_u)))

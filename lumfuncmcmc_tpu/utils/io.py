@@ -131,6 +131,12 @@ def read_catalog(filename: str, cfg: LFConfig, dust_fn: Optional[str] = None):
     zfull = tab["z"]
     field_names = np.unique(fields)
     nf = len(field_names)
+    if nf > len(cfg.Flim) or nf > len(cfg.Omega_0):
+        raise ValueError(
+            f"{filename}: catalog has {nf} unique fields "
+            f"({', '.join(field_names)}) but the config provides only "
+            f"{len(cfg.Flim)} Flim / {len(cfg.Omega_0)} Omega_0 entries "
+            "— supply one Flim/Omega_0 per field")
 
     if abs(cfg.min_comp_frac) < 1.0e-6:
         roots = np.zeros(nf)  # no cut

@@ -36,6 +36,21 @@ def test_fit_writes_all_artifacts(workdir):
     assert n > 100 and np.all(np.isfinite(tab["Ln Prob"]))
 
 
+def test_fit_with_checkpointing_and_thin(workdir):
+    """Regression: the checkpoint branch of cmd_fit must import
+    artifact_path (NameError escaped the suite), and --thin must combine
+    with --checkpoint-every."""
+    assert main(["fit", "--synthetic", "250", "-ns", "60", "-nw", "16",
+                 "-mcf", "0.5", "--size-ln", "31", "--thin", "3",
+                 "--checkpoint-every", "30", "-o", "c.dat"]) == 0
+    base = "c_nb50_nw16_ns60_mcf50"
+    ck = workdir / "LFMCMCOut" / f"checkpoint_{base}.npz"
+    assert ck.exists()
+    saved = np.load(str(ck))
+    assert saved["chain"].shape[0] == 20  # 60 steps / thin 3
+    assert "acc" in saved
+
+
 def test_fit_resume_skips_sampling(workdir, capsys):
     main(["fit"] + ARGS)
     capsys.readouterr()

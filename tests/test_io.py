@@ -43,6 +43,19 @@ def test_flux_catalog_with_completeness_cut(tmp_path):
     assert np.all(np.diff(out["field_id"]) >= 0)
 
 
+def test_more_fields_than_config_raises_clearly(tmp_path):
+    """A 3-field catalog on a 2-entry config must produce one descriptive
+    ValueError up front, not an IndexError from the per-field root
+    indexing (and not only when min_comp_frac triggers the root solve)."""
+    p = str(tmp_path / "cat.dat")
+    _write_catalog(p, kind="flux")  # AEGIS/COSMOS/UDS
+    for mcf in (0.5, 0.0):
+        cfg = LFConfig(min_comp_frac=mcf, Flim=(2.72, 3.61),
+                       Omega_0=(1e5, 1e5))
+        with pytest.raises(ValueError, match="3 unique fields"):
+            read_catalog(p, cfg)
+
+
 def test_lum_catalog_reads_real_lum_e(tmp_path):
     """The reference re-read {line}_lum for the _lum_e column
     (run_lumfuncmcmc.py:192) — we read the actual error column."""

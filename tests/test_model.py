@@ -45,6 +45,46 @@ def test_checkpoint_and_resume(small_inputs, tmp_path):
     np.testing.assert_allclose(m2.chain, full_chain, rtol=1e-12)
 
 
+def test_resume_preserves_acceptance_fraction(small_inputs, tmp_path):
+    """A resumed run must report the same acceptance fraction as an
+    uninterrupted one: the per-walker accept counts are persisted in the
+    checkpoint, not restarted at the resume point."""
+    cfg, cat = small_inputs
+    cfg = cfg.replace(checkpoint_every=10)
+    ck = str(tmp_path / "chain.npz")
+
+    m1 = _model(cfg, cat)
+    m1.fit_model(checkpoint_path=ck)
+    full_chain = m1.chain.copy()
+
+    # a 20-step run with the same seed produces exactly the npz a killed
+    # 40-step run would have left after its second block (same key
+    # stream), including the accept counts
+    m_half = _model(cfg.replace(nsteps=20), cat)
+    m_half.fit_model(checkpoint_path=ck)
+
+    m2 = _model(cfg, cat)
+    m2.fit_model(checkpoint_path=ck, resume=True)
+    np.testing.assert_allclose(m2.chain, full_chain, rtol=1e-12)
+    assert m2.acceptance_fraction == pytest.approx(
+        m1.acceptance_fraction, rel=1e-12)
+
+
+def test_thinned_checkpointed_fit(small_inputs, tmp_path):
+    """cfg.thin must not be silently ignored when checkpointing is on."""
+    cfg, cat = small_inputs
+    cfg = cfg.replace(thin=5, nsteps=40, checkpoint_every=20)
+    ck = str(tmp_path / "chain.npz")
+    m = _model(cfg, cat)
+    m.fit_model(checkpoint_path=ck)
+    assert m.chain.shape[0] == 8  # 40 steps / thin 5
+    saved = np.load(ck)
+    assert saved["chain"].shape[0] == 8
+    assert "acc" in saved
+    # acceptance normalized over all executed steps, not recorded rows
+    assert 0.0 < m.acceptance_fraction < 1.0
+
+
 def test_diff_rand_false_collapses_init():
     cfg = LFConfig(min_comp_frac=0.5)
     layout = ThetaLayout.from_config(cfg)

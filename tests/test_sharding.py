@@ -84,6 +84,41 @@ def test_full_sampler_step_sharded(setup):
                   (np.asarray(lnps) == -np.inf))
 
 
+def test_nuts_on_mesh_matches_unsharded(setup):
+    """fit_model_nuts must honor a configured device mesh: chains are
+    sharded over the walker axis (it previously ran everything on one
+    device silently). Per-chain math is unchanged by the partitioning,
+    so the sharded run reproduces the unsharded one."""
+    from lumfuncmcmc_tpu.models.model import LumFuncModel
+    cfg = LFConfig(min_comp_frac=0.5, fix_comp=True, size_ln=31,
+                   nwalkers=16, nsteps=40)
+    cat = apply_completeness_cut(make_catalog(cfg, n_target=200, seed=8),
+                                 cfg)
+    kw = dict(z=cat["z"], flux=cat["flux"], flux_e=cat["flux_e"],
+              field_id=cat["field_id"])
+    m_plain = LumFuncModel(cfg, **kw)
+    s_plain = m_plain.fit_model_nuts(num_warmup=50, nchains=8)
+    m_mesh = LumFuncModel(cfg, mesh=make_mesh(4, 2), **kw)
+    s_mesh = m_mesh.fit_model_nuts(num_warmup=50, nchains=8)
+    assert s_mesh.shape == s_plain.shape
+    # partitioned compilation reorders fused reductions -> float-level
+    # differences (~1e-7 rel observed); the trajectories stay equal
+    np.testing.assert_allclose(s_mesh, s_plain, rtol=1e-4, atol=1e-6)
+
+
+def test_nuts_on_mesh_too_few_walkers_raises(setup):
+    from lumfuncmcmc_tpu.models.model import LumFuncModel
+    cfg = LFConfig(min_comp_frac=0.5, fix_comp=True, size_ln=31,
+                   nwalkers=4, nsteps=10)
+    cat = apply_completeness_cut(make_catalog(cfg, n_target=200, seed=8),
+                                 cfg)
+    m = LumFuncModel(cfg, mesh=make_mesh(8, 1), z=cat["z"],
+                     flux=cat["flux"], flux_e=cat["flux_e"],
+                     field_id=cat["field_id"])
+    with pytest.raises(ValueError, match="mesh walker axis"):
+        m.fit_model_nuts(num_warmup=10, nchains=8)
+
+
 def test_exact_bounds_sharded_matches_single_device(setup):
     """Regression: cfg.exact_bounds must survive the mesh path (it was
     silently dropped), including with a sharded source axis."""
