@@ -167,14 +167,51 @@ def main():
     wall_g = time.time() - t0
     log(f"gauss-32 production mode: {wall_g:.2f}s "
         f"-> {evals / wall_g:,.0f} lnprob evals/s")
-    chain_np = np.asarray(chain[:: max(1, args.steps // 2000)])
-    burn = min(chain_np.shape[0] // 2, 200)
-    ess = float(effective_sample_size(chain_np[burn:]).min()) \
-        * max(1, args.steps // 2000)
+
+    # native tier A/B: the fused Pallas kernel on the same chains
+    # (TPU only — the kernel is Mosaic-compiled, no CPU fallback here)
+    pallas_detail = {}
+    wall_best, engine = wall, "xla"
+    if jax.default_backend() == "tpu":
+        from lumfuncmcmc_tpu.ops.pallas_lnlike import make_pallas_lnprob
+        pal = make_pallas_lnprob(ctx, layout)
+        out = run_stretch(pal, pos0, jax.random.PRNGKey(1), args.steps)
+        jax.block_until_ready(out[0].pos)
+        t0 = time.time()
+        st_p, *_ = run_stretch(pal, pos0, jax.random.PRNGKey(2),
+                               args.steps)
+        jax.block_until_ready(st_p.pos)
+        wall_p = time.time() - t0
+        pal_g = make_pallas_lnprob(ctx_g, layout)
+        out = run_stretch(pal_g, pos0, jax.random.PRNGKey(1), args.steps)
+        jax.block_until_ready(out[0].pos)
+        t0 = time.time()
+        st_pg, *_ = run_stretch(pal_g, pos0, jax.random.PRNGKey(2),
+                                args.steps)
+        jax.block_until_ready(st_pg.pos)
+        wall_pg = time.time() - t0
+        pallas_detail = {
+            "pallas_trapz101_evals_per_sec": round(evals / wall_p, 1),
+            "pallas_trapz101_vs_xla": round(wall / wall_p, 3),
+            "pallas_gauss32_evals_per_sec": round(evals / wall_pg, 1),
+            "pallas_gauss32_vs_xla": round(wall_g / wall_pg, 3),
+        }
+        log(f"pallas trapz-101: {wall_p:.2f}s ({evals / wall_p:,.0f}/s, "
+            f"{wall / wall_p:.2f}x xla); gauss-32: {wall_pg:.2f}s "
+            f"({evals / wall_pg:,.0f}/s, {wall_g / wall_pg:.2f}x xla)")
+        if wall_p < wall_best:
+            wall_best, engine = wall_p, "pallas"
+
+    # honest ESS: full-chain FFT autocorrelation after the reference
+    # burn-in rule (a thinned subsample-and-scale estimate overstates
+    # ESS whenever tau is at or below the thinning stride)
+    chain_np = np.asarray(chain)
+    burn, tau = burnin_steps(chain_np, chain_np.shape[0])
+    ess = float(effective_sample_size(chain_np[burn:]).min())
     log(f"run: {wall:.2f}s for {args.steps} steps x {args.walkers} walkers"
         f" -> {evals_per_sec:,.0f} lnprob evals/s;"
         f" acc={np.mean(np.asarray(acc)) / args.steps:.2f};"
-        f" min ESS~{ess:.0f} ({ess / wall:,.0f}/s)")
+        f" tau={tau:.1f}; min ESS={ess:.0f} ({ess / wall:,.0f}/s)")
 
     # serial CPU baseline (reference execution model)
     ref_lnprob = numpy_reference_lnprob_factory(ctx, layout, cfg)
@@ -221,21 +258,35 @@ def main():
         log(f"mega: {wall_m:.2f}s for 2000 x 1000 "
             f"({2e6 / wall_m:,.0f} evals/s, N={len(cat_m['z']):,})")
 
+    # matched-ESS ratio: the baseline runs the same stretch-move sampler
+    # (emcee), so its implied ESS/s is ESS-per-eval * its eval rate; the
+    # ratio of ESS rates therefore equals the eval-rate ratio — reported
+    # explicitly so the "x at matched ESS" claim is checkable
+    ess_per_sec = ess / wall
+    base_ess_per_sec = (ess / evals) * base_rate
     result = {
         "metric": "lnprob_evals_per_sec_100walker_chain",
-        "value": round(evals_per_sec, 1),
+        "value": round(evals / wall_best, 1),
         "unit": "evals/s",
-        "vs_baseline": round(evals_per_sec / base_rate, 2),
+        "vs_baseline": round(evals / wall_best / base_rate, 2),
         "detail": {
             "device": str(dev),
-            "wall_s": round(wall, 3),
+            "engine": engine,
+            "wall_s": round(wall_best, 3),
+            "xla_wall_s": round(wall, 3),
+            "xla_evals_per_sec": round(evals_per_sec, 1),
             "steps": args.steps,
             "walkers": args.walkers,
             "baseline_evals_per_sec": round(base_rate, 2),
-            "min_ess_per_sec": round(ess / wall, 1),
+            "min_ess_full_chain": round(ess, 1),
+            "tau_steps": round(float(tau), 2),
+            "min_ess_per_sec": round(ess_per_sec, 1),
+            "matched_ess_ratio_vs_baseline": round(
+                ess_per_sec / base_ess_per_sec, 2),
             "gauss32_wall_s": round(wall_g, 3),
             "gauss32_evals_per_sec": round(evals / wall_g, 1),
             "gauss32_vs_baseline": round(evals / wall_g / base_rate, 2),
+            **pallas_detail,
             **mega_detail,
         },
     }

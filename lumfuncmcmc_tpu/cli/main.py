@@ -84,6 +84,15 @@ def _add_common_flags(p):
                    help="free completeness: re-derive the integration "
                         "bound from theta each eval (reference freezes "
                         "it at the build-time parameters)")
+    p.add_argument("--use-pallas", dest="use_pallas", action="store_true",
+                   default=None,
+                   help="fused Pallas TPU kernel for the single-epoch "
+                        "likelihood (the native tier)")
+    p.add_argument("--distributed", type=str, default=None,
+                   metavar="HOST:PORT,NPROC,PID",
+                   help="multi-process jax.distributed init (run one "
+                        "process per host; PID 0 hosts the coordinator). "
+                        "Meshes then span the global device list")
 
 
 def _build_cfg(args) -> LFConfig:
@@ -414,6 +423,81 @@ def cmd_fith(args):
     return 0
 
 
+def _vmax_mcf_scan(args, cfg, flux, z, flim, omega0):
+    """Min-completeness-fraction parameter-space scan.
+
+    Reproduces the reference's commented-out ``VmaxLumFunc.main`` driver
+    (``VmaxLumFunc.py:799-815``): re-run the log V_eff pipeline + LM
+    Schechter fit at each mcf in the scan, then scatter (alpha, L*)
+    colored by mcf (``plotParamSpace``, ``VmaxLumFunc.py:691-699``).
+    Writes the scatter png plus a .dat table of the scanned fits.
+    """
+    import jax
+    import jax.numpy as jnp
+    from lumfuncmcmc_tpu.cosmology import build_cosmo_table
+    from lumfuncmcmc_tpu.models.schfit import fit_schechter
+    from lumfuncmcmc_tpu.models.veff import (
+        veff_weights, binned_lf_bootstrap, log_bin_edges)
+    from lumfuncmcmc_tpu.ops.completeness import fleming_root_logf_np
+    from lumfuncmcmc_tpu.utils.io import write_fixed_width_two_line
+    from lumfuncmcmc_tpu.utils.plotting import plot_param_space
+
+    try:
+        lo_s, hi_s, n_s = args.mcf_scan.split(",")
+        lo_v, hi_v, n = float(lo_s), float(hi_s), int(n_s)
+    except ValueError:
+        raise SystemExit("--mcf-scan expects 'lo,hi,n' (e.g. 0.1,0.9,9)")
+
+    mcfs, als, lss = [], [], []
+    for mcf in np.linspace(lo_v, hi_v, n):
+        if mcf > 1.0e-6:
+            root = float(10.0 ** fleming_root_logf_np(
+                np.log10(flim), cfg.alpha, float(mcf), cfg.fcmin))
+        else:
+            root = 0.0
+        keep = flux > root
+        fz, zz = flux[keep], z[keep]
+        if len(fz) < cfg.nbins + 2:
+            print(f"mcf={mcf:.3f}: only {len(fz)} sources survive the "
+                  "cut; skipped")
+            continue
+        zmin, zmax = float(zz.min()), float(zz.max())
+        cosmo = build_cosmo_table(
+            1.05 * zmax + 0.1,
+            dtype=jnp.float64 if jax.config.jax_enable_x64
+            else jnp.float32)
+        logf = jnp.asarray(np.log10(fz))
+        lum = logf + 1.0992098640220963 \
+            + 2.0 * cosmo.log10_dl_cm_at(jnp.asarray(zz))
+        log_root = np.log10(root) if root > 0 else -np.inf
+        w = veff_weights(logf, lum, jnp.full(len(fz), np.log10(flim)),
+                         jnp.full(len(fz), log_root), omega0,
+                         zmin, zmax, cfg.alpha, cosmo, cfg.fcmin,
+                         float(mcf))
+        edges = log_bin_edges(lum, cfg.nbins)
+        lavg, lfbin, var = binned_lf_bootstrap(
+            jax.random.PRNGKey(cfg.seed), lum, w, edges, cfg.nboot,
+            cfg.nbins)
+        fit = fit_schechter(np.asarray(lavg), np.asarray(lfbin),
+                            np.asarray(var), name=cfg.line_name,
+                            log=True, integ=args.integ)
+        mcfs.append(float(mcf))
+        als.append(fit.params["al"])
+        lss.append(fit.params["Lstar"])
+        print(f"mcf={mcf:.3f}: N={len(fz)} alpha={fit.params['al']:.3f} "
+              f"Lstar={fit.params['Lstar']:.3f}")
+    if not mcfs:
+        raise SystemExit("mcf scan produced no usable fits")
+    fn = plot_param_space(mcfs, als, lss, ln=cfg.line_name,
+                          lp=cfg.line_plot_name, img_dir=args.img_dir)
+    tab_fn = os.path.join(
+        args.img_dir, f"al_ls_mcf_scan_{cfg.line_name}.dat")
+    write_fixed_width_two_line(
+        tab_fn, {"mcf": mcfs, "alpha": als, "Lstar": lss})
+    print("Wrote param-space scan:", fn, "and", tab_fn)
+    return 0
+
+
 def cmd_vmax(args):
     """Standalone V_eff pipeline (``combineStepsLog``,
     ``VmaxLumFunc.py:594-609``; per-z-bin variant ``zEvolSteps``)."""
@@ -441,6 +525,8 @@ def cmd_vmax(args):
         z = np.asarray(tab["z"])
     flim = cfg.Flim[0] * 1e-17
     omega0 = float(np.sum(cfg.Omega_0))
+    if getattr(args, "mcf_scan", None):
+        return _vmax_mcf_scan(args, cfg, flux, z, flim, omega0)
     if cfg.min_comp_frac > 1.0e-6:
         root = float(10.0 ** fleming_root_logf_np(
             np.log10(flim), cfg.alpha, cfg.min_comp_frac, cfg.fcmin))
@@ -566,9 +652,21 @@ def main(argv=None):
                              "(getBootErrLog correct_low)")
     p_vmax.add_argument("--img-dir", dest="img_dir", type=str,
                         default="ImageFiles")
+    p_vmax.add_argument("--mcf-scan", dest="mcf_scan", type=str,
+                        default=None, metavar="LO,HI,N",
+                        help="scan min_comp_frac over N values and write "
+                             "the (alpha, L*) vs mcf parameter-space "
+                             "scatter (VmaxLumFunc.py:691-699,799-815)")
     p_vmax.set_defaults(func=cmd_vmax)
 
     args = parser.parse_args(argv)
+    if getattr(args, "distributed", None):
+        # must run before any other JAX use so the backend comes up in
+        # multi-controller mode and meshes span the global device list
+        from lumfuncmcmc_tpu.parallel.distributed import (
+            init_distributed, parse_distributed_spec)
+        coord, nproc, pid = parse_distributed_spec(args.distributed)
+        init_distributed(coord, nproc, pid)
     if getattr(args, "same_rand", False):
         args.diff_rand = False
     setup_logging()

@@ -114,6 +114,8 @@ class LFConfig:
                                            #   routine is dead code,
                                            #   lumfuncmcmc.py:372)
     use_pallas: bool = False               # fused Pallas likelihood kernel
+    pallas_interpret: bool = False         # run the kernel in the Pallas
+                                           #   interpreter (CPU tests/debug)
     thin: int = 1                          # record every thin-th step
                                            #   (memory guard for very long
                                            #   chains; reference stores all)

@@ -151,19 +151,22 @@ class _BaseModel:
                     exact_bounds=(cfg.exact_bounds and not cfg.fix_comp
                                   and self.model_kind == "single"),
                     min_comp_frac=cfg.min_comp_frac, lh=cfg.Lh)
-            elif (cfg.use_pallas and self.model_kind == "single"
-                  and not cfg.fix_comp and not cfg.fix_sch_al):
-                if cfg.exact_bounds:
-                    self.log.warning(
+            elif cfg.use_pallas and self.model_kind == "single":
+                if cfg.exact_bounds and not cfg.fix_comp:
+                    raise ValueError(
                         "exact_bounds is not implemented in the Pallas "
-                        "kernel; using the XLA exact-bounds path instead")
-                    self._lnprob_batch = jax.vmap(
-                        self._make_scalar_lnprob())
-                else:
-                    from lumfuncmcmc_tpu.ops.pallas_lnlike import (
-                        make_pallas_lnprob)
-                    self._lnprob_batch = make_pallas_lnprob(self.ctx,
-                                                            self.layout)
+                        "kernel — drop --use-pallas (the XLA exact-bounds "
+                        "path is the fast path for this configuration)")
+                from lumfuncmcmc_tpu.ops.pallas_lnlike import (
+                    make_pallas_lnprob)
+                self._lnprob_batch = make_pallas_lnprob(
+                    self.ctx, self.layout,
+                    interpret=cfg.pallas_interpret)
+            elif cfg.use_pallas:
+                self.log.warning(
+                    "use_pallas covers the single-epoch model only; the "
+                    "%s model uses the XLA kernels" % self.model_kind)
+                self._lnprob_batch = jax.vmap(self._make_scalar_lnprob())
             else:
                 self._lnprob_batch = jax.vmap(self._make_scalar_lnprob())
         return self._lnprob_batch

@@ -1,4 +1,4 @@
-"""Fused Pallas TPU kernel for the free-completeness log-likelihood.
+"""Fused Pallas TPU kernels for the single-epoch log-likelihood.
 
 The hot path of the flagship model evaluates, per walker theta:
 
@@ -7,23 +7,46 @@ The hot path of the flagship model evaluates, per walker theta:
               * w[f,i,j]
     lnlike  = lnpart - fullint
 
-Under vmap+XLA this is a chain of large elementwise ops and reductions
-per walker; the Pallas kernel fuses the whole computation for one walker
-into a single VMEM-resident pass — the (F*S, S) grids are loaded once and
-kept resident across walker programs (constant index maps -> Mosaic skips
-the re-fetch), and every transcendental feeds the reduction without
-touching HBM.
-
 This is the framework's "native tier" (SURVEY.md §2, native-components
-row): the reference has no native code, so its TPU-native equivalent is
-the Pallas kernel for the likelihood reduction.
+row): the reference has no native code, so its TPU-native equivalent is a
+hand-scheduled kernel for the likelihood reduction
+(``lumfuncmcmc.py:360-393``).
 
-Layout notes:
-- all grid arrays are padded to (8k, 128m) float32 tiles with zero
-  weights in the padding;
-- per-field theta values are mapped onto grid rows / source lanes by
-  static per-field selects (no dynamic gathers — Mosaic-friendly);
-- per-source arrays are reshaped to (R, 128) with a mask row.
+Why the kernel beats the (already well-fused) XLA path — the wins are
+*mathematical restructurings XLA cannot perform* plus layout control:
+
+1. **Exp factorization.** Every theta-independent exponential is
+   precomputed host-side: ``P = 10^(logL - Lref)`` and
+   ``R = 10^(logf - logf_ref)`` live in VMEM as grid arrays, so the
+   Schechter cutoff ``10^(logL - Lstar) = P * 10^(Lref - Lstar)`` and the
+   Fleming decay ratio ``f/f_tau = R * 10^(logf_ref - log_ftau)`` become
+   per-element *multiplies* by per-walker scalars instead of per-element
+   ``exp``s. (``exp(a-b) -> exp(a)*exp(-b)`` is not a float-semantics
+   -preserving rewrite, so XLA never does it.) Per grid element this
+   leaves 2 exp + 1 log + 1 rsqrt (free completeness) or a single exp
+   (fixed completeness) versus ~5 exp + 1 log under XLA.
+2. **Walker-vectorized broadcast tiles.** Cell arrays are stored
+   (1, C) with cells along lanes; per program all 8 walkers of a block
+   compute together as (8, 1) theta columns broadcast against (1, C)
+   cell rows — one fat (8, C) op chain per field, no per-walker loop.
+   When the (1, C) layout would overflow VMEM (sublane padding costs
+   8x), a per-walker (rows, 128) slab variant takes over — still
+   whole-slab chains, just serialized over the 8 walkers. (A
+   row-at-a-time fori_loop variant measured 3-10x slower than either.)
+3. **Static per-field slabs.** Grid cells and sources are packed
+   per-field at prepare time (rows padded to sublane multiples), so
+   per-field theta (logF50_f, decay scale) enters as an SMEM scalar —
+   no per-element field-id selects (the previous kernel burned ~10
+   full-grid select passes per walker on these).
+4. **Zero HBM round-trips.** All grid/source arrays use constant index
+   maps: Mosaic keeps them VMEM-resident across walker programs, and
+   every transcendental feeds the accumulator without materializing an
+   intermediate.
+
+Numerics: the factored form regroups exponentials, so it matches the
+XLA path to float32 rounding (~1e-6 relative on lnL), not bitwise.
+Padding cells carry ``w = 0`` and ``P = 1e30`` (forcing ``exp -> 0``), so
+they contribute exactly zero without NaNs.
 """
 
 from __future__ import annotations
@@ -39,233 +62,441 @@ from jax.experimental.pallas import tpu as pltpu
 
 from lumfuncmcmc_tpu.models.context import LFContext
 from lumfuncmcmc_tpu.cosmology import SQARCSEC_PER_SR
+from lumfuncmcmc_tpu.ops.completeness import _log10_inverse_fleming_ratio
 from lumfuncmcmc_tpu.ops.schechter import LN10
 
 _LOG_LN10 = float(np.log(LN10))
+_LOGF_REF = -16.0       # reference log10-flux for the R factorization
+_P_PAD = 1.0e30         # pad value of P: forces exp(... - P*t1) -> 0
+
+BLK_W = 8               # walkers per program (sublane dimension)
+LANES = 128             # grid cells per VPU op (lane dimension)
 
 
 def _round_up(x, m):
     return -(-x // m) * m
 
 
-def _pad2d(a, rows, cols, fill=0.0):
-    out = np.full((rows, cols), fill, dtype=np.float32)
-    out[: a.shape[0], : a.shape[1]] = a
-    return out
-
+# ---------------------------------------------------------------------------
+# data preparation (host side, once per context)
+# ---------------------------------------------------------------------------
 
 @dataclass(frozen=True)
-class PallasLnlikeData:
-    """Preprocessed, tile-padded device buffers for the kernel."""
+class PallasGridData:
+    """Tile-packed per-field device buffers for the kernels.
 
-    logL: jnp.ndarray       # (G, C) grid logL values
-    logf: jnp.ndarray       # (G, C) grid log-flux values
-    w: jnp.ndarray          # (G, C) weights incl volume and field area
-    grid_fid: jnp.ndarray   # (G, C) float32 field id per grid row
-    src_lum: jnp.ndarray    # (R, 128)
-    src_logf: jnp.ndarray   # (R, 128)
-    src_lnom0: jnp.ndarray  # (R, 128) ln(Omega0_src / sqarcsec)
-    src_fid: jnp.ndarray    # (R, 128) float32
-    src_mask: jnp.ndarray   # (R, 128)
-    fcmin: float
+    Two layouts share this container:
+    - ``flat=True`` (broadcast kernels): arrays are (1, C) with cells
+      along lanes; ``grid_rows[f]`` is each field's (cell offset, cell
+      count), offsets multiples of 128.
+    - ``flat=False`` (slab kernels): arrays are (NR, 128) with each
+      field's cells flattened and row-padded; ``grid_rows[f]`` is (row
+      offset, row count).
+    Source arrays are packed the same way (sources sorted by field at
+    prepare time).
+    """
+
+    g_logf: jnp.ndarray    # (GR, 128) log10 flux of grid cells
+    g_a: jnp.ndarray       # (GR, 128) LN10 * logL
+    g_p: jnp.ndarray       # (GR, 128) 10^(logL - lref)
+    g_r: jnp.ndarray       # (GR, 128) 10^(logf - logf_ref)
+    g_w: jnp.ndarray       # (GR, 128) quadrature weight * area * ln10
+    s_logf: jnp.ndarray    # (SR, 128)
+    s_a: jnp.ndarray       # (SR, 128) LN10 * lum
+    s_p: jnp.ndarray       # (SR, 128) 10^(lum - lref)
+    s_r: jnp.ndarray       # (SR, 128)
+    s_lnom0: jnp.ndarray   # (SR, 128) ln(Omega0_src / sqarcsec)
+    s_mask: jnp.ndarray    # (SR, 128)
+    grid_rows: tuple       # ((off, n), ...) per field — static
+    src_rows: tuple        # ((off, n), ...) per field — static
+    lref: float
     nfields: int
+    flat: bool
 
 
 jax.tree_util.register_pytree_node(
-    PallasLnlikeData,
-    lambda d: ((d.logL, d.logf, d.w, d.grid_fid, d.src_lum,
-                d.src_logf, d.src_lnom0, d.src_fid, d.src_mask),
-               (d.fcmin, d.nfields)),
-    lambda aux, ch: PallasLnlikeData(*ch, fcmin=aux[0], nfields=aux[1]),
+    PallasGridData,
+    lambda d: ((d.g_logf, d.g_a, d.g_p, d.g_r, d.g_w, d.s_logf, d.s_a,
+                d.s_p, d.s_r, d.s_lnom0, d.s_mask),
+               (d.grid_rows, d.src_rows, d.lref, d.nfields, d.flat)),
+    lambda aux, ch: PallasGridData(*ch, grid_rows=aux[0], src_rows=aux[1],
+                                   lref=aux[2], nfields=aux[3],
+                                   flat=aux[4]),
 )
 
 
-def prepare_pallas_data(ctx: LFContext, fcmin: float) -> PallasLnlikeData:
-    """Host-side reshape/pad of the context grids into kernel layout.
+def _pack_rows(per_field_cols, fills, row_align=8):
+    """Pack per-field 1-D cell arrays into stacked (rows, 128) blocks.
 
-    The per-field area fraction Omega_0/sqarcsec is folded into the grid
-    weights, so the kernel's Omega factor is the bare Fleming curve.
+    ``per_field_cols``: list over fields of dicts name -> 1-D array.
+    ``row_align=8`` keeps per-field static slices tile-aligned (right for
+    the big grid slabs); 1 packs tightly (right for the small per-field
+    source blocks, where 8-row padding would multiply the work ~8x).
+    Returns (dict name -> (NR, 128) float32, ((off, n_rows), ...)).
     """
-    logL = np.asarray(ctx.logL_grid, dtype=np.float32)
-    logf = np.asarray(ctx.logf_grid, dtype=np.float32)
-    w = np.asarray(ctx.w_open, dtype=np.float64)
-    nf, s, _ = logL.shape
-    om0_f = np.asarray(ctx.omega0_f, dtype=np.float64) / SQARCSEC_PER_SR
-    w = (w * om0_f[:, None, None]).astype(np.float32)
+    names = list(fills.keys())
+    blocks = {nm: [] for nm in names}
+    rows = []
+    off = 0
+    for cols in per_field_cols:
+        n = len(cols[names[0]])
+        n_p = _round_up(max(n, 1), LANES * row_align)
+        nr = n_p // LANES
+        for nm in names:
+            buf = np.full(n_p, fills[nm], dtype=np.float32)
+            buf[:n] = cols[nm]
+            blocks[nm].append(buf.reshape(nr, LANES))
+        rows.append((off, nr))
+        off += nr
+    packed = {nm: jnp.asarray(np.concatenate(blocks[nm], axis=0))
+              for nm in names}
+    return packed, tuple(rows)
 
-    rows, cols = nf * s, s
-    rows_p = _round_up(rows, 8)
-    cols_p = _round_up(cols, 128)
-    fid_row = np.repeat(np.arange(nf, dtype=np.float32), s)
-    fid_row = np.pad(fid_row, (0, rows_p - rows), constant_values=-1)
-    grid_fid = np.repeat(fid_row[:, None], cols_p, axis=1)
 
-    lum = np.asarray(ctx.lum, dtype=np.float32)
-    logf_src = np.asarray(ctx.logf_src, dtype=np.float32)
-    om0 = np.asarray(ctx.omega0_src, dtype=np.float64) / SQARCSEC_PER_SR
-    fid = np.asarray(ctx.field_id, dtype=np.float32)
-    mask = np.asarray(ctx.src_mask, dtype=np.float32)
-    n = lum.shape[0]
-    n_p = _round_up(max(n, 1024), 1024)
-    r = n_p // 128
+def _pack_flat(per_field_cols, fills):
+    """Pack per-field 1-D cell arrays into (1, C) lane-major rows for the
+    broadcast kernels; per-field offsets are 128-multiples."""
+    names = list(fills.keys())
+    blocks = {nm: [] for nm in names}
+    cells = []
+    off = 0
+    for cols in per_field_cols:
+        n = len(cols[names[0]])
+        n_p = _round_up(max(n, 1), LANES)
+        for nm in names:
+            buf = np.full(n_p, fills[nm], dtype=np.float32)
+            buf[:n] = cols[nm]
+            blocks[nm].append(buf)
+        cells.append((off, n_p))
+        off += n_p
+    packed = {nm: jnp.asarray(np.concatenate(blocks[nm])[None, :])
+              for nm in names}
+    return packed, tuple(cells)
 
-    def pad_src(a, fill=0.0):
-        out = np.full(n_p, fill, dtype=np.float32)
-        out[:n] = a
-        return out.reshape(r, 128)
 
-    return PallasLnlikeData(
-        logL=jnp.asarray(_pad2d(logL.reshape(rows, cols), rows_p, cols_p)),
-        logf=jnp.asarray(_pad2d(logf.reshape(rows, cols), rows_p, cols_p,
-                                fill=-30.0)),
-        w=jnp.asarray(_pad2d(w.reshape(rows, cols), rows_p, cols_p)),
-        grid_fid=jnp.asarray(grid_fid),
-        src_lum=jnp.asarray(pad_src(lum)),
-        src_logf=jnp.asarray(pad_src(logf_src, fill=-30.0)),
-        src_lnom0=jnp.asarray(pad_src(np.log(np.maximum(om0, 1e-300)))),
-        src_fid=jnp.asarray(pad_src(fid, fill=-1.0)),
-        src_mask=jnp.asarray(pad_src(mask)),
-        fcmin=float(fcmin),
-        nfields=int(nf),
+def prepare_pallas_data(ctx: LFContext, fix_comp: bool,
+                        flat: bool = True) -> PallasGridData:
+    """Flatten/pad the context grids into the kernel layout.
+
+    Free completeness folds the per-field area fraction and the ln10
+    Schechter prefactor into the weights; fixed completeness uses the
+    frozen ``w_fixed`` (area and Omega already inside) times ln10.
+    """
+    lref = float(ctx.lref)
+    logL = np.asarray(ctx.logL_grid, dtype=np.float64)
+    nf = logL.shape[0]
+    if fix_comp:
+        w = np.asarray(ctx.w_fixed, dtype=np.float64) * LN10
+        logf = np.zeros_like(logL) + _LOGF_REF
+    else:
+        om0_f = np.asarray(ctx.omega0_f, dtype=np.float64) / SQARCSEC_PER_SR
+        w = (np.asarray(ctx.w_open, dtype=np.float64)
+             * om0_f[:, None, None] * LN10)
+        logf = np.asarray(ctx.logf_grid, dtype=np.float64)
+
+    gcols = []
+    for f in range(nf):
+        ll, lf = logL[f].ravel(), logf[f].ravel()
+        gcols.append({
+            "logf": lf, "a": LN10 * ll,
+            "p": 10.0 ** np.clip(ll - lref, -30.0, 25.0),
+            "r": 10.0 ** np.clip(lf - _LOGF_REF, -30.0, 25.0),
+            "w": w[f].ravel(),
+        })
+    gfills = {"logf": -30.0, "a": 0.0, "p": _P_PAD, "r": 1.0, "w": 0.0}
+    gpack, grid_rows = (_pack_flat(gcols, gfills) if flat
+                        else _pack_rows(gcols, gfills))
+
+    # sources, sorted by field (stable, preserves in-field order)
+    fid = np.asarray(ctx.field_id)
+    lum = np.asarray(ctx.lum, dtype=np.float64)
+    logf_s = np.asarray(ctx.logf_src, dtype=np.float64)
+    om0_s = np.asarray(ctx.omega0_src, dtype=np.float64) / SQARCSEC_PER_SR
+    mask = np.asarray(ctx.src_mask, dtype=np.float64)
+    scols = []
+    for f in range(nf):
+        sel = np.nonzero(fid == f)[0]
+        scols.append({
+            "logf": logf_s[sel], "a": LN10 * lum[sel],
+            "p": 10.0 ** np.clip(lum[sel] - lref, -30.0, 25.0),
+            "r": 10.0 ** np.clip(logf_s[sel] - _LOGF_REF, -30.0, 25.0),
+            "lnom0": np.log(np.maximum(om0_s[sel], 1e-300)),
+            "mask": mask[sel],
+        })
+    sfills = {"logf": -30.0, "a": 0.0, "p": _P_PAD, "r": 1.0,
+              "lnom0": 0.0, "mask": 0.0}
+    spack, src_rows = (_pack_flat(scols, sfills) if flat
+                       else _pack_rows(scols, sfills, row_align=1))
+
+    return PallasGridData(
+        g_logf=gpack["logf"], g_a=gpack["a"], g_p=gpack["p"],
+        g_r=gpack["r"], g_w=gpack["w"],
+        s_logf=spack["logf"], s_a=spack["a"], s_p=spack["p"],
+        s_r=spack["r"], s_lnom0=spack["lnom0"], s_mask=spack["mask"],
+        grid_rows=grid_rows, src_rows=src_rows, lref=lref,
+        nfields=int(nf), flat=flat,
     )
 
 
-def _lnphi(logL, sch_al, lstar, phistar):
-    x = logL - lstar
-    return (_LOG_LN10 + LN10 * phistar + LN10 * x * (sch_al + 1.0)
-            - jnp.exp(LN10 * x))
+# ---------------------------------------------------------------------------
+# kernels
+# ---------------------------------------------------------------------------
 
+def _kernel_free_bcast(th_ref, g_logf, g_a, g_p, g_r, g_w,
+                       s_logf, s_a, s_p, s_r, s_lnom0, s_mask,
+                       out_ref, *, grid_rows, src_rows, nfields, fcmin):
+    """Broadcast-layout free-completeness lnlike: all 8 walkers of the
+    block compute together, (8, 1) theta columns against (1, C) cell
+    rows. Feature columns as in :func:`_kernel_free`."""
+    c_g = th_ref[:, 0:1]
+    c_s = th_ref[:, 1:2]
+    aA = th_ref[:, 2:3]
+    lA = th_ref[:, 3:4]
+    t1 = th_ref[:, 4:5]
+    ac = th_ref[:, 5:6]
 
-def _ln_fleming(logf, logF50, alpha_c, fcmin):
-    """ln of the modified Fleming curve (see ops/completeness.py)."""
-    x = alpha_c * (logf - logF50)
-    fc = 0.5 * (1.0 + x * jax.lax.rsqrt(1.0 + x * x))
-    ln_fc = jnp.log(jnp.maximum(fc, 1e-30))
-    if not fcmin:
-        return ln_fc
-    a = (2.0 * fcmin - 1.0) ** 2
-    log_ftau = logF50 - jnp.sqrt(jnp.abs(a / (1.0 - a))
-                                 / (alpha_c * alpha_c))
-    ratio = jnp.exp(jnp.minimum((logf - log_ftau) * LN10, 40.0))
-    decay = 1.0 - jnp.exp(-ratio)
-    return ln_fc / decay
-
-
-def _select_by_field(fid_arr, theta_at, base, nfields):
-    """Map per-field theta entries onto an array of field ids via static
-    selects (avoids dynamic gathers inside the kernel)."""
-    out = jnp.zeros_like(fid_arr)
+    tot = jnp.zeros((BLK_W, 1), jnp.float32)
     for f in range(nfields):
-        out = jnp.where(fid_arr == float(f), theta_at(base + f), out)
-    return out
+        lf50 = th_ref[:, 6 + f:7 + f]
+        t2 = th_ref[:, 6 + nfields + f:7 + nfields + f]
+
+        def ln_fc(logf, r):
+            x = ac * (logf - lf50)
+            fc = 0.5 + 0.5 * x * jax.lax.rsqrt(1.0 + x * x)
+            lf = jnp.log(fc)
+            if not fcmin:
+                return lf
+            decay = 1.0 - jnp.exp(-(r * t2))
+            return lf / decay
+
+        go, gn = grid_rows[f]
+        e = (c_g + aA * (g_a[0:1, go:go + gn] - lA)
+             - g_p[0:1, go:go + gn] * t1
+             + ln_fc(g_logf[0:1, go:go + gn], g_r[0:1, go:go + gn]))
+        tot = tot - jnp.sum(jnp.exp(e) * g_w[0:1, go:go + gn],
+                            axis=1, keepdims=True)
+
+        so, sn = src_rows[f]
+        contrib = (c_s + aA * (s_a[0:1, so:so + sn] - lA)
+                   - s_p[0:1, so:so + sn] * t1
+                   + s_lnom0[0:1, so:so + sn]
+                   + ln_fc(s_logf[0:1, so:so + sn],
+                           s_r[0:1, so:so + sn]))
+        tot = tot + jnp.sum(jnp.where(s_mask[0:1, so:so + sn] > 0.0,
+                                      contrib, 0.0),
+                            axis=1, keepdims=True)
+
+    out_ref[:, :] = tot
 
 
-BLK_W = 8  # walkers per program: satisfies the (8, 128) tile rule for
-           # the SMEM theta and output blocks
+def _kernel_fixed_bcast(th_ref, g_a, g_p, g_w, out_ref):
+    """Broadcast-layout fixed-completeness lnlike; features as in
+    :func:`_kernel_fixed`."""
+    e = (th_ref[:, 0:1] + th_ref[:, 1:2] * (g_a[0:1, :] - th_ref[:, 2:3])
+         - g_p[0:1, :] * th_ref[:, 3:4])
+    out_ref[:, :] = (th_ref[:, 4:5]
+                     - jnp.sum(jnp.exp(e) * g_w[0:1, :],
+                               axis=1, keepdims=True))
 
 
-def _kernel(theta_ref, logL_ref, logf_ref, w_ref, gfid_ref,
-            slum_ref, slogf_ref, slnom_ref, sfid_ref, smask_ref,
-            out_ref, *, fcmin, nfields):
-    # one program evaluates BLK_W walkers against the resident grids
-    for i in range(BLK_W):
-        lstar = theta_ref[i, 0]
-        phistar = theta_ref[i, 1]
-        sch_al = theta_ref[i, 2]
-        alpha_c = theta_ref[i, 3 + nfields]
+def _kernel_free(th_ref, g_logf, g_a, g_p, g_r, g_w,
+                 s_logf, s_a, s_p, s_r, s_lnom0, s_mask,
+                 out_ref, *, grid_rows, src_rows, nfields, fcmin):
+    """Free-completeness lnlike for a block of 8 walkers.
 
-        def theta_at(j):
-            return theta_ref[i, j]
-
-        # grid integral (weights already carry area * volume * trapz)
-        logf50_g = _select_by_field(gfid_ref[:, :], theta_at, 3, nfields)
-        lnphi = _lnphi(logL_ref[:, :], sch_al, lstar, phistar)
-        lnfc = _ln_fleming(logf_ref[:, :], logf50_g, alpha_c, fcmin)
-        fullint = jnp.sum(jnp.exp(lnphi + lnfc) * w_ref[:, :])
-
-        # per-source term
-        logf50_s = _select_by_field(sfid_ref[:, :], theta_at, 3, nfields)
-        lnphi_s = _lnphi(slum_ref[:, :], sch_al, lstar, phistar)
-        lnom_s = slnom_ref[:, :] + _ln_fleming(slogf_ref[:, :], logf50_s,
-                                               alpha_c, fcmin)
-        lnpart = jnp.sum(jnp.where(smask_ref[:, :] > 0.0,
-                                   lnphi_s + lnom_s, 0.0))
-
-        out_ref[i, 0] = lnpart - fullint
-
-
-def make_pallas_lnlike(ctx: LFContext, fcmin: float, nfields: int):
-    """Build a (W, K) -> (W,) batched free-completeness lnlike.
-
-    Kernel theta layout per row: [Lstar, phistar, sch_al,
-    logF50_0..logF50_{F-1} (log10 cgs), alpha_c].
+    Feature columns (see ``_features_free``):
+      0 c_grid = LN10*phistar          3 lA = LN10*Lstar
+      1 c_src  = ln(ln10) + LN10*phistar   4 t1 = 10^(lref - Lstar)
+      2 aA = sch_al + 1                5 alpha_c
+      6+f      logF50_f
+      6+F+f    t2_f = 10^(logf_ref - log_ftau_f)
     """
-    data = prepare_pallas_data(ctx, fcmin)
-    kern = partial(_kernel, fcmin=float(fcmin), nfields=int(nfields))
+    for i in range(BLK_W):
+        c_g = th_ref[i, 0]
+        c_s = th_ref[i, 1]
+        aA = th_ref[i, 2]
+        lA = th_ref[i, 3]
+        t1 = th_ref[i, 4]
+        ac = th_ref[i, 5]
+
+        tot = jnp.float32(0.0)
+        for f in range(nfields):
+            lf50 = th_ref[i, 6 + f]
+            t2 = th_ref[i, 6 + nfields + f]
+
+            def ln_fc(logf, r):
+                x = ac * (logf - lf50)
+                fc = 0.5 + 0.5 * x * jax.lax.rsqrt(1.0 + x * x)
+                lf = jnp.log(fc)
+                if not fcmin:
+                    return lf
+                decay = 1.0 - jnp.exp(-(r * t2))
+                return lf / decay
+
+            go, gn = grid_rows[f]
+            e = (c_g + aA * (g_a[go:go + gn, :] - lA)
+                 - g_p[go:go + gn, :] * t1
+                 + ln_fc(g_logf[go:go + gn, :], g_r[go:go + gn, :]))
+            tot = tot - jnp.sum(jnp.exp(e) * g_w[go:go + gn, :])
+
+            so, sn = src_rows[f]
+            contrib = (c_s + aA * (s_a[so:so + sn, :] - lA)
+                       - s_p[so:so + sn, :] * t1
+                       + s_lnom0[so:so + sn, :]
+                       + ln_fc(s_logf[so:so + sn, :],
+                               s_r[so:so + sn, :]))
+            tot = tot + jnp.sum(jnp.where(s_mask[so:so + sn, :] > 0.0,
+                                          contrib, 0.0))
+
+        out_ref[i, 0] = tot
+
+
+def _kernel_fixed(th_ref, g_a, g_p, g_w, out_ref):
+    """Fixed-completeness fullint for a block of 8 walkers; the O(1)
+    collapsed ln-term arrives precomputed in feature column 4, so the
+    kernel emits the complete lnlike.
+
+    Features: [c_grid, aA, lA, t1, lnpart].
+    """
+    for i in range(BLK_W):
+        e = (th_ref[i, 0] + th_ref[i, 1] * (g_a[:, :] - th_ref[i, 2])
+             - g_p[:, :] * th_ref[i, 3])
+        out_ref[i, 0] = th_ref[i, 4] - jnp.sum(jnp.exp(e) * g_w[:, :])
+
+
+# ---------------------------------------------------------------------------
+# feature preparation (cheap XLA ops per batch)
+# ---------------------------------------------------------------------------
+
+def _features_free(thetas, layout, lref, fcmin):
+    """(W, D) reference thetas -> (W, 6+2F) kernel features (float32)."""
+    def one(theta):
+        lstar, phistar, sch_al, logf50, alpha_c = layout.unpack(theta)
+        log_ftau = logf50 + _log10_inverse_fleming_ratio(alpha_c, fcmin)
+        return jnp.concatenate([
+            jnp.stack([LN10 * phistar,
+                       _LOG_LN10 + LN10 * phistar,
+                       sch_al + 1.0,
+                       LN10 * lstar,
+                       10.0 ** (lref - lstar),
+                       alpha_c]),
+            logf50,
+            10.0 ** (_LOGF_REF - log_ftau),
+        ])
+    return jax.vmap(one)(thetas.astype(jnp.float32))
+
+
+def _features_fixed(thetas, ctx, layout, lref):
+    from lumfuncmcmc_tpu.models.likelihood import _ln_term_collapsed
+
+    def one(theta):
+        lstar, phistar, sch_al, _, _ = layout.unpack(theta)
+        lnpart = _ln_term_collapsed(ctx, lstar, phistar, sch_al)
+        return jnp.stack([LN10 * phistar, sch_al + 1.0, LN10 * lstar,
+                          10.0 ** (lref - lstar), lnpart])
+    return jax.vmap(one)(thetas.astype(jnp.float32))
+
+
+# ---------------------------------------------------------------------------
+# public builders
+# ---------------------------------------------------------------------------
+
+def _call_kernel(kern, feats, arrays, interpret, flat):
+    wk, nfeat = feats.shape
     const2 = lambda w: (0, 0)
+    # broadcast kernels read theta as (8, 1) vector columns and write a
+    # vector output -> VMEM; slab kernels read per-walker scalars -> SMEM
+    space = pltpu.VMEM if flat else pltpu.SMEM
+    return pl.pallas_call(
+        kern,
+        grid=(wk // BLK_W,),
+        in_specs=[pl.BlockSpec((BLK_W, nfeat), lambda w: (w, 0),
+                               memory_space=space)]
+        + [pl.BlockSpec(a.shape, const2, memory_space=pltpu.VMEM)
+           for a in arrays],
+        out_specs=pl.BlockSpec((BLK_W, 1), lambda w: (w, 0),
+                               memory_space=space),
+        out_shape=jax.ShapeDtypeStruct((wk, 1), jnp.float32),
+        interpret=interpret,
+    )(feats, *arrays)
+
+
+def make_pallas_lnlike(ctx: LFContext, layout, interpret: bool = False,
+                       flat=None):
+    """Build a (W, D) -> (W,) batched single-epoch lnlike.
+
+    Covers both completeness modes of the flagship model
+    (``lumfuncmcmc.py:360-393``): free (kernel fuses Omega + Schechter +
+    both reductions) and fixed (kernel computes the grid integral; the
+    collapsed O(1) ln-term rides along as a feature). ``interpret=True``
+    runs the Pallas interpreter — used by the CPU test suite.
+    ``flat=None`` auto-selects the layout; True/False forces it.
+    """
+    fix_comp = bool(layout.fix_comp)
+    if flat is None:
+        # the (1, C) broadcast layout costs 8x VMEM (sublane padding);
+        # use it whenever the resident arrays fit comfortably, else
+        # per-walker slabs
+        ncells = int(np.prod(np.asarray(ctx.logL_grid).shape))
+        nsrc = int(np.asarray(ctx.lum).shape[0])
+        n_g, n_s = (3, 0) if fix_comp else (5, 6)
+        flat = (ncells * n_g + nsrc * n_s) * 4 * 8 < 11 * 2**20
+    data = prepare_pallas_data(ctx, fix_comp, flat=flat)
+    fcmin = float(layout.fcmin) if layout.fcmin else 0.0
+
+    if fix_comp:
+        kern = _kernel_fixed_bcast if flat else _kernel_fixed
+        arrays = (data.g_a, data.g_p, data.g_w)
+
+        def feats_fn(thetas):
+            return _features_fixed(thetas, ctx, layout, data.lref)
+    else:
+        kern = partial(_kernel_free_bcast if flat else _kernel_free,
+                       grid_rows=data.grid_rows,
+                       src_rows=data.src_rows, nfields=data.nfields,
+                       fcmin=fcmin)
+        arrays = (data.g_logf, data.g_a, data.g_p, data.g_r, data.g_w,
+                  data.s_logf, data.s_a, data.s_p, data.s_r,
+                  data.s_lnom0, data.s_mask)
+
+        def feats_fn(thetas):
+            return _features_free(thetas, layout, data.lref, fcmin)
 
     def batched(thetas):
-        wk_in, k = thetas.shape
+        wk_in = thetas.shape[0]
         wk = _round_up(wk_in, BLK_W)
         if wk != wk_in:
             thetas = jnp.concatenate(
                 [thetas, jnp.broadcast_to(thetas[:1],
-                                          (wk - wk_in, k))])
-        out = pl.pallas_call(
-            kern,
-            grid=(wk // BLK_W,),
-            in_specs=[
-                pl.BlockSpec((BLK_W, k), lambda w: (w, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec(data.logL.shape, const2,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(data.logf.shape, const2,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(data.w.shape, const2,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(data.grid_fid.shape, const2,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(data.src_lum.shape, const2,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(data.src_logf.shape, const2,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(data.src_lnom0.shape, const2,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(data.src_fid.shape, const2,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(data.src_mask.shape, const2,
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((BLK_W, 1), lambda w: (w, 0),
-                                   memory_space=pltpu.SMEM),
-            out_shape=jax.ShapeDtypeStruct((wk, 1), jnp.float32),
-        )(thetas.astype(jnp.float32), data.logL, data.logf, data.w,
-          data.grid_fid, data.src_lum, data.src_logf, data.src_lnom0,
-          data.src_fid, data.src_mask)
+                                          (wk - wk_in,) + thetas.shape[1:])])
+        feats = feats_fn(thetas).astype(jnp.float32)
+        out = _call_kernel(kern, feats, arrays, interpret, flat)
         return out[:wk_in, 0]
 
     return batched
 
 
-def make_pallas_lnprob(ctx: LFContext, layout):
-    """(W, D) -> (W,) lnprob using the fused kernel, matching
-    ``make_lnprob`` semantics for the free-completeness single-epoch
-    model (prior mask applied outside the kernel)."""
-    if layout.fix_comp or layout.fix_sch_al:
-        raise ValueError("pallas path covers the free-completeness, "
-                         "free-alpha flagship configuration")
-    lnlike = make_pallas_lnlike(ctx, layout.fcmin, layout.nfields)
+def make_pallas_lnprob(ctx: LFContext, layout, interpret: bool = False):
+    """(W, D) -> (W,) lnprob via the fused kernel, matching
+    ``make_lnprob`` semantics for the single-epoch model (box-prior mask
+    applied outside the kernel, as in ``lumfuncmcmc.py:395-424``)."""
+    lnlike = make_pallas_lnlike(ctx, layout, interpret=interpret)
     lo = jnp.asarray(layout.lo, jnp.float32)
     hi = jnp.asarray(layout.hi, jnp.float32)
 
     def batched(thetas):
         thetas = thetas.astype(jnp.float32)
-        # theta carries Flim in 1e-17 units; kernel wants log10 cgs
-        flim = jnp.maximum(thetas[:, 3:3 + layout.nfields], 1e-6)
-        kern_theta = jnp.concatenate(
-            [thetas[:, :3], jnp.log10(flim) - 17.0,
-             thetas[:, 3 + layout.nfields:]], axis=1)
-        lnl = lnlike(kern_theta)
+        if not layout.fix_comp:
+            # theta carries Flim in 1e-17 units; unpack's log10(flim)
+            # needs it positive — clamp out-of-box values (masked below)
+            nf = layout.nfields
+            k = 2 if layout.fix_sch_al else 3
+            flim = jnp.maximum(thetas[:, k:k + nf], 1e-6)
+            thetas_k = jnp.concatenate(
+                [thetas[:, :k], flim, thetas[:, k + nf:]], axis=1)
+        else:
+            thetas_k = thetas
+        lnl = lnlike(thetas_k)
         ok = jnp.all((thetas >= lo) & (thetas <= hi), axis=1)
         return jnp.where(ok, lnl, -jnp.inf)
 

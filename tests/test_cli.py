@@ -95,6 +95,21 @@ def test_fith_runs(workdir):
     assert r"$\mu_{L_*}$" in tab and "Ln Prob" in tab
 
 
+def test_vmax_mcf_scan(workdir):
+    """--mcf-scan reproduces the reference's commented-out param-space
+    driver: one invocation writes the (alpha, L*) vs mcf scatter and a
+    table of the scanned fits."""
+    assert main(["vmax", "--synthetic", "400", "-nbins", "12",
+                 "-nboot", "20", "--mcf-scan", "0.2,0.6,3",
+                 "-o", "scan.png"]) == 0
+    img = workdir / "ImageFiles"
+    assert (img / "al_ls_mcf_space_mcmc_OIII.png").exists()
+    tab = read_fixed_width_two_line(str(img / "al_ls_mcf_scan_OIII.dat"))
+    assert len(tab["mcf"]) == 3
+    assert np.all(np.isfinite(tab["alpha"]))
+    assert np.all(np.isfinite(tab["Lstar"]))
+
+
 def test_vmax_no_cut_at_zero_mcf(workdir):
     """Regression: min_comp_frac=0 must mean NO flux cut (the reference's
     get_min_flux returns 0), not a hidden 1%-completeness floor."""

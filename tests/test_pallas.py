@@ -1,0 +1,141 @@
+"""Pallas kernel parity vs the XLA likelihood (interpret mode on CPU).
+
+The kernels factor exponentials differently from the XLA path (see
+ops/pallas_lnlike.py), so agreement is to float32 rounding of the
+reductions, not bitwise: lnL magnitudes here are ~1e3-1e4 built from
+~1e4-5e4 float32 terms, giving ~1e-6..1e-5 relative error vs the float64
+oracle.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lumfuncmcmc_tpu.config import LFConfig
+from lumfuncmcmc_tpu.models.context import build_context
+from lumfuncmcmc_tpu.models.likelihood import (
+    ThetaLayout, make_lnprob, sample_init)
+from lumfuncmcmc_tpu.ops.pallas_lnlike import (
+    make_pallas_lnlike, make_pallas_lnprob)
+from lumfuncmcmc_tpu.utils.synth import make_catalog, apply_completeness_cut
+
+RTOL = 5e-4
+
+
+def _setup(fix_comp=False, fix_sch_al=False, quadrature="trapz",
+           size_ln=41, n_target=400, seed=3):
+    cfg = LFConfig(min_comp_frac=0.5, fix_comp=fix_comp,
+                   fix_sch_al=fix_sch_al, quadrature=quadrature,
+                   size_ln=size_ln)
+    cat = apply_completeness_cut(make_catalog(cfg, n_target=n_target,
+                                              seed=seed), cfg)
+    _, ctx = build_context(cfg, z=cat["z"], flux=cat["flux"],
+                           flux_e=cat["flux_e"], field_id=cat["field_id"])
+    layout = ThetaLayout.from_config(cfg)
+    return cfg, ctx, layout
+
+
+def _compare(ctx, layout, thetas, rtol=RTOL):
+    ref = np.asarray(jax.vmap(make_lnprob(ctx, layout))(
+        jnp.asarray(thetas, jnp.float64)))
+    got = np.asarray(make_pallas_lnprob(ctx, layout, interpret=True)(
+        jnp.asarray(thetas, jnp.float32)))
+    finite = np.isfinite(ref)
+    np.testing.assert_array_equal(np.isfinite(got), finite)
+    np.testing.assert_allclose(got[finite], ref[finite], rtol=rtol)
+
+
+@pytest.mark.parametrize("quadrature", ["trapz", "gauss"])
+def test_free_comp_parity(quadrature):
+    cfg, ctx, layout = _setup(quadrature=quadrature)
+    thetas = sample_init(jax.random.PRNGKey(0), layout, 24)
+    _compare(ctx, layout, thetas)
+
+
+@pytest.mark.parametrize("quadrature", ["trapz", "gauss"])
+def test_fixed_comp_parity(quadrature):
+    cfg, ctx, layout = _setup(fix_comp=True, quadrature=quadrature)
+    thetas = sample_init(jax.random.PRNGKey(1), layout, 24)
+    _compare(ctx, layout, thetas)
+
+
+def test_free_comp_fixed_alpha_parity():
+    cfg, ctx, layout = _setup(fix_sch_al=True)
+    thetas = sample_init(jax.random.PRNGKey(2), layout, 16)
+    _compare(ctx, layout, thetas)
+
+
+def test_prior_mask_and_padding():
+    """Out-of-box thetas map to -inf, and walker counts that are not a
+    multiple of the 8-walker block are padded and sliced back."""
+    cfg, ctx, layout = _setup(size_ln=31, n_target=250)
+    thetas = np.array(sample_init(jax.random.PRNGKey(3), layout, 11))
+    thetas[0, 0] = layout.hi[0] + 1.0          # Lstar out of box
+    thetas[5, 3] = -1.0                        # negative Flim
+    got = np.asarray(make_pallas_lnprob(ctx, layout, interpret=True)(
+        jnp.asarray(thetas, jnp.float32)))
+    assert got.shape == (11,)
+    assert got[0] == -np.inf and got[5] == -np.inf
+    assert np.all(np.isfinite(np.delete(got, [0, 5])))
+
+
+@pytest.mark.parametrize("fix_comp", [False, True])
+def test_slab_layout_matches_broadcast(fix_comp):
+    """The big-grid slab layout (flat=False) and the small-grid
+    broadcast layout (flat=True) compute the same likelihood."""
+    cfg, ctx, layout = _setup(fix_comp=fix_comp, size_ln=31, n_target=300)
+    thetas = jnp.asarray(sample_init(jax.random.PRNGKey(7), layout, 16),
+                         jnp.float32)
+    a = np.asarray(make_pallas_lnlike(ctx, layout, interpret=True,
+                                      flat=True)(thetas))
+    b = np.asarray(make_pallas_lnlike(ctx, layout, interpret=True,
+                                      flat=False)(thetas))
+    np.testing.assert_allclose(a, b, rtol=1e-5)
+    ref = np.asarray(jax.vmap(make_lnprob(ctx, layout))(
+        jnp.asarray(thetas, jnp.float64)))
+    fin = np.isfinite(ref)
+    np.testing.assert_allclose(a[fin], ref[fin], rtol=RTOL)
+
+
+def test_lnlike_matches_parts_split():
+    """The kernel's lnpart - fullint split agrees with the XLA parts."""
+    from lumfuncmcmc_tpu.models.likelihood import (
+        lnlike_single_epoch_parts)
+    cfg, ctx, layout = _setup(size_ln=31, n_target=300)
+    lnlike = make_pallas_lnlike(ctx, layout, interpret=True)
+    thetas = sample_init(jax.random.PRNGKey(4), layout, 8)
+    got = np.asarray(lnlike(jnp.asarray(thetas, jnp.float32)))
+    for i, th in enumerate(np.asarray(thetas)):
+        lnp, fi = lnlike_single_epoch_parts(
+            jnp.asarray(th, jnp.float64), ctx, layout)
+        np.testing.assert_allclose(got[i], float(lnp - fi), rtol=RTOL)
+
+
+def test_model_gate_uses_pallas_for_both_comp_modes():
+    """LumFuncModel honors use_pallas for free AND fixed completeness,
+    and raises loudly for the unsupported exact-bounds combination."""
+    from lumfuncmcmc_tpu.models.model import LumFuncModel
+    for fix_comp in (False, True):
+        cfg = LFConfig(min_comp_frac=0.5, fix_comp=fix_comp, size_ln=31,
+                       use_pallas=True, pallas_interpret=True,
+                       nwalkers=8, nsteps=4)
+        cat = apply_completeness_cut(
+            make_catalog(cfg, n_target=200, seed=5), cfg)
+        m = LumFuncModel(cfg, z=cat["z"], flux=cat["flux"],
+                         flux_e=cat["flux_e"], field_id=cat["field_id"])
+        lnp = m.lnprob_batch()
+        thetas = sample_init(jax.random.PRNGKey(6), m.layout, 8)
+        ref = np.asarray(jax.vmap(m._make_scalar_lnprob())(
+            jnp.asarray(thetas, jnp.float64)))
+        got = np.asarray(lnp(jnp.asarray(thetas, jnp.float32)))
+        np.testing.assert_allclose(got, ref, rtol=RTOL)
+
+    cfg = LFConfig(min_comp_frac=0.5, size_ln=31, use_pallas=True,
+                   exact_bounds=True)
+    cat = apply_completeness_cut(make_catalog(cfg, n_target=200, seed=5),
+                                 cfg)
+    m = LumFuncModel(cfg, z=cat["z"], flux=cat["flux"],
+                     flux_e=cat["flux_e"], field_id=cat["field_id"])
+    with pytest.raises(ValueError, match="exact_bounds"):
+        m.lnprob_batch()
