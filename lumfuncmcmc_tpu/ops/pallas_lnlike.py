@@ -71,6 +71,10 @@ _P_PAD = 1.0e30         # pad value of P: forces exp(... - P*t1) -> 0
 
 BLK_W = 8               # walkers per program (sublane dimension)
 LANES = 128             # grid cells per VPU op (lane dimension)
+_CHUNK = 4096           # broadcast-kernel cells per op chain (temp bound;
+                        # tuned on v5e in the full-chain context — 2048
+                        # looked better in a dispatch-bound microbench
+                        # but measured worse inside the real sampler)
 
 
 def _round_up(x, m):
@@ -270,11 +274,17 @@ def _kernel_free_bcast(th_ref, g_logf, g_a, g_p, g_r, g_w,
             return lf / decay
 
         go, gn = grid_rows[f]
-        e = (c_g + aA * (g_a[0:1, go:go + gn] - lA)
-             - g_p[0:1, go:go + gn] * t1
-             + ln_fc(g_logf[0:1, go:go + gn], g_r[0:1, go:go + gn]))
-        tot = tot - jnp.sum(jnp.exp(e) * g_w[0:1, go:go + gn],
-                            axis=1, keepdims=True)
+        # static chunks bound the live (8, chunk) temporaries (~10 are
+        # alive at once; whole-field chains on 101^2-cell grids pushed
+        # VMEM past the resident arrays)
+        for co in range(0, gn, _CHUNK):
+            cn = min(_CHUNK, gn - co)
+            lo = go + co
+            e = (c_g + aA * (g_a[0:1, lo:lo + cn] - lA)
+                 - g_p[0:1, lo:lo + cn] * t1
+                 + ln_fc(g_logf[0:1, lo:lo + cn], g_r[0:1, lo:lo + cn]))
+            tot = tot - jnp.sum(jnp.exp(e) * g_w[0:1, lo:lo + cn],
+                                axis=1, keepdims=True)
 
         so, sn = src_rows[f]
         contrib = (c_s + aA * (s_a[0:1, so:so + sn] - lA)
