@@ -162,10 +162,16 @@ class _BaseModel:
                 self._lnprob_batch = make_pallas_lnprob(
                     self.ctx, self.layout,
                     interpret=cfg.pallas_interpret)
+            elif cfg.use_pallas and self.model_kind == "z":
+                from lumfuncmcmc_tpu.ops.pallas_lnlike import (
+                    make_pallas_lnprob_z)
+                self._lnprob_batch = make_pallas_lnprob_z(
+                    self.ctx, self.layout,
+                    interpret=cfg.pallas_interpret)
             elif cfg.use_pallas:
                 self.log.warning(
-                    "use_pallas covers the single-epoch model only; the "
-                    "%s model uses the XLA kernels" % self.model_kind)
+                    "use_pallas covers the single-epoch and z models; "
+                    "the %s model uses the XLA kernels" % self.model_kind)
                 self._lnprob_batch = jax.vmap(self._make_scalar_lnprob())
             else:
                 self._lnprob_batch = jax.vmap(self._make_scalar_lnprob())

@@ -242,6 +242,68 @@ def prepare_pallas_data(ctx: LFContext, fix_comp: bool,
     )
 
 
+@dataclass(frozen=True)
+class PallasZData:
+    """Packed buffers for the z-evolving kernel (fixed completeness:
+    Omega lives in the frozen weights). Same flat/slab layout convention
+    as :class:`PallasGridData`."""
+
+    g_a: jnp.ndarray       # LN10 * logL per grid cell
+    g_z: jnp.ndarray       # z per grid cell
+    g_z2: jnp.ndarray      # z^2 per grid cell
+    g_w: jnp.ndarray       # w_fixed * ln10
+    s_a: jnp.ndarray
+    s_z: jnp.ndarray
+    s_z2: jnp.ndarray
+    s_lnom0: jnp.ndarray   # ln Omega_src (frozen)
+    s_mask: jnp.ndarray
+    flat: bool
+
+
+jax.tree_util.register_pytree_node(
+    PallasZData,
+    lambda d: ((d.g_a, d.g_z, d.g_z2, d.g_w, d.s_a, d.s_z, d.s_z2,
+                d.s_lnom0, d.s_mask), (d.flat,)),
+    lambda aux, ch: PallasZData(*ch, flat=aux[0]),
+)
+
+
+def prepare_pallas_z_data(ctx: LFContext, flat: bool = True) -> PallasZData:
+    """Pack the z-model grids: per-field z nodes broadcast along the L
+    axis (``lnlike_z``'s ``ctx.zarr[:, None, :]``), weights = frozen
+    ``w_fixed`` (area + Omega inside) times ln10."""
+    logL = np.asarray(ctx.logL_grid, dtype=np.float64)   # (F, S, S)
+    zarr = np.asarray(ctx.zarr, dtype=np.float64)        # (F, S)
+    # NO ln10 fold here: the shared _z_logphi carries ln(ln10) in its
+    # constant feature (the source term needs it), so folding it into
+    # the weights too would double-count it in the integral
+    w = np.asarray(ctx.w_fixed, dtype=np.float64)
+    nf = logL.shape[0]
+    zgrid = np.broadcast_to(zarr[:, None, :], logL.shape)
+
+    gcols = [{"a": LN10 * logL[f].ravel(), "z": zgrid[f].ravel(),
+              "z2": (zgrid[f] ** 2).ravel(), "w": w[f].ravel()}
+             for f in range(nf)]
+    gfills = {"a": 500.0, "z": 0.0, "z2": 0.0, "w": 0.0}
+    pack = _pack_flat if flat else _pack_rows
+    gpack, _ = pack(gcols, gfills)
+
+    lum = np.asarray(ctx.lum, dtype=np.float64)
+    zsrc = np.asarray(ctx.zsrc, dtype=np.float64)
+    lnom = np.asarray(ctx.ln_om_src, dtype=np.float64)
+    mask = np.asarray(ctx.src_mask, dtype=np.float64)
+    scols = [{"a": LN10 * lum, "z": zsrc, "z2": zsrc ** 2,
+              "lnom0": lnom, "mask": mask}]
+    sfills = {"a": 500.0, "z": 0.0, "z2": 0.0, "lnom0": 0.0, "mask": 0.0}
+    spack, _ = pack(scols, sfills)
+
+    return PallasZData(
+        g_a=gpack["a"], g_z=gpack["z"], g_z2=gpack["z2"], g_w=gpack["w"],
+        s_a=spack["a"], s_z=spack["z"], s_z2=spack["z2"],
+        s_lnom0=spack["lnom0"], s_mask=spack["mask"], flat=flat,
+    )
+
+
 # ---------------------------------------------------------------------------
 # kernels
 # ---------------------------------------------------------------------------
@@ -297,6 +359,47 @@ def _kernel_free_bcast(th_ref, g_logf, g_a, g_p, g_r, g_w,
                             axis=1, keepdims=True)
 
     out_ref[:, :] = tot
+
+
+def _z_logphi(a, z, z2, th):
+    """ln phi(logL, z) for the z model from the quadratic-coefficient
+    features: th rows per walker are
+    [LN10*ap, LN10*bp, LN10*cp + ln(ln10), LN10*aL, LN10*bL, LN10*cL,
+     sch_al + 1]. Works for (8, 1) x (1, C) broadcast or scalar x slab.
+    """
+    lq = th[3] * z2 + th[4] * z + th[5]          # LN10 * Lstar(z)
+    x = a - lq                                   # LN10 * (logL - Lstar)
+    return th[0] * z2 + th[1] * z + th[2] + th[6] * x - jnp.exp(x)
+
+
+def _kernel_z_bcast(th_ref, g_a, g_z, g_z2, g_w,
+                    s_a, s_z, s_z2, s_lnom0, s_mask, out_ref):
+    th = [th_ref[:, j:j + 1] for j in range(7)]
+    gn = g_a.shape[1]
+    tot = jnp.zeros((BLK_W, 1), jnp.float32)
+    for co in range(0, gn, _CHUNK):
+        cn = min(_CHUNK, gn - co)
+        lnphi = _z_logphi(g_a[0:1, co:co + cn], g_z[0:1, co:co + cn],
+                          g_z2[0:1, co:co + cn], th)
+        tot = tot - jnp.sum(jnp.exp(lnphi) * g_w[0:1, co:co + cn],
+                            axis=1, keepdims=True)
+    contrib = _z_logphi(s_a[0:1, :], s_z[0:1, :], s_z2[0:1, :], th) \
+        + s_lnom0[0:1, :]
+    tot = tot + jnp.sum(jnp.where(s_mask[0:1, :] > 0.0, contrib, 0.0),
+                        axis=1, keepdims=True)
+    out_ref[:, :] = tot
+
+
+def _kernel_z_slab(th_ref, g_a, g_z, g_z2, g_w,
+                   s_a, s_z, s_z2, s_lnom0, s_mask, out_ref):
+    for i in range(BLK_W):
+        th = [th_ref[i, j] for j in range(7)]
+        lnphi = _z_logphi(g_a[:, :], g_z[:, :], g_z2[:, :], th)
+        tot = -jnp.sum(jnp.exp(lnphi) * g_w[:, :])
+        contrib = _z_logphi(s_a[:, :], s_z[:, :], s_z2[:, :], th) \
+            + s_lnom0[:, :]
+        tot = tot + jnp.sum(jnp.where(s_mask[:, :] > 0.0, contrib, 0.0))
+        out_ref[i, 0] = tot
 
 
 def _kernel_fixed_bcast(th_ref, g_a, g_p, g_w, out_ref):
@@ -396,6 +499,21 @@ def _features_free(thetas, layout, lref, fcmin):
     return jax.vmap(one)(thetas.astype(jnp.float32))
 
 
+def _features_z(thetas, layout):
+    """(W, D) z-model thetas -> (W, 7) quadratic-coefficient features."""
+    from lumfuncmcmc_tpu.ops.schechter import quad_coef
+
+    def one(theta):
+        L1, L2, L3, p1, p2, p3, al = layout.unpack(theta)
+        ap, bp, cp = quad_coef(p1, p2, p3, layout.z1, layout.z2,
+                               layout.z3)
+        aL, bL, cL = quad_coef(L1, L2, L3, layout.z1, layout.z2,
+                               layout.z3)
+        return jnp.stack([LN10 * ap, LN10 * bp, LN10 * cp + _LOG_LN10,
+                          LN10 * aL, LN10 * bL, LN10 * cL, al + 1.0])
+    return jax.vmap(one)(thetas.astype(jnp.float32))
+
+
 def _features_fixed(thetas, ctx, layout, lref):
     from lumfuncmcmc_tpu.models.likelihood import _ln_term_collapsed
 
@@ -482,6 +600,67 @@ def make_pallas_lnlike(ctx: LFContext, layout, interpret: bool = False,
         feats = feats_fn(thetas).astype(jnp.float32)
         out = _call_kernel(kern, feats, arrays, interpret, flat)
         return out[:wk_in, 0]
+
+    return batched
+
+
+def make_pallas_lnlike_z(ctx: LFContext, layout, interpret: bool = False,
+                         flat=None):
+    """(W, D) -> (W,) batched z-evolving lnlike (``lumfuncmcmc_z.py:
+    364-376``); quadratic pivot coefficients are per-walker features, so
+    the per-element cost is two exps and a handful of fmas."""
+    if flat is None:
+        ncells = int(np.prod(np.asarray(ctx.logL_grid).shape))
+        nsrc = int(np.asarray(ctx.lum).shape[0])
+        flat = (ncells * 4 + nsrc * 5) * 4 * 8 < 11 * 2**20
+    data = prepare_pallas_z_data(ctx, flat=flat)
+    kern = _kernel_z_bcast if flat else _kernel_z_slab
+    arrays = (data.g_a, data.g_z, data.g_z2, data.g_w,
+              data.s_a, data.s_z, data.s_z2, data.s_lnom0, data.s_mask)
+
+    def batched(thetas):
+        wk_in = thetas.shape[0]
+        wk = _round_up(wk_in, BLK_W)
+        if wk != wk_in:
+            thetas = jnp.concatenate(
+                [thetas, jnp.broadcast_to(thetas[:1],
+                                          (wk - wk_in,) + thetas.shape[1:])])
+        feats = _features_z(thetas, layout).astype(jnp.float32)
+        out = _call_kernel(kern, feats, arrays, interpret, flat)
+        return out[:wk_in, 0]
+
+    return batched
+
+
+def make_pallas_lnprob_z(ctx: LFContext, layout, interpret: bool = False,
+                         flat=None):
+    """(W, D) -> (W,) z-model lnprob via the fused kernel; the strict
+    -inequality pivot prior (``lumfuncmcmc_z.py:343-362``) masks
+    outside the kernel.
+
+    Auto mode (``flat=None``) uses the kernel only for broadcast-sized
+    grids (the production gauss mode): on the 201^2 trapz grid XLA's
+    fusion exploits the z-only broadcast structure of the quadratics and
+    measured 2x the slab kernel, so that case falls back to XLA. Pass
+    ``flat=False`` to force the slab kernel (tests do).
+    """
+    from lumfuncmcmc_tpu.models.likelihood_z import (
+        lnprior_z, make_lnprob_z)
+
+    if flat is None:
+        ncells = int(np.prod(np.asarray(ctx.logL_grid).shape))
+        nsrc = int(np.asarray(ctx.lum).shape[0])
+        if (ncells * 4 + nsrc * 5) * 4 * 8 >= 11 * 2**20:
+            return jax.vmap(make_lnprob_z(ctx, layout))
+
+    lnlike = make_pallas_lnlike_z(ctx, layout, interpret=interpret,
+                                  flat=flat)
+
+    def batched(thetas):
+        thetas = thetas.astype(jnp.float32)
+        lp = jax.vmap(lambda t: lnprior_z(t, layout))(thetas)
+        return jnp.where(jnp.isfinite(lp), lp + lnlike(thetas),
+                         -jnp.inf)
 
     return batched
 

@@ -112,6 +112,35 @@ def test_lnlike_matches_parts_split():
         np.testing.assert_allclose(got[i], float(lnp - fi), rtol=RTOL)
 
 
+@pytest.mark.parametrize("flat", [True, False])
+def test_z_model_parity(flat):
+    """z-evolving kernel (both layouts) vs the XLA lnprob, including the
+    strict-inequality pivot prior mask."""
+    from lumfuncmcmc_tpu.models.likelihood_z import (
+        ThetaLayoutZ, make_lnprob_z)
+    from lumfuncmcmc_tpu.ops.pallas_lnlike import make_pallas_lnprob_z
+    cfg = LFConfig(min_comp_frac=0.5, fix_comp=True, size_ln=31)
+    cat = apply_completeness_cut(make_catalog(cfg, n_target=300, seed=6),
+                                 cfg)
+    _, ctx = build_context(cfg, z=cat["z"], flux=cat["flux"],
+                           flux_e=cat["flux_e"], field_id=cat["field_id"])
+    layout = ThetaLayoutZ.from_config(cfg)
+    rng = np.random.default_rng(11)
+    thetas = np.column_stack(
+        [rng.uniform(41.8, 43.5, (20, 3)), rng.uniform(-4, -1.5, (20, 3)),
+         rng.uniform(-2, -0.8, (20, 1))])
+    thetas[3, 0] = 60.0  # out of the pivot box -> -inf
+    ref = np.asarray(jax.vmap(make_lnprob_z(ctx, layout))(
+        jnp.asarray(thetas, jnp.float64)))
+    got = np.asarray(make_pallas_lnprob_z(ctx, layout, interpret=True,
+                                          flat=flat)(
+        jnp.asarray(thetas, jnp.float32)))
+    fin = np.isfinite(ref)
+    assert not fin[3]
+    np.testing.assert_array_equal(np.isfinite(got), fin)
+    np.testing.assert_allclose(got[fin], ref[fin], rtol=RTOL)
+
+
 def test_model_gate_uses_pallas_for_both_comp_modes():
     """LumFuncModel honors use_pallas for free AND fixed completeness,
     and raises loudly for the unsupported exact-bounds combination."""
