@@ -75,6 +75,11 @@ _CHUNK = 4096           # broadcast-kernel cells per op chain (temp bound;
                         # tuned on v5e in the full-chain context — 2048
                         # looked better in a dispatch-bound microbench
                         # but measured worse inside the real sampler)
+_CHUNK_ROWS = 32        # slab-kernel rows per op chain (32 x 128 = the
+                        # same 4096-cell temp bound; also keeps mega
+                        # -catalog source slabs from exhausting VMEM)
+_VMEM_ARRAY_LIMIT = 10 * 2**20   # resident-array budget before the
+                                 # kernel defers to the XLA path
 
 
 def _round_up(x, m):
@@ -392,13 +397,22 @@ def _kernel_z_bcast(th_ref, g_a, g_z, g_z2, g_w,
 
 def _kernel_z_slab(th_ref, g_a, g_z, g_z2, g_w,
                    s_a, s_z, s_z2, s_lnom0, s_mask, out_ref):
+    gn, sn = g_a.shape[0], s_a.shape[0]
     for i in range(BLK_W):
         th = [th_ref[i, j] for j in range(7)]
-        lnphi = _z_logphi(g_a[:, :], g_z[:, :], g_z2[:, :], th)
-        tot = -jnp.sum(jnp.exp(lnphi) * g_w[:, :])
-        contrib = _z_logphi(s_a[:, :], s_z[:, :], s_z2[:, :], th) \
-            + s_lnom0[:, :]
-        tot = tot + jnp.sum(jnp.where(s_mask[:, :] > 0.0, contrib, 0.0))
+        tot = jnp.float32(0.0)
+        for ro in range(0, gn, _CHUNK_ROWS):
+            rn = min(_CHUNK_ROWS, gn - ro)
+            lnphi = _z_logphi(g_a[ro:ro + rn, :], g_z[ro:ro + rn, :],
+                              g_z2[ro:ro + rn, :], th)
+            tot = tot - jnp.sum(jnp.exp(lnphi) * g_w[ro:ro + rn, :])
+        for ro in range(0, sn, _CHUNK_ROWS):
+            rn = min(_CHUNK_ROWS, sn - ro)
+            contrib = _z_logphi(s_a[ro:ro + rn, :], s_z[ro:ro + rn, :],
+                                s_z2[ro:ro + rn, :], th) \
+                + s_lnom0[ro:ro + rn, :]
+            tot = tot + jnp.sum(jnp.where(s_mask[ro:ro + rn, :] > 0.0,
+                                          contrib, 0.0))
         out_ref[i, 0] = tot
 
 
@@ -447,19 +461,25 @@ def _kernel_free(th_ref, g_logf, g_a, g_p, g_r, g_w,
                 return lf / decay
 
             go, gn = grid_rows[f]
-            e = (c_g + aA * (g_a[go:go + gn, :] - lA)
-                 - g_p[go:go + gn, :] * t1
-                 + ln_fc(g_logf[go:go + gn, :], g_r[go:go + gn, :]))
-            tot = tot - jnp.sum(jnp.exp(e) * g_w[go:go + gn, :])
+            for ro in range(0, gn, _CHUNK_ROWS):
+                rn = min(_CHUNK_ROWS, gn - ro)
+                lo = go + ro
+                e = (c_g + aA * (g_a[lo:lo + rn, :] - lA)
+                     - g_p[lo:lo + rn, :] * t1
+                     + ln_fc(g_logf[lo:lo + rn, :], g_r[lo:lo + rn, :]))
+                tot = tot - jnp.sum(jnp.exp(e) * g_w[lo:lo + rn, :])
 
             so, sn = src_rows[f]
-            contrib = (c_s + aA * (s_a[so:so + sn, :] - lA)
-                       - s_p[so:so + sn, :] * t1
-                       + s_lnom0[so:so + sn, :]
-                       + ln_fc(s_logf[so:so + sn, :],
-                               s_r[so:so + sn, :]))
-            tot = tot + jnp.sum(jnp.where(s_mask[so:so + sn, :] > 0.0,
-                                          contrib, 0.0))
+            for ro in range(0, sn, _CHUNK_ROWS):
+                rn = min(_CHUNK_ROWS, sn - ro)
+                lo = so + ro
+                contrib = (c_s + aA * (s_a[lo:lo + rn, :] - lA)
+                           - s_p[lo:lo + rn, :] * t1
+                           + s_lnom0[lo:lo + rn, :]
+                           + ln_fc(s_logf[lo:lo + rn, :],
+                                   s_r[lo:lo + rn, :]))
+                tot = tot + jnp.sum(
+                    jnp.where(s_mask[lo:lo + rn, :] > 0.0, contrib, 0.0))
 
         out_ref[i, 0] = tot
 
@@ -471,10 +491,16 @@ def _kernel_fixed(th_ref, g_a, g_p, g_w, out_ref):
 
     Features: [c_grid, aA, lA, t1, lnpart].
     """
+    nr = g_a.shape[0]
     for i in range(BLK_W):
-        e = (th_ref[i, 0] + th_ref[i, 1] * (g_a[:, :] - th_ref[i, 2])
-             - g_p[:, :] * th_ref[i, 3])
-        out_ref[i, 0] = th_ref[i, 4] - jnp.sum(jnp.exp(e) * g_w[:, :])
+        tot = th_ref[i, 4]
+        for ro in range(0, nr, _CHUNK_ROWS):
+            rn = min(_CHUNK_ROWS, nr - ro)
+            e = (th_ref[i, 0]
+                 + th_ref[i, 1] * (g_a[ro:ro + rn, :] - th_ref[i, 2])
+                 - g_p[ro:ro + rn, :] * th_ref[i, 3])
+            tot = tot - jnp.sum(jnp.exp(e) * g_w[ro:ro + rn, :])
+        out_ref[i, 0] = tot
 
 
 # ---------------------------------------------------------------------------
@@ -561,13 +587,19 @@ def make_pallas_lnlike(ctx: LFContext, layout, interpret: bool = False,
     ``flat=None`` auto-selects the layout; True/False forces it.
     """
     fix_comp = bool(layout.fix_comp)
+    ncells = int(np.prod(np.asarray(ctx.logL_grid).shape))
+    nsrc = int(np.asarray(ctx.lum).shape[0])
+    n_g, n_s = (3, 0) if fix_comp else (5, 6)
+    if (ncells * n_g + nsrc * n_s) * 4 > _VMEM_ARRAY_LIMIT:
+        # even the slab layout keeps all arrays VMEM-resident; past
+        # ~10 MB (e.g. mega-catalogs) that OOMs scoped vmem. Those
+        # workloads belong to the XLA path + source-axis mesh sharding
+        # (parallel/sharding.py) — signal the caller to use it.
+        return None
     if flat is None:
         # the (1, C) broadcast layout costs 8x VMEM (sublane padding);
         # use it whenever the resident arrays fit comfortably, else
         # per-walker slabs
-        ncells = int(np.prod(np.asarray(ctx.logL_grid).shape))
-        nsrc = int(np.asarray(ctx.lum).shape[0])
-        n_g, n_s = (3, 0) if fix_comp else (5, 6)
         flat = (ncells * n_g + nsrc * n_s) * 4 * 8 < 11 * 2**20
     data = prepare_pallas_data(ctx, fix_comp, flat=flat)
     fcmin = float(layout.fcmin) if layout.fcmin else 0.0
@@ -668,8 +700,13 @@ def make_pallas_lnprob_z(ctx: LFContext, layout, interpret: bool = False,
 def make_pallas_lnprob(ctx: LFContext, layout, interpret: bool = False):
     """(W, D) -> (W,) lnprob via the fused kernel, matching
     ``make_lnprob`` semantics for the single-epoch model (box-prior mask
-    applied outside the kernel, as in ``lumfuncmcmc.py:395-424``)."""
+    applied outside the kernel, as in ``lumfuncmcmc.py:395-424``).
+    Falls back to the XLA path for workloads whose arrays exceed VMEM
+    (mega-catalogs — shard those over the source mesh axis instead)."""
     lnlike = make_pallas_lnlike(ctx, layout, interpret=interpret)
+    if lnlike is None:
+        from lumfuncmcmc_tpu.models.likelihood import make_lnprob
+        return jax.vmap(make_lnprob(ctx, layout))
     lo = jnp.asarray(layout.lo, jnp.float32)
     hi = jnp.asarray(layout.hi, jnp.float32)
 

@@ -141,6 +141,20 @@ def test_z_model_parity(flat):
     np.testing.assert_allclose(got[fin], ref[fin], rtol=RTOL)
 
 
+def test_oversize_workload_falls_back_to_xla(monkeypatch):
+    """Workloads whose resident arrays exceed the VMEM budget (mega
+    catalogs) must transparently use the XLA path instead of OOMing
+    scoped vmem at compile time."""
+    import lumfuncmcmc_tpu.ops.pallas_lnlike as pk
+    cfg, ctx, layout = _setup(size_ln=31, n_target=250)
+    monkeypatch.setattr(pk, "_VMEM_ARRAY_LIMIT", 1024)  # force the gate
+    assert pk.make_pallas_lnlike(ctx, layout) is None
+    lnp = pk.make_pallas_lnprob(ctx, layout)  # -> XLA fallback
+    thetas = sample_init(jax.random.PRNGKey(8), layout, 8)
+    ref = np.asarray(jax.vmap(make_lnprob(ctx, layout))(thetas))
+    np.testing.assert_allclose(np.asarray(lnp(thetas)), ref, rtol=1e-6)
+
+
 def test_model_gate_uses_pallas_for_both_comp_modes():
     """LumFuncModel honors use_pallas for free AND fixed completeness,
     and raises loudly for the unsupported exact-bounds combination."""
