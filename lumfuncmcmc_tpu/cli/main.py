@@ -86,8 +86,10 @@ def _add_common_flags(p):
                         "it at the build-time parameters)")
     p.add_argument("--use-pallas", dest="use_pallas", action="store_true",
                    default=None,
-                   help="fused Pallas TPU kernel for the single-epoch "
-                        "likelihood (the native tier)")
+                   help="force the fused Pallas TPU likelihood kernel "
+                        "(the native tier; DEFAULT on TPU backends)")
+    p.add_argument("--no-pallas", dest="use_pallas", action="store_false",
+                   help="force the XLA likelihood path")
     p.add_argument("--distributed", type=str, default=None,
                    metavar="HOST:PORT,NPROC,PID",
                    help="multi-process jax.distributed init (run one "

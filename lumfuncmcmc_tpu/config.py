@@ -113,7 +113,9 @@ class LFConfig:
                                            #   reference freezes it; its exact
                                            #   routine is dead code,
                                            #   lumfuncmcmc.py:372)
-    use_pallas: bool = False               # fused Pallas likelihood kernel
+    use_pallas: Optional[bool] = None      # fused Pallas likelihood kernel;
+                                           #   None = auto (on for TPU
+                                           #   backends, off elsewhere)
     pallas_interpret: bool = False         # run the kernel in the Pallas
                                            #   interpreter (CPU tests/debug)
     thin: int = 1                          # record every thin-th step

@@ -135,11 +135,36 @@ class _BaseModel:
         self.nfreeparams = len(vals)
         return vals
 
+    def _resolve_use_pallas(self):
+        """cfg.use_pallas=None means auto: the native tier is the default
+        engine on TPU backends (it beats XLA fusion on every measured
+        grid at production walker counts — docs/PERFORMANCE.md); off
+        elsewhere (Mosaic kernels don't run on CPU outside the
+        interpreter). Explicit True on a non-TPU backend without
+        pallas_interpret falls back loudly."""
+        cfg = self.cfg
+        if cfg.use_pallas is None:
+            return jax.default_backend() == "tpu" and not cfg.exact_bounds
+        if (cfg.use_pallas and cfg.exact_bounds and not cfg.fix_comp
+                and self.model_kind == "single"):
+            raise ValueError(
+                "exact_bounds is not implemented in the Pallas kernel — "
+                "drop --use-pallas (the XLA exact-bounds path is the "
+                "fast path for this configuration)")
+        if (cfg.use_pallas and not cfg.pallas_interpret
+                and jax.default_backend() != "tpu"):
+            self.log.warning(
+                "use_pallas requested on a %s backend; the Mosaic kernel "
+                "needs a TPU (or pallas_interpret) — using XLA"
+                % jax.default_backend())
+            return False
+        return bool(cfg.use_pallas)
+
     def lnprob_batch(self):
         if self._lnprob_batch is None:
-            cfg = self.cfg
+            cfg = self.cfg.replace(use_pallas=self._resolve_use_pallas())
             if self.mesh is not None:
-                if cfg.use_pallas:
+                if cfg.use_pallas and self.cfg.use_pallas:
                     self.log.warning(
                         "use_pallas is ignored when a device mesh is "
                         "active (the sharded path uses the XLA kernels)")
@@ -169,9 +194,11 @@ class _BaseModel:
                     self.ctx, self.layout,
                     interpret=cfg.pallas_interpret)
             elif cfg.use_pallas:
-                self.log.warning(
-                    "use_pallas covers the single-epoch and z models; "
-                    "the %s model uses the XLA kernels" % self.model_kind)
+                if self.cfg.use_pallas:  # explicitly requested
+                    self.log.warning(
+                        "use_pallas covers the single-epoch and z models;"
+                        " the %s model uses the XLA kernels"
+                        % self.model_kind)
                 self._lnprob_batch = jax.vmap(self._make_scalar_lnprob())
             else:
                 self._lnprob_batch = jax.vmap(self._make_scalar_lnprob())

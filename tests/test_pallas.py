@@ -141,6 +141,35 @@ def test_z_model_parity(flat):
     np.testing.assert_allclose(got[fin], ref[fin], rtol=RTOL)
 
 
+def test_engine_auto_selection(monkeypatch):
+    """use_pallas=None resolves to the backend: native tier on TPU,
+    XLA elsewhere; explicit True on CPU (no interpreter) falls back with
+    a warning instead of crashing in Mosaic."""
+    from lumfuncmcmc_tpu.models.model import LumFuncModel
+    cfg = LFConfig(min_comp_frac=0.5, fix_comp=True, size_ln=31,
+                   nwalkers=8, nsteps=4)
+    cat = apply_completeness_cut(make_catalog(cfg, n_target=150, seed=5),
+                                 cfg)
+    kw = dict(z=cat["z"], flux=cat["flux"], flux_e=cat["flux_e"],
+              field_id=cat["field_id"])
+
+    m = LumFuncModel(cfg, **kw)               # auto on the CPU backend
+    assert m._resolve_use_pallas() is False
+    m2 = LumFuncModel(cfg.replace(use_pallas=True), **kw)
+    assert m2._resolve_use_pallas() is False  # loud fallback, no crash
+    m3 = LumFuncModel(cfg.replace(use_pallas=True,
+                                  pallas_interpret=True), **kw)
+    assert m3._resolve_use_pallas() is True
+
+    import lumfuncmcmc_tpu.models.model as mm
+    monkeypatch.setattr(mm.jax, "default_backend", lambda: "tpu")
+    assert m._resolve_use_pallas() is True    # auto picks the native tier
+    m4 = LumFuncModel(cfg.replace(use_pallas=False), **kw)
+    assert m4._resolve_use_pallas() is False  # --no-pallas respected
+    m5 = LumFuncModel(cfg.replace(fix_comp=False, exact_bounds=True), **kw)
+    assert m5._resolve_use_pallas() is False  # auto avoids exact-bounds
+
+
 def test_oversize_workload_falls_back_to_xla(monkeypatch):
     """Workloads whose resident arrays exceed the VMEM budget (mega
     catalogs) must transparently use the XLA path instead of OOMing
