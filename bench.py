@@ -172,9 +172,15 @@ def main():
     # (TPU only — the kernel is Mosaic-compiled, no CPU fallback here)
     pallas_detail = {}
     wall_best, engine = wall, "xla"
+    pal = None
     if jax.default_backend() == "tpu":
         from lumfuncmcmc_tpu.ops.pallas_lnlike import make_pallas_lnprob
         pal = make_pallas_lnprob(ctx, layout)
+        if getattr(pal, "engine", "pallas") != "pallas":
+            log("pallas kernel unavailable for this workload (VMEM "
+                "gate) — skipping the A/B")
+            pal = None
+    if pal is not None:
         out = run_stretch(pal, pos0, jax.random.PRNGKey(1), args.steps)
         jax.block_until_ready(out[0].pos)
         t0 = time.time()
@@ -261,8 +267,10 @@ def main():
     # matched-ESS ratio: the baseline runs the same stretch-move sampler
     # (emcee), so its implied ESS/s is ESS-per-eval * its eval rate; the
     # ratio of ESS rates therefore equals the eval-rate ratio — reported
-    # explicitly so the "x at matched ESS" claim is checkable
-    ess_per_sec = ess / wall
+    # explicitly so the "x at matched ESS" claim is checkable. ESS per
+    # eval is engine-independent (same sampler and seeds), so the rate
+    # uses the headline engine's wall — consistent with vs_baseline.
+    ess_per_sec = ess / wall_best
     base_ess_per_sec = (ess / evals) * base_rate
     result = {
         "metric": "lnprob_evals_per_sec_100walker_chain",

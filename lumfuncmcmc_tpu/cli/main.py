@@ -425,6 +425,41 @@ def cmd_fith(args):
     return 0
 
 
+def _veff_cut_and_weights(cfg, flux, z, flim, omega0, mcf):
+    """Shared V_eff front half: completeness cut at ``mcf``, cosmology
+    table, log-luminosities, per-source 1/V_eff weights. Used by the
+    per-z-bin pipeline and the mcf scan so the cut/root/weight semantics
+    cannot diverge."""
+    import jax
+    import jax.numpy as jnp
+    from lumfuncmcmc_tpu.cosmology import build_cosmo_table
+    from lumfuncmcmc_tpu.models.veff import veff_weights
+    from lumfuncmcmc_tpu.ops.completeness import fleming_root_logf_np
+    from lumfuncmcmc_tpu.ops.omega import LOG10_4PI
+
+    if mcf > 1.0e-6:
+        root = float(10.0 ** fleming_root_logf_np(
+            np.log10(flim), cfg.alpha, float(mcf), cfg.fcmin))
+    else:
+        root = 0.0  # reference get_min_flux: mcf ~ 0 means no cut
+    keep = flux > root
+    fz, zz = flux[keep], z[keep]
+    if len(fz) == 0:
+        return None
+    zmin, zmax = float(zz.min()), float(zz.max())
+    cosmo = build_cosmo_table(
+        1.05 * zmax + 0.1,
+        dtype=jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
+    logf = jnp.asarray(np.log10(fz))
+    lum = logf + LOG10_4PI + 2.0 * cosmo.log10_dl_cm_at(jnp.asarray(zz))
+    log_root = np.log10(root) if root > 0 else -np.inf
+    w = veff_weights(logf, lum, jnp.full(len(fz), np.log10(flim)),
+                     jnp.full(len(fz), log_root), omega0,
+                     zmin, zmax, cfg.alpha, cosmo, cfg.fcmin, float(mcf))
+    return dict(flux=fz, z=zz, zmin=zmin, zmax=zmax, cosmo=cosmo,
+                logf=logf, lum=lum, log_root=log_root, w=w, root=root)
+
+
 def _vmax_mcf_scan(args, cfg, flux, z, flim, omega0):
     """Min-completeness-fraction parameter-space scan.
 
@@ -435,12 +470,9 @@ def _vmax_mcf_scan(args, cfg, flux, z, flim, omega0):
     Writes the scatter png plus a .dat table of the scanned fits.
     """
     import jax
-    import jax.numpy as jnp
-    from lumfuncmcmc_tpu.cosmology import build_cosmo_table
     from lumfuncmcmc_tpu.models.schfit import fit_schechter
     from lumfuncmcmc_tpu.models.veff import (
-        veff_weights, binned_lf_bootstrap, log_bin_edges)
-    from lumfuncmcmc_tpu.ops.completeness import fleming_root_logf_np
+        binned_lf_bootstrap, log_bin_edges)
     from lumfuncmcmc_tpu.utils.io import write_fixed_width_two_line
     from lumfuncmcmc_tpu.utils.plotting import plot_param_space
 
@@ -452,41 +484,25 @@ def _vmax_mcf_scan(args, cfg, flux, z, flim, omega0):
 
     mcfs, als, lss = [], [], []
     for mcf in np.linspace(lo_v, hi_v, n):
-        if mcf > 1.0e-6:
-            root = float(10.0 ** fleming_root_logf_np(
-                np.log10(flim), cfg.alpha, float(mcf), cfg.fcmin))
-        else:
-            root = 0.0
-        keep = flux > root
-        fz, zz = flux[keep], z[keep]
-        if len(fz) < cfg.nbins + 2:
-            print(f"mcf={mcf:.3f}: only {len(fz)} sources survive the "
+        cw = _veff_cut_and_weights(cfg, flux, z, flim, omega0,
+                                   float(mcf))
+        if cw is None or len(cw["flux"]) < cfg.nbins + 2:
+            nkeep = 0 if cw is None else len(cw["flux"])
+            print(f"mcf={mcf:.3f}: only {nkeep} sources survive the "
                   "cut; skipped")
             continue
-        zmin, zmax = float(zz.min()), float(zz.max())
-        cosmo = build_cosmo_table(
-            1.05 * zmax + 0.1,
-            dtype=jnp.float64 if jax.config.jax_enable_x64
-            else jnp.float32)
-        logf = jnp.asarray(np.log10(fz))
-        lum = logf + 1.0992098640220963 \
-            + 2.0 * cosmo.log10_dl_cm_at(jnp.asarray(zz))
-        log_root = np.log10(root) if root > 0 else -np.inf
-        w = veff_weights(logf, lum, jnp.full(len(fz), np.log10(flim)),
-                         jnp.full(len(fz), log_root), omega0,
-                         zmin, zmax, cfg.alpha, cosmo, cfg.fcmin,
-                         float(mcf))
-        edges = log_bin_edges(lum, cfg.nbins)
+        edges = log_bin_edges(cw["lum"], cfg.nbins)
         lavg, lfbin, var = binned_lf_bootstrap(
-            jax.random.PRNGKey(cfg.seed), lum, w, edges, cfg.nboot,
-            cfg.nbins)
+            jax.random.PRNGKey(cfg.seed), cw["lum"], cw["w"], edges,
+            cfg.nboot, cfg.nbins)
         fit = fit_schechter(np.asarray(lavg), np.asarray(lfbin),
                             np.asarray(var), name=cfg.line_name,
                             log=True, integ=args.integ)
         mcfs.append(float(mcf))
         als.append(fit.params["al"])
         lss.append(fit.params["Lstar"])
-        print(f"mcf={mcf:.3f}: N={len(fz)} alpha={fit.params['al']:.3f} "
+        print(f"mcf={mcf:.3f}: N={len(cw['flux'])} "
+              f"alpha={fit.params['al']:.3f} "
               f"Lstar={fit.params['Lstar']:.3f}")
     if not mcfs:
         raise SystemExit("mcf scan produced no usable fits")
@@ -504,12 +520,9 @@ def cmd_vmax(args):
     """Standalone V_eff pipeline (``combineStepsLog``,
     ``VmaxLumFunc.py:594-609``; per-z-bin variant ``zEvolSteps``)."""
     import jax
-    import jax.numpy as jnp
-    from lumfuncmcmc_tpu.cosmology import build_cosmo_table
     from lumfuncmcmc_tpu.models.schfit import fit_schechter
     from lumfuncmcmc_tpu.models.veff import (
-        veff_weights, binned_lf_bootstrap, log_bin_edges,
-        equal_count_z_bins)
+        binned_lf_bootstrap, log_bin_edges, equal_count_z_bins)
     from lumfuncmcmc_tpu.utils.io import (
         read_ascii_table, write_fixed_width_two_line)
     from lumfuncmcmc_tpu.utils.plotting import plot_schechter
@@ -546,19 +559,15 @@ def cmd_vmax(args):
     zevol_results = []
     for b in range(zbins):
         sel = zbin_idx == b
-        fz, zz = flux[sel], z[sel]
-        zmin, zmax = float(zz.min()), float(zz.max())
-        cosmo = build_cosmo_table(1.05 * zmax + 0.1,
-                                  dtype=jnp.float64 if jax.config.
-                                  jax_enable_x64 else jnp.float32)
-        logf = jnp.asarray(np.log10(fz))
-        lum = logf + 1.0992098640220963 \
-            + 2.0 * cosmo.log10_dl_cm_at(jnp.asarray(zz))
-        log_root = np.log10(root) if root > 0 else -np.inf
-        w = veff_weights(logf, lum, jnp.full(len(fz), np.log10(flim)),
-                         jnp.full(len(fz), log_root), omega0,
-                         zmin, zmax, cfg.alpha, cosmo, cfg.fcmin,
-                         cfg.min_comp_frac)
+        # the mcf cut is already applied globally (bin membership is
+        # defined on the cut catalog); the shared helper re-derives the
+        # same root, so the per-bin re-cut is a no-op
+        cw = _veff_cut_and_weights(cfg, flux[sel], z[sel], flim, omega0,
+                                   cfg.min_comp_frac)
+        fz, zz = cw["flux"], cw["z"]
+        zmin, zmax = cw["zmin"], cw["zmax"]
+        cosmo, lum, w = cw["cosmo"], cw["lum"], cw["w"]
+        log_root = cw["log_root"]
         linear = bool(getattr(args, "linear", False))
         if linear:
             # combineSteps path (VmaxLumFunc.py:581-592): linear

@@ -146,7 +146,9 @@ class _BaseModel:
         if cfg.use_pallas is None:
             return jax.default_backend() == "tpu" and not cfg.exact_bounds
         if (cfg.use_pallas and cfg.exact_bounds and not cfg.fix_comp
-                and self.model_kind == "single"):
+                and self.model_kind == "single" and self.mesh is None):
+            # with a mesh active the Pallas request is ignored anyway
+            # (sharded path is XLA) — only the meshless case is invalid
             raise ValueError(
                 "exact_bounds is not implemented in the Pallas kernel — "
                 "drop --use-pallas (the XLA exact-bounds path is the "
@@ -177,11 +179,8 @@ class _BaseModel:
                                   and self.model_kind == "single"),
                     min_comp_frac=cfg.min_comp_frac, lh=cfg.Lh)
             elif cfg.use_pallas and self.model_kind == "single":
-                if cfg.exact_bounds and not cfg.fix_comp:
-                    raise ValueError(
-                        "exact_bounds is not implemented in the Pallas "
-                        "kernel — drop --use-pallas (the XLA exact-bounds "
-                        "path is the fast path for this configuration)")
+                # (exact_bounds + explicit use_pallas already raised in
+                # _resolve_use_pallas; auto mode resolves to XLA there)
                 from lumfuncmcmc_tpu.ops.pallas_lnlike import (
                     make_pallas_lnprob)
                 self._lnprob_batch = make_pallas_lnprob(
@@ -231,6 +230,10 @@ class _BaseModel:
 
         every = cfg.checkpoint_every or 0
         thin = max(cfg.thin, 1)
+        if thin > cfg.nsteps:
+            raise ValueError(
+                f"thin={thin} exceeds nsteps={cfg.nsteps}: no step would "
+                "ever be recorded")
         nsteps_exec = cfg.nsteps - (cfg.nsteps % thin)
         if nsteps_exec != cfg.nsteps:
             self.log.warning(

@@ -104,6 +104,11 @@ def read_table_fast(path: str) -> Optional[dict]:
         if lib.ft_error(handle):
             return None
         nrows = int(lib.ft_nrows(handle))
+        if nrows == 0:
+            # header-only file: column types are undecided (the C side
+            # never allocated value buffers) — let the Python reader
+            # define the empty-table semantics
+            return None
         out = {}
         for i in range(int(lib.ft_ncols(handle))):
             name = lib.ft_col_name(handle, i).decode()

@@ -256,13 +256,16 @@ class PallasZData:
     g_a: jnp.ndarray       # LN10 * logL per grid cell
     g_z: jnp.ndarray       # z per grid cell
     g_z2: jnp.ndarray      # z^2 per grid cell
-    g_w: jnp.ndarray       # w_fixed * ln10
+    g_w: jnp.ndarray       # frozen w_fixed (see note below: NO ln10)
     s_a: jnp.ndarray
     s_z: jnp.ndarray
     s_z2: jnp.ndarray
     s_lnom0: jnp.ndarray   # ln Omega_src (frozen)
     s_mask: jnp.ndarray
     flat: bool
+    # g_w is the frozen w_fixed UNscaled — ln(ln10) lives in the shared
+    # _z_logphi constant feature (the source term needs it), so folding
+    # ln10 into the weights too would double-count it
 
 
 jax.tree_util.register_pytree_node(
@@ -276,7 +279,8 @@ jax.tree_util.register_pytree_node(
 def prepare_pallas_z_data(ctx: LFContext, flat: bool = True) -> PallasZData:
     """Pack the z-model grids: per-field z nodes broadcast along the L
     axis (``lnlike_z``'s ``ctx.zarr[:, None, :]``), weights = frozen
-    ``w_fixed`` (area + Omega inside) times ln10."""
+    ``w_fixed`` (area + Omega inside) with NO ln10 fold — the shared
+    ``_z_logphi`` constant feature already carries ln(ln10)."""
     logL = np.asarray(ctx.logL_grid, dtype=np.float64)   # (F, S, S)
     zarr = np.asarray(ctx.zarr, dtype=np.float64)        # (F, S)
     # NO ln10 fold here: the shared _z_logphi carries ln(ln10) in its
@@ -683,7 +687,9 @@ def make_pallas_lnprob_z(ctx: LFContext, layout, interpret: bool = False,
         ncells = int(np.prod(np.asarray(ctx.logL_grid).shape))
         nsrc = int(np.asarray(ctx.lum).shape[0])
         if (ncells * 4 + nsrc * 5) * 4 * 8 >= 11 * 2**20:
-            return jax.vmap(make_lnprob_z(ctx, layout))
+            fallback = jax.vmap(make_lnprob_z(ctx, layout))
+            fallback.engine = "xla-fallback"
+            return fallback
 
     lnlike = make_pallas_lnlike_z(ctx, layout, interpret=interpret,
                                   flat=flat)
@@ -694,6 +700,7 @@ def make_pallas_lnprob_z(ctx: LFContext, layout, interpret: bool = False,
         return jnp.where(jnp.isfinite(lp), lp + lnlike(thetas),
                          -jnp.inf)
 
+    batched.engine = "pallas"
     return batched
 
 
@@ -706,7 +713,9 @@ def make_pallas_lnprob(ctx: LFContext, layout, interpret: bool = False):
     lnlike = make_pallas_lnlike(ctx, layout, interpret=interpret)
     if lnlike is None:
         from lumfuncmcmc_tpu.models.likelihood import make_lnprob
-        return jax.vmap(make_lnprob(ctx, layout))
+        fallback = jax.vmap(make_lnprob(ctx, layout))
+        fallback.engine = "xla-fallback"  # callers (bench) can detect
+        return fallback
     lo = jnp.asarray(layout.lo, jnp.float32)
     hi = jnp.asarray(layout.hi, jnp.float32)
 
@@ -726,4 +735,5 @@ def make_pallas_lnprob(ctx: LFContext, layout, interpret: bool = False):
         ok = jnp.all((thetas >= lo) & (thetas <= hi), axis=1)
         return jnp.where(ok, lnl, -jnp.inf)
 
+    batched.engine = "pallas"
     return batched

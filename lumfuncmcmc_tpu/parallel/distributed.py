@@ -43,6 +43,11 @@ def init_distributed(coordinator: str, num_processes: int,
         want = f"--xla_force_host_platform_device_count={local_device_count}"
         if "xla_force_host_platform_device_count" not in flags:
             os.environ["XLA_FLAGS"] = (flags + " " + want).strip()
+        elif want not in flags:
+            import re
+            os.environ["XLA_FLAGS"] = re.sub(
+                r"--xla_force_host_platform_device_count=\d+", want,
+                flags)
     jax.distributed.initialize(
         coordinator_address=coordinator,
         num_processes=int(num_processes),

@@ -70,6 +70,13 @@ def test_resume_preserves_acceptance_fraction(small_inputs, tmp_path):
         m1.acceptance_fraction, rel=1e-12)
 
 
+def test_thin_exceeding_nsteps_raises(small_inputs):
+    cfg, cat = small_inputs
+    m = _model(cfg.replace(thin=100, nsteps=40), cat)
+    with pytest.raises(ValueError, match="thin=100 exceeds"):
+        m.fit_model()
+
+
 def test_thinned_checkpointed_fit(small_inputs, tmp_path):
     """cfg.thin must not be silently ignored when checkpointing is on."""
     cfg, cat = small_inputs

@@ -67,6 +67,18 @@ def test_mixed_type_column_falls_back(tmp_path):
     assert list(out["b"]) == ["2", "oops"]
 
 
+def test_header_only_table_declined(tmp_path):
+    """Header with no data rows: column types are undecided on the C
+    side — must defer to the Python reader (which yields empty float
+    columns), not memcpy from unallocated buffers."""
+    p = str(tmp_path / "h.dat")
+    with open(p, "w") as fh:
+        fh.write("a b\n# just a comment\n")
+    assert read_table_fast(p) is None
+    out = read_ascii_table(p)
+    assert len(out["a"]) == 0
+
+
 def test_ragged_row_declined(tmp_path):
     p = str(tmp_path / "r.dat")
     with open(p, "w") as fh:
