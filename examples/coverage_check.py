@@ -34,6 +34,7 @@ from lumfuncmcmc_tpu.utils.synth import make_catalog, apply_completeness_cut
 
 PARAMS = ["Lstar", "phistar", "sch_al"]
 FREE = "--free" in sys.argv  # 9-parameter free-completeness model
+PALLAS = "--pallas" in sys.argv  # validate the native-tier engine
 
 
 def one_replicate(k, rng):
@@ -56,7 +57,13 @@ def one_replicate(k, rng):
     from lumfuncmcmc_tpu.parallel.sharding import pad_sources
     ctx = pad_sources(ctx, 2048)
     layout = ThetaLayout.from_config(cfg)
-    lnprob = jax.vmap(make_lnprob(ctx, layout))
+    if PALLAS:
+        from lumfuncmcmc_tpu.ops.pallas_lnlike import make_pallas_lnprob
+        lnprob = make_pallas_lnprob(ctx, layout,
+                                    interpret=jax.default_backend()
+                                    != "tpu")
+    else:
+        lnprob = jax.vmap(make_lnprob(ctx, layout))
     pos0 = sample_init(jax.random.PRNGKey(2 * k), layout, cfg.nwalkers)
     _, chain, _, _ = run_stretch(lnprob, pos0,
                                  jax.random.PRNGKey(2 * k + 1),

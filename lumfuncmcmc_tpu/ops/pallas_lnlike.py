@@ -313,6 +313,80 @@ def prepare_pallas_z_data(ctx: LFContext, flat: bool = True) -> PallasZData:
     )
 
 
+@dataclass(frozen=True)
+class PallasZ2Data:
+    """2-D layout for the big-grid z kernel: per field the (S_L, S_z)
+    panel keeps z along lanes, so the quadratics AND the theta-dependent
+    Schechter-cutoff scale ``t1(z) = 10^(lref - Lstar(z))`` are computed
+    per z-NODE row and broadcast down the L rows — one exp per grid
+    element (the same factorization as the single-epoch kernels, hoisted
+    per node because Lstar varies with z). Sources stay in the 1-D
+    packed layout (few, and their z is per-source anyway)."""
+
+    g_a2: jnp.ndarray      # (GR, ZP) LN10 * logL
+    g_p2: jnp.ndarray      # (GR, ZP) 10^(logL - lref)
+    g_w2: jnp.ndarray      # (GR, ZP) frozen w_fixed (NO ln10 fold)
+    zrow: jnp.ndarray      # (F, ZP) z nodes per field
+    z2row: jnp.ndarray     # (F, ZP) z^2
+    s_a: jnp.ndarray       # 1-D packed sources, as PallasZData
+    s_z: jnp.ndarray
+    s_z2: jnp.ndarray
+    s_lnom0: jnp.ndarray
+    s_mask: jnp.ndarray
+    grid_rows: tuple       # ((row offset, n rows), ...) per field
+    lref: float
+
+
+jax.tree_util.register_pytree_node(
+    PallasZ2Data,
+    lambda d: ((d.g_a2, d.g_p2, d.g_w2, d.zrow, d.z2row, d.s_a, d.s_z,
+                d.s_z2, d.s_lnom0, d.s_mask), (d.grid_rows, d.lref)),
+    lambda aux, ch: PallasZ2Data(*ch, grid_rows=aux[0], lref=aux[1]),
+)
+
+
+def prepare_pallas_z2_data(ctx: LFContext) -> PallasZ2Data:
+    logL = np.asarray(ctx.logL_grid, dtype=np.float64)   # (F, SL, SZ)
+    zarr = np.asarray(ctx.zarr, dtype=np.float64)        # (F, SZ)
+    w = np.asarray(ctx.w_fixed, dtype=np.float64)        # NO ln10 fold
+    nf, sl, sz = logL.shape
+    lref = float(ctx.lref)
+    sl_p = _round_up(sl, 8)
+    zp = _round_up(sz, LANES)
+
+    def pad2(a, fill):
+        out = np.full((sl_p, zp), fill, dtype=np.float32)
+        out[:sl, :sz] = a
+        return out
+
+    g_a2 = np.concatenate([pad2(LN10 * logL[f], 0.0) for f in range(nf)])
+    g_p2 = np.concatenate(
+        [pad2(10.0 ** np.clip(logL[f] - lref, -30.0, 25.0), _P_PAD)
+         for f in range(nf)])
+    g_w2 = np.concatenate([pad2(w[f], 0.0) for f in range(nf)])
+    grid_rows = tuple((f * sl_p, sl_p) for f in range(nf))
+    zrow = np.zeros((nf, zp), dtype=np.float32)
+    zrow[:, :sz] = zarr
+
+    # sources: the 1-D packed layout of prepare_pallas_z_data
+    lum = np.asarray(ctx.lum, dtype=np.float64)
+    zsrc = np.asarray(ctx.zsrc, dtype=np.float64)
+    scols = [{"a": LN10 * lum, "z": zsrc, "z2": zsrc ** 2,
+              "lnom0": np.asarray(ctx.ln_om_src, dtype=np.float64),
+              "mask": np.asarray(ctx.src_mask, dtype=np.float64)}]
+    sfills = {"a": 500.0, "z": 0.0, "z2": 0.0, "lnom0": 0.0, "mask": 0.0}
+    spack, _ = _pack_rows(scols, sfills, row_align=1)
+
+    return PallasZ2Data(
+        g_a2=jnp.asarray(g_a2), g_p2=jnp.asarray(g_p2),
+        g_w2=jnp.asarray(g_w2), zrow=jnp.asarray(zrow),
+        z2row=jnp.asarray(zrow ** 2),
+        s_a=spack["a"], s_z=spack["z"], s_z2=spack["z2"],
+        s_lnom0=spack["lnom0"], s_mask=spack["mask"],
+        grid_rows=grid_rows, lref=lref,
+    )
+
+
 # ---------------------------------------------------------------------------
 # kernels
 # ---------------------------------------------------------------------------
@@ -399,17 +473,32 @@ def _kernel_z_bcast(th_ref, g_a, g_z, g_z2, g_w,
     out_ref[:, :] = tot
 
 
-def _kernel_z_slab(th_ref, g_a, g_z, g_z2, g_w,
-                   s_a, s_z, s_z2, s_lnom0, s_mask, out_ref):
-    gn, sn = g_a.shape[0], s_a.shape[0]
+def _kernel_z2_slab(th_ref, g_a2, g_p2, g_w2, zrow, z2row,
+                    s_a, s_z, s_z2, s_lnom0, s_mask, out_ref, *,
+                    grid_rows, lref_a):
+    """2-D-layout z kernel: per field the quadratics Lq(z), P(z) and the
+    cutoff scale t1(z) = exp(LN10*lref - Lq(z)) are (1, ZP) node rows;
+    the per-element work drops to one exp plus a few fmas (the inner
+    10^(logL - Lstar(z)) is g_p2 * t1 — a multiply)."""
+    nfields = len(grid_rows)
     for i in range(BLK_W):
         th = [th_ref[i, j] for j in range(7)]
         tot = jnp.float32(0.0)
-        for ro in range(0, gn, _CHUNK_ROWS):
-            rn = min(_CHUNK_ROWS, gn - ro)
-            lnphi = _z_logphi(g_a[ro:ro + rn, :], g_z[ro:ro + rn, :],
-                              g_z2[ro:ro + rn, :], th)
-            tot = tot - jnp.sum(jnp.exp(lnphi) * g_w[ro:ro + rn, :])
+        for f in range(nfields):
+            zr = zrow[f:f + 1, :]
+            z2r = z2row[f:f + 1, :]
+            lq = th[3] * z2r + th[4] * zr + th[5]     # LN10 * Lstar(z)
+            pr = th[0] * z2r + th[1] * zr + th[2]     # phistar part
+            t1 = jnp.exp(lref_a - lq)
+            base = pr - th[6] * lq                    # hoist -a1*Lq
+            go, gn = grid_rows[f]
+            for ro in range(0, gn, _CHUNK_ROWS):
+                rn = min(_CHUNK_ROWS, gn - ro)
+                lo = go + ro
+                e = (base + th[6] * g_a2[lo:lo + rn, :]
+                     - g_p2[lo:lo + rn, :] * t1)
+                tot = tot - jnp.sum(jnp.exp(e) * g_w2[lo:lo + rn, :])
+        sn = s_a.shape[0]
         for ro in range(0, sn, _CHUNK_ROWS):
             rn = min(_CHUNK_ROWS, sn - ro)
             contrib = _z_logphi(s_a[ro:ro + rn, :], s_z[ro:ro + rn, :],
@@ -643,16 +732,29 @@ def make_pallas_lnlike(ctx: LFContext, layout, interpret: bool = False,
 def make_pallas_lnlike_z(ctx: LFContext, layout, interpret: bool = False,
                          flat=None):
     """(W, D) -> (W,) batched z-evolving lnlike (``lumfuncmcmc_z.py:
-    364-376``); quadratic pivot coefficients are per-walker features, so
-    the per-element cost is two exps and a handful of fmas."""
+    364-376``); quadratic pivot coefficients are per-walker features.
+    Small grids use the broadcast layout (two exps per element); big
+    grids the 2-D slab layout with per-z-node hoisting (one exp per
+    element). Returns None when even those arrays exceed the VMEM
+    budget (mega source counts — use the sharded XLA path)."""
+    ncells = int(np.prod(np.asarray(ctx.logL_grid).shape))
+    nsrc = int(np.asarray(ctx.lum).shape[0])
+    if (ncells * 3 + nsrc * 5) * 4 > _VMEM_ARRAY_LIMIT:
+        return None
     if flat is None:
-        ncells = int(np.prod(np.asarray(ctx.logL_grid).shape))
-        nsrc = int(np.asarray(ctx.lum).shape[0])
         flat = (ncells * 4 + nsrc * 5) * 4 * 8 < 11 * 2**20
-    data = prepare_pallas_z_data(ctx, flat=flat)
-    kern = _kernel_z_bcast if flat else _kernel_z_slab
-    arrays = (data.g_a, data.g_z, data.g_z2, data.g_w,
-              data.s_a, data.s_z, data.s_z2, data.s_lnom0, data.s_mask)
+    if flat:
+        data = prepare_pallas_z_data(ctx, flat=True)
+        kern = _kernel_z_bcast
+        arrays = (data.g_a, data.g_z, data.g_z2, data.g_w,
+                  data.s_a, data.s_z, data.s_z2, data.s_lnom0,
+                  data.s_mask)
+    else:
+        d2 = prepare_pallas_z2_data(ctx)
+        kern = partial(_kernel_z2_slab, grid_rows=d2.grid_rows,
+                       lref_a=float(LN10 * d2.lref))
+        arrays = (d2.g_a2, d2.g_p2, d2.g_w2, d2.zrow, d2.z2row,
+                  d2.s_a, d2.s_z, d2.s_z2, d2.s_lnom0, d2.s_mask)
 
     def batched(thetas):
         wk_in = thetas.shape[0]
@@ -674,25 +776,18 @@ def make_pallas_lnprob_z(ctx: LFContext, layout, interpret: bool = False,
     -inequality pivot prior (``lumfuncmcmc_z.py:343-362``) masks
     outside the kernel.
 
-    Auto mode (``flat=None``) uses the kernel only for broadcast-sized
-    grids (the production gauss mode): on the 201^2 trapz grid XLA's
-    fusion exploits the z-only broadcast structure of the quadratics and
-    measured 2x the slab kernel, so that case falls back to XLA. Pass
-    ``flat=False`` to force the slab kernel (tests do).
+    Falls back to the XLA path only for workloads whose arrays exceed
+    the VMEM budget (mega source counts — shard those instead).
     """
     from lumfuncmcmc_tpu.models.likelihood_z import (
         lnprior_z, make_lnprob_z)
 
-    if flat is None:
-        ncells = int(np.prod(np.asarray(ctx.logL_grid).shape))
-        nsrc = int(np.asarray(ctx.lum).shape[0])
-        if (ncells * 4 + nsrc * 5) * 4 * 8 >= 11 * 2**20:
-            fallback = jax.vmap(make_lnprob_z(ctx, layout))
-            fallback.engine = "xla-fallback"
-            return fallback
-
     lnlike = make_pallas_lnlike_z(ctx, layout, interpret=interpret,
                                   flat=flat)
+    if lnlike is None:
+        fallback = jax.vmap(make_lnprob_z(ctx, layout))
+        fallback.engine = "xla-fallback"
+        return fallback
 
     def batched(thetas):
         thetas = thetas.astype(jnp.float32)
