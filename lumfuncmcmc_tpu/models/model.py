@@ -192,13 +192,12 @@ class _BaseModel:
                 self._lnprob_batch = make_pallas_lnprob_z(
                     self.ctx, self.layout,
                     interpret=cfg.pallas_interpret)
-            elif cfg.use_pallas:
-                if self.cfg.use_pallas:  # explicitly requested
-                    self.log.warning(
-                        "use_pallas covers the single-epoch and z models;"
-                        " the %s model uses the XLA kernels"
-                        % self.model_kind)
-                self._lnprob_batch = jax.vmap(self._make_scalar_lnprob())
+            elif cfg.use_pallas and self.model_kind == "hier":
+                from lumfuncmcmc_tpu.ops.pallas_lnlike import (
+                    make_pallas_lnprob_h)
+                self._lnprob_batch = make_pallas_lnprob_h(
+                    self.ctx, self.layout,
+                    interpret=cfg.pallas_interpret)
             else:
                 self._lnprob_batch = jax.vmap(self._make_scalar_lnprob())
         return self._lnprob_batch

@@ -509,6 +509,44 @@ def _kernel_z2_slab(th_ref, g_a2, g_p2, g_w2, zrow, z2row,
         out_ref[i, 0] = tot
 
 
+def _kernel_hier_bcast(th_ref, g_a, g_p, g_w, out_ref, *, grid_rows):
+    """Hierarchical-model integral sum: per-field (Lstar_f, phistar_f)
+    on field f's frozen fixed-completeness grid. Features per walker:
+    [aA, lnrest] + per field [c_f, lA_f, t1_f] (lnrest carries the
+    collapsed ln-terms + hyperprior, computed outside)."""
+    aA = th_ref[:, 0:1]
+    tot = th_ref[:, 1:2]
+    for f, (go, gn) in enumerate(grid_rows):
+        c = th_ref[:, 2 + 3 * f:3 + 3 * f]
+        lA = th_ref[:, 3 + 3 * f:4 + 3 * f]
+        t1 = th_ref[:, 4 + 3 * f:5 + 3 * f]
+        for co in range(0, gn, _CHUNK):
+            cn = min(_CHUNK, gn - co)
+            lo = go + co
+            e = (c + aA * (g_a[0:1, lo:lo + cn] - lA)
+                 - g_p[0:1, lo:lo + cn] * t1)
+            tot = tot - jnp.sum(jnp.exp(e) * g_w[0:1, lo:lo + cn],
+                                axis=1, keepdims=True)
+    out_ref[:, :] = tot
+
+
+def _kernel_hier_slab(th_ref, g_a, g_p, g_w, out_ref, *, grid_rows):
+    for i in range(BLK_W):
+        aA = th_ref[i, 0]
+        tot = th_ref[i, 1]
+        for f, (go, gn) in enumerate(grid_rows):
+            c = th_ref[i, 2 + 3 * f]
+            lA = th_ref[i, 3 + 3 * f]
+            t1 = th_ref[i, 4 + 3 * f]
+            for ro in range(0, gn, _CHUNK_ROWS):
+                rn = min(_CHUNK_ROWS, gn - ro)
+                lo = go + ro
+                e = (c + aA * (g_a[lo:lo + rn, :] - lA)
+                     - g_p[lo:lo + rn, :] * t1)
+                tot = tot - jnp.sum(jnp.exp(e) * g_w[lo:lo + rn, :])
+        out_ref[i, 0] = tot
+
+
 def _kernel_fixed_bcast(th_ref, g_a, g_p, g_w, out_ref):
     """Broadcast-layout fixed-completeness lnlike; features as in
     :func:`_kernel_fixed`."""
@@ -794,6 +832,71 @@ def make_pallas_lnprob_z(ctx: LFContext, layout, interpret: bool = False,
         lp = jax.vmap(lambda t: lnprior_z(t, layout))(thetas)
         return jnp.where(jnp.isfinite(lp), lp + lnlike(thetas),
                          -jnp.inf)
+
+    batched.engine = "pallas"
+    return batched
+
+
+def _features_hier(thetas, ctx, layout, lref):
+    from lumfuncmcmc_tpu.models.hierarchical import _ln_normal
+
+    def one(theta):
+        mu_l, sig_l, mu_p, sig_p, sch_al, lstar_f, phistar_f = \
+            layout.unpack(theta)
+        log_ln10 = jnp.log(jnp.asarray(LN10, theta.dtype))
+        lnpart_f = (ctx.nsrc_f * (log_ln10 + LN10 * phistar_f)
+                    + LN10 * (sch_al + 1.0)
+                    * (ctx.sum_lum_f - ctx.nsrc_f * lstar_f)
+                    - jnp.exp(LN10 * (ctx.lref - lstar_f))
+                    * ctx.sum_pow_lum_f
+                    + ctx.sum_ln_om_f)
+        hyper = (jnp.sum(_ln_normal(lstar_f, mu_l, sig_l))
+                 + jnp.sum(_ln_normal(phistar_f, mu_p, sig_p)))
+        lnrest = jnp.sum(lnpart_f) + hyper
+        per_field = jnp.stack([LN10 * phistar_f, LN10 * lstar_f,
+                               10.0 ** (lref - lstar_f)],
+                              axis=1).ravel()              # (3F,)
+        return jnp.concatenate(
+            [jnp.stack([sch_al + 1.0, lnrest]), per_field])
+    return jax.vmap(one)(thetas.astype(jnp.float32))
+
+
+def make_pallas_lnprob_h(ctx: LFContext, layout, interpret: bool = False,
+                         flat=None):
+    """(W, D) -> (W,) hierarchical-model lnprob via the fused kernel:
+    the per-field grid integrals (the only O(grid) work,
+    ``models/hierarchical.py::lnlike_h``) run in the kernel; the
+    collapsed ln-terms and the population hyperprior ride along as a
+    feature. Falls back to XLA past the VMEM budget."""
+    from lumfuncmcmc_tpu.models.hierarchical import (
+        lnprior_h, make_lnprob_h)
+
+    ncells = int(np.prod(np.asarray(ctx.logL_grid).shape))
+    if ncells * 3 * 4 > _VMEM_ARRAY_LIMIT:
+        fallback = jax.vmap(make_lnprob_h(ctx, layout))
+        fallback.engine = "xla-fallback"
+        return fallback
+    if flat is None:
+        flat = ncells * 3 * 4 * 8 < 11 * 2**20
+    data = prepare_pallas_data(ctx, fix_comp=True, flat=flat)
+    kern = partial(_kernel_hier_bcast if flat else _kernel_hier_slab,
+                   grid_rows=data.grid_rows)
+    arrays = (data.g_a, data.g_p, data.g_w)
+
+    def batched(thetas):
+        thetas = thetas.astype(jnp.float32)
+        wk_in = thetas.shape[0]
+        wk = _round_up(wk_in, BLK_W)
+        padded = thetas
+        if wk != wk_in:
+            padded = jnp.concatenate(
+                [thetas, jnp.broadcast_to(thetas[:1],
+                                          (wk - wk_in,) + thetas.shape[1:])])
+        feats = _features_hier(padded, ctx, layout,
+                               data.lref).astype(jnp.float32)
+        lnl = _call_kernel(kern, feats, arrays, interpret, flat)[:wk_in, 0]
+        lp = jax.vmap(lambda t: lnprior_h(t, layout))(thetas)
+        return jnp.where(jnp.isfinite(lp), lp + lnl, -jnp.inf)
 
     batched.engine = "pallas"
     return batched

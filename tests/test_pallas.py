@@ -141,6 +141,35 @@ def test_z_model_parity(flat):
     np.testing.assert_allclose(got[fin], ref[fin], rtol=RTOL)
 
 
+@pytest.mark.parametrize("flat", [True, False])
+def test_hier_model_parity(flat):
+    """Hierarchical kernel (both layouts) vs the XLA lnprob, including
+    the hyperprior and the prior mask."""
+    from lumfuncmcmc_tpu.models.hierarchical import (
+        ThetaLayoutH, make_lnprob_h)
+    from lumfuncmcmc_tpu.models.model import LumFuncModelH
+    from lumfuncmcmc_tpu.ops.pallas_lnlike import make_pallas_lnprob_h
+    cfg = LFConfig(min_comp_frac=0.5, fix_comp=True, size_ln=31)
+    cat = apply_completeness_cut(make_catalog(cfg, n_target=300, seed=6),
+                                 cfg)
+    _, ctx = build_context(cfg, z=cat["z"], flux=cat["flux"],
+                           flux_e=cat["flux_e"], field_id=cat["field_id"])
+    layout = ThetaLayoutH.from_config(cfg)
+    m = LumFuncModelH(cfg, z=cat["z"], flux=cat["flux"],
+                      flux_e=cat["flux_e"], field_id=cat["field_id"])
+    thetas = np.array(m._initial_positions(jax.random.PRNGKey(9))[:16])
+    thetas[2, 0] = 60.0  # out of box -> -inf
+    ref = np.asarray(jax.vmap(make_lnprob_h(ctx, layout))(
+        jnp.asarray(thetas, jnp.float64)))
+    got = np.asarray(make_pallas_lnprob_h(ctx, layout, interpret=True,
+                                          flat=flat)(
+        jnp.asarray(thetas, jnp.float32)))
+    fin = np.isfinite(ref)
+    assert not fin[2]
+    np.testing.assert_array_equal(np.isfinite(got), fin)
+    np.testing.assert_allclose(got[fin], ref[fin], rtol=RTOL)
+
+
 def test_engine_auto_selection(monkeypatch):
     """use_pallas=None resolves to the backend: native tier on TPU,
     XLA elsewhere; explicit True on CPU (no interpreter) falls back with
