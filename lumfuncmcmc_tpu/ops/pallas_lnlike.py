@@ -69,7 +69,16 @@ _LOG_LN10 = float(np.log(LN10))
 _LOGF_REF = -16.0       # reference log10-flux for the R factorization
 _P_PAD = 1.0e30         # pad value of P: forces exp(... - P*t1) -> 0
 
-BLK_W = 8               # walkers per program (sublane dimension)
+BLK_W = 8               # default walkers per program (sublane dimension)
+_BIG_BATCH = 256        # batch size where taller blocks take over
+_BLK_W_MAX = 256        # tallest block considered for large batches
+_TEMP_BUDGET = 1 << 20  # per-op-chain temporary target in bytes: blocks
+                        # are grown until a (blk, chunk) f32 temp hits
+                        # ~1 MiB — past that Mosaic spills the ~10 live
+                        # temporaries and throughput drops (v5e A/B:
+                        # trapz peaks at blk=64 with 4096-wide chunks,
+                        # gauss at blk=256 with 1024-wide chunks —
+                        # docs/PERFORMANCE.md walker-scaling table)
 LANES = 128             # grid cells per VPU op (lane dimension)
 _CHUNK = 4096           # broadcast-kernel cells per op chain (temp bound;
                         # tuned on v5e in the full-chain context — 2048
@@ -84,6 +93,25 @@ _VMEM_ARRAY_LIMIT = 10 * 2**20   # resident-array budget before the
 
 def _round_up(x, m):
     return -(-x // m) * m
+
+
+def _choose_blk(wk_in, blk, flat=True, max_chunk=_CHUNK):
+    """Walker-block size for a batch of ``wk_in`` thetas. ``blk`` forces
+    a size (experiments/tests); None auto-selects — 8 for production
+    half-ensembles, and for large batches the tallest block whose
+    (blk, max_chunk) op-chain temporary stays within ``_TEMP_BUDGET``
+    (taller broadcast ops amortize per-program setup until the live
+    temporaries spill). The slab layout serializes walkers inside the
+    program, so its temporaries don't scale with blk — it keeps the
+    default."""
+    if blk is not None:
+        return int(blk)
+    if not flat or wk_in < _BIG_BATCH:
+        return BLK_W
+    b = _BLK_W_MAX
+    while b > BLK_W and b * max_chunk * 4 > _TEMP_BUDGET:
+        b //= 2
+    return b
 
 
 # ---------------------------------------------------------------------------
@@ -404,7 +432,7 @@ def _kernel_free_bcast(th_ref, g_logf, g_a, g_p, g_r, g_w,
     t1 = th_ref[:, 4:5]
     ac = th_ref[:, 5:6]
 
-    tot = jnp.zeros((BLK_W, 1), jnp.float32)
+    tot = jnp.zeros((th_ref.shape[0], 1), jnp.float32)
     for f in range(nfields):
         lf50 = th_ref[:, 6 + f:7 + f]
         t2 = th_ref[:, 6 + nfields + f:7 + nfields + f]
@@ -459,7 +487,7 @@ def _kernel_z_bcast(th_ref, g_a, g_z, g_z2, g_w,
                     s_a, s_z, s_z2, s_lnom0, s_mask, out_ref):
     th = [th_ref[:, j:j + 1] for j in range(7)]
     gn = g_a.shape[1]
-    tot = jnp.zeros((BLK_W, 1), jnp.float32)
+    tot = jnp.zeros((th_ref.shape[0], 1), jnp.float32)
     for co in range(0, gn, _CHUNK):
         cn = min(_CHUNK, gn - co)
         lnphi = _z_logphi(g_a[0:1, co:co + cn], g_z[0:1, co:co + cn],
@@ -481,7 +509,7 @@ def _kernel_z2_slab(th_ref, g_a2, g_p2, g_w2, zrow, z2row,
     the per-element work drops to one exp plus a few fmas (the inner
     10^(logL - Lstar(z)) is g_p2 * t1 — a multiply)."""
     nfields = len(grid_rows)
-    for i in range(BLK_W):
+    for i in range(th_ref.shape[0]):
         th = [th_ref[i, j] for j in range(7)]
         tot = jnp.float32(0.0)
         for f in range(nfields):
@@ -531,7 +559,7 @@ def _kernel_hier_bcast(th_ref, g_a, g_p, g_w, out_ref, *, grid_rows):
 
 
 def _kernel_hier_slab(th_ref, g_a, g_p, g_w, out_ref, *, grid_rows):
-    for i in range(BLK_W):
+    for i in range(th_ref.shape[0]):
         aA = th_ref[i, 0]
         tot = th_ref[i, 1]
         for f, (go, gn) in enumerate(grid_rows):
@@ -569,7 +597,7 @@ def _kernel_free(th_ref, g_logf, g_a, g_p, g_r, g_w,
       6+f      logF50_f
       6+F+f    t2_f = 10^(logf_ref - log_ftau_f)
     """
-    for i in range(BLK_W):
+    for i in range(th_ref.shape[0]):
         c_g = th_ref[i, 0]
         c_s = th_ref[i, 1]
         aA = th_ref[i, 2]
@@ -623,7 +651,7 @@ def _kernel_fixed(th_ref, g_a, g_p, g_w, out_ref):
     Features: [c_grid, aA, lA, t1, lnpart].
     """
     nr = g_a.shape[0]
-    for i in range(BLK_W):
+    for i in range(th_ref.shape[0]):
         tot = th_ref[i, 4]
         for ro in range(0, nr, _CHUNK_ROWS):
             rn = min(_CHUNK_ROWS, nr - ro)
@@ -686,20 +714,20 @@ def _features_fixed(thetas, ctx, layout, lref):
 # public builders
 # ---------------------------------------------------------------------------
 
-def _call_kernel(kern, feats, arrays, interpret, flat):
+def _call_kernel(kern, feats, arrays, interpret, flat, blk=BLK_W):
     wk, nfeat = feats.shape
     const2 = lambda w: (0, 0)
-    # broadcast kernels read theta as (8, 1) vector columns and write a
+    # broadcast kernels read theta as (blk, 1) vector columns and write a
     # vector output -> VMEM; slab kernels read per-walker scalars -> SMEM
     space = pltpu.VMEM if flat else pltpu.SMEM
     return pl.pallas_call(
         kern,
-        grid=(wk // BLK_W,),
-        in_specs=[pl.BlockSpec((BLK_W, nfeat), lambda w: (w, 0),
+        grid=(wk // blk,),
+        in_specs=[pl.BlockSpec((blk, nfeat), lambda w: (w, 0),
                                memory_space=space)]
         + [pl.BlockSpec(a.shape, const2, memory_space=pltpu.VMEM)
            for a in arrays],
-        out_specs=pl.BlockSpec((BLK_W, 1), lambda w: (w, 0),
+        out_specs=pl.BlockSpec((blk, 1), lambda w: (w, 0),
                                memory_space=space),
         out_shape=jax.ShapeDtypeStruct((wk, 1), jnp.float32),
         interpret=interpret,
@@ -707,7 +735,7 @@ def _call_kernel(kern, feats, arrays, interpret, flat):
 
 
 def make_pallas_lnlike(ctx: LFContext, layout, interpret: bool = False,
-                       flat=None):
+                       flat=None, blk=None):
     """Build a (W, D) -> (W,) batched single-epoch lnlike.
 
     Covers both completeness modes of the flagship model
@@ -738,6 +766,7 @@ def make_pallas_lnlike(ctx: LFContext, layout, interpret: bool = False,
     if fix_comp:
         kern = _kernel_fixed_bcast if flat else _kernel_fixed
         arrays = (data.g_a, data.g_p, data.g_w)
+        max_chunk = data.g_a.shape[1] if flat else _CHUNK
 
         def feats_fn(thetas):
             return _features_fixed(thetas, ctx, layout, data.lref)
@@ -749,26 +778,31 @@ def make_pallas_lnlike(ctx: LFContext, layout, interpret: bool = False,
         arrays = (data.g_logf, data.g_a, data.g_p, data.g_r, data.g_w,
                   data.s_logf, data.s_a, data.s_p, data.s_r,
                   data.s_lnom0, data.s_mask)
+        # widest single op chain: grid chunks + the unchunked source row
+        max_chunk = (max([min(_CHUNK, n) for _, n in data.grid_rows]
+                         + [n for _, n in data.src_rows])
+                     if flat else _CHUNK)
 
         def feats_fn(thetas):
             return _features_free(thetas, layout, data.lref, fcmin)
 
     def batched(thetas):
         wk_in = thetas.shape[0]
-        wk = _round_up(wk_in, BLK_W)
+        b = _choose_blk(wk_in, blk, flat, max_chunk)
+        wk = _round_up(wk_in, b)
         if wk != wk_in:
             thetas = jnp.concatenate(
                 [thetas, jnp.broadcast_to(thetas[:1],
                                           (wk - wk_in,) + thetas.shape[1:])])
         feats = feats_fn(thetas).astype(jnp.float32)
-        out = _call_kernel(kern, feats, arrays, interpret, flat)
+        out = _call_kernel(kern, feats, arrays, interpret, flat, blk=b)
         return out[:wk_in, 0]
 
     return batched
 
 
 def make_pallas_lnlike_z(ctx: LFContext, layout, interpret: bool = False,
-                         flat=None):
+                         flat=None, blk=None):
     """(W, D) -> (W,) batched z-evolving lnlike (``lumfuncmcmc_z.py:
     364-376``); quadratic pivot coefficients are per-walker features.
     Small grids use the broadcast layout (two exps per element); big
@@ -787,29 +821,33 @@ def make_pallas_lnlike_z(ctx: LFContext, layout, interpret: bool = False,
         arrays = (data.g_a, data.g_z, data.g_z2, data.g_w,
                   data.s_a, data.s_z, data.s_z2, data.s_lnom0,
                   data.s_mask)
+        max_chunk = max(min(_CHUNK, data.g_a.shape[1]),
+                        data.s_a.shape[1])
     else:
         d2 = prepare_pallas_z2_data(ctx)
         kern = partial(_kernel_z2_slab, grid_rows=d2.grid_rows,
                        lref_a=float(LN10 * d2.lref))
         arrays = (d2.g_a2, d2.g_p2, d2.g_w2, d2.zrow, d2.z2row,
                   d2.s_a, d2.s_z, d2.s_z2, d2.s_lnom0, d2.s_mask)
+        max_chunk = _CHUNK
 
     def batched(thetas):
         wk_in = thetas.shape[0]
-        wk = _round_up(wk_in, BLK_W)
+        b = _choose_blk(wk_in, blk, flat, max_chunk)
+        wk = _round_up(wk_in, b)
         if wk != wk_in:
             thetas = jnp.concatenate(
                 [thetas, jnp.broadcast_to(thetas[:1],
                                           (wk - wk_in,) + thetas.shape[1:])])
         feats = _features_z(thetas, layout).astype(jnp.float32)
-        out = _call_kernel(kern, feats, arrays, interpret, flat)
+        out = _call_kernel(kern, feats, arrays, interpret, flat, blk=b)
         return out[:wk_in, 0]
 
     return batched
 
 
 def make_pallas_lnprob_z(ctx: LFContext, layout, interpret: bool = False,
-                         flat=None):
+                         flat=None, blk=None):
     """(W, D) -> (W,) z-model lnprob via the fused kernel; the strict
     -inequality pivot prior (``lumfuncmcmc_z.py:343-362``) masks
     outside the kernel.
@@ -821,7 +859,7 @@ def make_pallas_lnprob_z(ctx: LFContext, layout, interpret: bool = False,
         lnprior_z, make_lnprob_z)
 
     lnlike = make_pallas_lnlike_z(ctx, layout, interpret=interpret,
-                                  flat=flat)
+                                  flat=flat, blk=blk)
     if lnlike is None:
         fallback = jax.vmap(make_lnprob_z(ctx, layout))
         fallback.engine = "xla-fallback"
@@ -862,7 +900,7 @@ def _features_hier(thetas, ctx, layout, lref):
 
 
 def make_pallas_lnprob_h(ctx: LFContext, layout, interpret: bool = False,
-                         flat=None):
+                         flat=None, blk=None):
     """(W, D) -> (W,) hierarchical-model lnprob via the fused kernel:
     the per-field grid integrals (the only O(grid) work,
     ``models/hierarchical.py::lnlike_h``) run in the kernel; the
@@ -882,11 +920,14 @@ def make_pallas_lnprob_h(ctx: LFContext, layout, interpret: bool = False,
     kern = partial(_kernel_hier_bcast if flat else _kernel_hier_slab,
                    grid_rows=data.grid_rows)
     arrays = (data.g_a, data.g_p, data.g_w)
+    max_chunk = (max(min(_CHUNK, n) for _, n in data.grid_rows)
+                 if flat else _CHUNK)
 
     def batched(thetas):
         thetas = thetas.astype(jnp.float32)
         wk_in = thetas.shape[0]
-        wk = _round_up(wk_in, BLK_W)
+        b = _choose_blk(wk_in, blk, flat, max_chunk)
+        wk = _round_up(wk_in, b)
         padded = thetas
         if wk != wk_in:
             padded = jnp.concatenate(
@@ -894,7 +935,8 @@ def make_pallas_lnprob_h(ctx: LFContext, layout, interpret: bool = False,
                                           (wk - wk_in,) + thetas.shape[1:])])
         feats = _features_hier(padded, ctx, layout,
                                data.lref).astype(jnp.float32)
-        lnl = _call_kernel(kern, feats, arrays, interpret, flat)[:wk_in, 0]
+        lnl = _call_kernel(kern, feats, arrays, interpret, flat,
+                           blk=b)[:wk_in, 0]
         lp = jax.vmap(lambda t: lnprior_h(t, layout))(thetas)
         return jnp.where(jnp.isfinite(lp), lp + lnl, -jnp.inf)
 
@@ -902,13 +944,14 @@ def make_pallas_lnprob_h(ctx: LFContext, layout, interpret: bool = False,
     return batched
 
 
-def make_pallas_lnprob(ctx: LFContext, layout, interpret: bool = False):
+def make_pallas_lnprob(ctx: LFContext, layout, interpret: bool = False,
+                       blk=None):
     """(W, D) -> (W,) lnprob via the fused kernel, matching
     ``make_lnprob`` semantics for the single-epoch model (box-prior mask
     applied outside the kernel, as in ``lumfuncmcmc.py:395-424``).
     Falls back to the XLA path for workloads whose arrays exceed VMEM
     (mega-catalogs — shard those over the source mesh axis instead)."""
-    lnlike = make_pallas_lnlike(ctx, layout, interpret=interpret)
+    lnlike = make_pallas_lnlike(ctx, layout, interpret=interpret, blk=blk)
     if lnlike is None:
         from lumfuncmcmc_tpu.models.likelihood import make_lnprob
         fallback = jax.vmap(make_lnprob(ctx, layout))

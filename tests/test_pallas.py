@@ -112,6 +112,36 @@ def test_lnlike_matches_parts_split():
         np.testing.assert_allclose(got[i], float(lnp - fi), rtol=RTOL)
 
 
+def test_walker_block_sizes(monkeypatch):
+    """Non-default walker blocks (the large-ensemble path, blk 16-64)
+    compute the same likelihood as blk=8, including heavier padding
+    (24 walkers pad to 64 at blk=64), and the auto heuristic switches
+    to the big block above the batch threshold."""
+    import lumfuncmcmc_tpu.ops.pallas_lnlike as pk
+    cfg, ctx, layout = _setup(size_ln=31, n_target=250)
+    thetas = jnp.asarray(sample_init(jax.random.PRNGKey(12), layout, 24),
+                         jnp.float32)
+    base = np.asarray(make_pallas_lnlike(ctx, layout, interpret=True,
+                                         blk=8)(thetas))
+    for b in (16, 64):
+        got = np.asarray(make_pallas_lnlike(ctx, layout, interpret=True,
+                                            blk=b)(thetas))
+        np.testing.assert_allclose(got, base, rtol=1e-6)
+    assert pk._choose_blk(24, None) == pk.BLK_W
+    # temp-budget rule: 1024-wide chunks (gauss-32) allow the tallest
+    # block; 4096-wide chunks (trapz-101) cap it at 64; the slab layout
+    # keeps the default
+    assert pk._choose_blk(pk._BIG_BATCH, None, True, 1024) == 256
+    assert pk._choose_blk(pk._BIG_BATCH, None, True, 4096) == 64
+    assert pk._choose_blk(pk._BIG_BATCH, None, False, 1024) == pk.BLK_W
+    # auto path end to end: force the threshold down so 24 walkers take
+    # the big block
+    monkeypatch.setattr(pk, "_BIG_BATCH", 16)
+    auto = np.asarray(pk.make_pallas_lnlike(ctx, layout,
+                                            interpret=True)(thetas))
+    np.testing.assert_allclose(auto, base, rtol=1e-6)
+
+
 @pytest.mark.parametrize("flat", [True, False])
 def test_z_model_parity(flat):
     """z-evolving kernel (both layouts) vs the XLA lnprob, including the
