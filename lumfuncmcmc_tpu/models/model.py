@@ -386,8 +386,21 @@ class _BaseModel:
         k_init, k_run = jax.random.split(key)
         num_warmup = num_warmup or max(200, cfg.nsteps // 4)
         scalar = self._make_scalar_lnprob()
+        post = scalar
+        if (self._resolve_use_pallas() and self.model_kind == "single"
+                and self.mesh is None):
+            # native gradient tier: one fused Pallas pass per
+            # value_and_grad call instead of XLA forward + backward
+            from lumfuncmcmc_tpu.ops.pallas_lnlike import (
+                make_pallas_lnprob_and_grad)
+            pal = make_pallas_lnprob_and_grad(
+                self.ctx, self.layout, interpret=cfg.pallas_interpret)
+            if pal is not None:
+                post = pal
+                self.log.info(
+                    "NUTS gradient path: fused Pallas value+grad kernel")
         lo, hi = self.layout.bounds_arrays()
-        lnp_y, to_theta, to_y = make_unconstrained(scalar, lo, hi)
+        lnp_y, to_theta, to_y = make_unconstrained(post, lo, hi)
 
         pos = self._initial_positions(k_init)
         nchains = min(nchains, pos.shape[0])

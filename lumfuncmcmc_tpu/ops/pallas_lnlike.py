@@ -662,26 +662,163 @@ def _kernel_fixed(th_ref, g_a, g_p, g_w, out_ref):
         out_ref[i, 0] = tot
 
 
+def _kernel_free_vg(th_ref, g_logf, g_a, g_p, g_r, g_w,
+                    s_logf, s_a, s_p, s_r, s_lnom0, s_mask,
+                    out_ref, *, grid_rows, src_rows, nfields, fcmin):
+    """Fused value + feature-gradient for the free-completeness lnlike
+    (the native tier's gradient path — NUTS). Output columns are
+    [lnlike, d/d(feat_0) .. d/d(feat_{6+2F-1})] in the feature order of
+    :func:`_feat_free_one`; the cheap feature map's pullback to theta is
+    left to XLA autodiff (``make_pallas_lnprob_and_grad``).
+
+    Per grid element the extra work over the forward kernel is ~5 fma
+    chains and 5 more chunk reductions — no additional transcendentals
+    (u^3 reuses the rsqrt, the t2-derivative reuses exp(-r t2)), so the
+    factored-exponential advantage over XLA's forward+backward carries
+    over. Padding stays exact-zero: pad cells have w = 0 / mask = 0 and
+    every reduction term carries that factor (fc is clamped away from 0
+    so no 0 * inf NaNs).
+    """
+    F = nfields
+    for i in range(th_ref.shape[0]):
+        c_g = th_ref[i, 0]
+        c_s = th_ref[i, 1]
+        aA = th_ref[i, 2]
+        lA = th_ref[i, 3]
+        t1 = th_ref[i, 4]
+        ac = th_ref[i, 5]
+        lnl = jnp.float32(0.0)
+        d_cg = jnp.float32(0.0)
+        d_cs = jnp.float32(0.0)
+        d_aA = jnp.float32(0.0)
+        d_lA = jnp.float32(0.0)
+        d_t1 = jnp.float32(0.0)
+        d_ac = jnp.float32(0.0)
+        for f in range(F):
+            lf50 = th_ref[i, 6 + f]
+            t2 = th_ref[i, 6 + F + f]
+            d_lf = jnp.float32(0.0)
+            d_t2 = jnp.float32(0.0)
+
+            def fc_terms(logf, r):
+                """(ln fc, d ln fc/dx, d ln fc/d t2) per element."""
+                x = ac * (logf - lf50)
+                u = jax.lax.rsqrt(1.0 + x * x)
+                fc = jnp.maximum(0.5 + 0.5 * x * u, 1e-30)
+                lfc = jnp.log(fc)
+                dfx = 0.5 * u * u * u / fc
+                if not fcmin:
+                    return lfc, dfx, jnp.zeros_like(lfc)
+                q = jnp.exp(-(r * t2))
+                inv_d = 1.0 / (1.0 - q)
+                return (lfc * inv_d, dfx * inv_d,
+                        -lfc * (r * q) * inv_d * inv_d)
+
+            go, gn = grid_rows[f]
+            for ro in range(0, gn, _CHUNK_ROWS):
+                rn = min(_CHUNK_ROWS, gn - ro)
+                lo = go + ro
+                logf = g_logf[lo:lo + rn, :]
+                lnfc, dfx, dft = fc_terms(logf, g_r[lo:lo + rn, :])
+                am = g_a[lo:lo + rn, :] - lA
+                p = g_p[lo:lo + rn, :]
+                e = (jnp.exp(c_g + aA * am - p * t1 + lnfc)
+                     * g_w[lo:lo + rn, :])
+                s0 = jnp.sum(e)
+                lnl = lnl - s0
+                d_cg = d_cg - s0
+                d_lA = d_lA + aA * s0
+                d_aA = d_aA - jnp.sum(e * am)
+                d_t1 = d_t1 + jnp.sum(e * p)
+                d_ac = d_ac - jnp.sum(e * dfx * (logf - lf50))
+                d_lf = d_lf + ac * jnp.sum(e * dfx)
+                d_t2 = d_t2 - jnp.sum(e * dft)
+
+            so, sn = src_rows[f]
+            for ro in range(0, sn, _CHUNK_ROWS):
+                rn = min(_CHUNK_ROWS, sn - ro)
+                lo = so + ro
+                m = s_mask[lo:lo + rn, :]
+                logf = s_logf[lo:lo + rn, :]
+                lnfc, dfx, dft = fc_terms(logf, s_r[lo:lo + rn, :])
+                am = s_a[lo:lo + rn, :] - lA
+                p = s_p[lo:lo + rn, :]
+                contrib = (c_s + aA * am - p * t1
+                           + s_lnom0[lo:lo + rn, :] + lnfc)
+                lnl = lnl + jnp.sum(jnp.where(m > 0.0, contrib, 0.0))
+                s0 = jnp.sum(m)
+                d_cs = d_cs + s0
+                d_lA = d_lA - aA * s0
+                d_aA = d_aA + jnp.sum(m * am)
+                d_t1 = d_t1 - jnp.sum(m * p)
+                d_ac = d_ac + jnp.sum(m * dfx * (logf - lf50))
+                d_lf = d_lf - ac * jnp.sum(m * dfx)
+                d_t2 = d_t2 + jnp.sum(m * dft)
+
+            out_ref[i, 7 + f] = d_lf
+            out_ref[i, 7 + F + f] = d_t2
+        out_ref[i, 0] = lnl
+        out_ref[i, 1] = d_cg
+        out_ref[i, 2] = d_cs
+        out_ref[i, 3] = d_aA
+        out_ref[i, 4] = d_lA
+        out_ref[i, 5] = d_t1
+        out_ref[i, 6] = d_ac
+
+
+def _kernel_fixed_vg(th_ref, g_a, g_p, g_w, out_ref):
+    """Fused value + feature-gradient, fixed completeness. Features
+    [c_grid, aA, lA, t1, lnpart] (:func:`_feat_fixed_one`); output
+    [lnlike, d_c, d_aA, d_lA, d_t1, d_lnpart]."""
+    nr = g_a.shape[0]
+    for i in range(th_ref.shape[0]):
+        c_g = th_ref[i, 0]
+        aA = th_ref[i, 1]
+        lA = th_ref[i, 2]
+        t1 = th_ref[i, 3]
+        s0 = jnp.float32(0.0)
+        s1 = jnp.float32(0.0)
+        s2 = jnp.float32(0.0)
+        for ro in range(0, nr, _CHUNK_ROWS):
+            rn = min(_CHUNK_ROWS, nr - ro)
+            am = g_a[ro:ro + rn, :] - lA
+            p = g_p[ro:ro + rn, :]
+            e = jnp.exp(c_g + aA * am - p * t1) * g_w[ro:ro + rn, :]
+            s0 = s0 + jnp.sum(e)
+            s1 = s1 + jnp.sum(e * am)
+            s2 = s2 + jnp.sum(e * p)
+        out_ref[i, 0] = th_ref[i, 4] - s0
+        out_ref[i, 1] = -s0
+        out_ref[i, 2] = -s1
+        out_ref[i, 3] = aA * s0
+        out_ref[i, 4] = s2
+        out_ref[i, 5] = jnp.float32(1.0)
+
+
 # ---------------------------------------------------------------------------
 # feature preparation (cheap XLA ops per batch)
 # ---------------------------------------------------------------------------
 
+def _feat_free_one(theta, layout, lref, fcmin):
+    """(D,) reference theta -> (6+2F,) kernel features."""
+    lstar, phistar, sch_al, logf50, alpha_c = layout.unpack(theta)
+    log_ftau = logf50 + _log10_inverse_fleming_ratio(alpha_c, fcmin)
+    return jnp.concatenate([
+        jnp.stack([LN10 * phistar,
+                   _LOG_LN10 + LN10 * phistar,
+                   sch_al + 1.0,
+                   LN10 * lstar,
+                   10.0 ** (lref - lstar),
+                   alpha_c]),
+        logf50,
+        10.0 ** (_LOGF_REF - log_ftau),
+    ])
+
+
 def _features_free(thetas, layout, lref, fcmin):
     """(W, D) reference thetas -> (W, 6+2F) kernel features (float32)."""
-    def one(theta):
-        lstar, phistar, sch_al, logf50, alpha_c = layout.unpack(theta)
-        log_ftau = logf50 + _log10_inverse_fleming_ratio(alpha_c, fcmin)
-        return jnp.concatenate([
-            jnp.stack([LN10 * phistar,
-                       _LOG_LN10 + LN10 * phistar,
-                       sch_al + 1.0,
-                       LN10 * lstar,
-                       10.0 ** (lref - lstar),
-                       alpha_c]),
-            logf50,
-            10.0 ** (_LOGF_REF - log_ftau),
-        ])
-    return jax.vmap(one)(thetas.astype(jnp.float32))
+    return jax.vmap(lambda t: _feat_free_one(t, layout, lref, fcmin))(
+        thetas.astype(jnp.float32))
 
 
 def _features_z(thetas, layout):
@@ -699,15 +836,18 @@ def _features_z(thetas, layout):
     return jax.vmap(one)(thetas.astype(jnp.float32))
 
 
-def _features_fixed(thetas, ctx, layout, lref):
+def _feat_fixed_one(theta, ctx, layout, lref):
     from lumfuncmcmc_tpu.models.likelihood import _ln_term_collapsed
 
-    def one(theta):
-        lstar, phistar, sch_al, _, _ = layout.unpack(theta)
-        lnpart = _ln_term_collapsed(ctx, lstar, phistar, sch_al)
-        return jnp.stack([LN10 * phistar, sch_al + 1.0, LN10 * lstar,
-                          10.0 ** (lref - lstar), lnpart])
-    return jax.vmap(one)(thetas.astype(jnp.float32))
+    lstar, phistar, sch_al, _, _ = layout.unpack(theta)
+    lnpart = _ln_term_collapsed(ctx, lstar, phistar, sch_al)
+    return jnp.stack([LN10 * phistar, sch_al + 1.0, LN10 * lstar,
+                      10.0 ** (lref - lstar), lnpart])
+
+
+def _features_fixed(thetas, ctx, layout, lref):
+    return jax.vmap(lambda t: _feat_fixed_one(t, ctx, layout, lref))(
+        thetas.astype(jnp.float32))
 
 
 # ---------------------------------------------------------------------------
@@ -942,6 +1082,102 @@ def make_pallas_lnprob_h(ctx: LFContext, layout, interpret: bool = False,
 
     batched.engine = "pallas"
     return batched
+
+
+def make_pallas_lnprob_and_grad(ctx: LFContext, layout,
+                                interpret: bool = False):
+    """Scalar ``theta -> lnprob`` whose value AND vjp run one fused
+    Pallas pass — the native tier's gradient path for NUTS (the
+    reference has no gradients at all; ``jax.grad`` of the XLA path is
+    the baseline here, ``samplers/nuts.py``).
+
+    The kernel emits ``[lnlike, d lnlike/d features]`` per walker in a
+    single sweep over the resident grids (:func:`_kernel_free_vg` /
+    :func:`_kernel_fixed_vg`); a ``jax.custom_vjp`` hands the feature
+    cotangent to XLA autodiff of the cheap feature map, so
+    ``jax.value_and_grad`` (and NUTS's per-leapfrog calls) cost one
+    kernel launch instead of XLA's forward + backward sweeps. The slab
+    layout keeps full (8, 128) VPU rows per program even at batch 1, so
+    the chain ``vmap`` in :func:`run_nuts` (which batches pallas_call by
+    adding a grid dimension) loses no lane utilization.
+
+    Returns ``None`` past the VMEM gate (mega catalogs — shard those).
+    Box-prior masking matches ``make_pallas_lnprob``.
+    """
+    fix_comp = bool(layout.fix_comp)
+    ncells = int(np.prod(np.asarray(ctx.logL_grid).shape))
+    nsrc = int(np.asarray(ctx.lum).shape[0])
+    n_g, n_s = (3, 0) if fix_comp else (5, 6)
+    if (ncells * n_g + nsrc * n_s) * 4 > _VMEM_ARRAY_LIMIT:
+        return None
+    data = prepare_pallas_data(ctx, fix_comp, flat=False)
+    fcmin = float(layout.fcmin) if layout.fcmin else 0.0
+
+    if fix_comp:
+        kern = _kernel_fixed_vg
+        arrays = (data.g_a, data.g_p, data.g_w)
+        feat_one = lambda th: _feat_fixed_one(th, ctx, layout, data.lref)
+        nfeat = 5
+    else:
+        kern = partial(_kernel_free_vg, grid_rows=data.grid_rows,
+                       src_rows=data.src_rows, nfields=data.nfields,
+                       fcmin=fcmin)
+        arrays = (data.g_logf, data.g_a, data.g_p, data.g_r, data.g_w,
+                  data.s_logf, data.s_a, data.s_p, data.s_r,
+                  data.s_lnom0, data.s_mask)
+        feat_one = lambda th: _feat_free_one(th, layout, data.lref,
+                                             fcmin)
+        nfeat = 6 + 2 * data.nfields
+
+    def vg_rows(feats):
+        wk = feats.shape[0]
+        const2 = lambda w: (0, 0)
+        return pl.pallas_call(
+            kern,
+            grid=(1,),
+            in_specs=[pl.BlockSpec((wk, nfeat), const2,
+                                   memory_space=pltpu.SMEM)]
+            + [pl.BlockSpec(a.shape, const2, memory_space=pltpu.VMEM)
+               for a in arrays],
+            out_specs=pl.BlockSpec((wk, 1 + nfeat), const2,
+                                   memory_space=pltpu.SMEM),
+            out_shape=jax.ShapeDtypeStruct((wk, 1 + nfeat), jnp.float32),
+            interpret=interpret,
+        )(feats, *arrays)
+
+    @jax.custom_vjp
+    def lnl_of_feats(feats):
+        return vg_rows(feats)[:, 0]
+
+    def _fwd(feats):
+        out = vg_rows(feats)
+        return out[:, 0], out[:, 1:]
+
+    def _bwd(gfeats, ct):
+        return (gfeats * ct[:, None],)
+
+    lnl_of_feats.defvjp(_fwd, _bwd)
+
+    lo = jnp.asarray(layout.lo, jnp.float32)
+    hi = jnp.asarray(layout.hi, jnp.float32)
+
+    def scalar_lnprob(theta):
+        theta = theta.astype(jnp.float32)
+        th_k = theta
+        if not fix_comp:
+            # clamp Flim positive for the log10 in the feature map
+            # (out-of-box thetas are masked below)
+            nf = layout.nfields
+            k = 2 if layout.fix_sch_al else 3
+            flim = jnp.maximum(theta[k:k + nf], 1e-6)
+            th_k = jnp.concatenate([theta[:k], flim, theta[k + nf:]])
+        feats = feat_one(th_k).astype(jnp.float32)
+        lnl = lnl_of_feats(feats[None, :])[0]
+        ok = jnp.all((theta >= lo) & (theta <= hi))
+        return jnp.where(ok, lnl, -jnp.inf)
+
+    scalar_lnprob.engine = "pallas"
+    return scalar_lnprob
 
 
 def make_pallas_lnprob(ctx: LFContext, layout, interpret: bool = False,

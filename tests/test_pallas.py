@@ -142,6 +142,46 @@ def test_walker_block_sizes(monkeypatch):
     np.testing.assert_allclose(auto, base, rtol=1e-6)
 
 
+@pytest.mark.parametrize("fix_comp", [False, True])
+def test_value_and_grad_parity(fix_comp):
+    """The fused value+grad kernel (NUTS gradient path) matches
+    jax.value_and_grad of the float64 XLA lnprob: value to float32
+    rounding, gradient to ~1e-3 relative; out-of-box thetas give -inf
+    with zero gradient; the scalar composes with vmap (the chain axis
+    in run_nuts)."""
+    from lumfuncmcmc_tpu.ops.pallas_lnlike import (
+        make_pallas_lnprob_and_grad)
+    cfg, ctx, layout = _setup(fix_comp=fix_comp, size_ln=31, n_target=250)
+    ref = make_lnprob(ctx, layout)
+    pal = make_pallas_lnprob_and_grad(ctx, layout, interpret=True)
+    assert getattr(pal, "engine", None) == "pallas"
+    thetas = np.asarray(sample_init(jax.random.PRNGKey(0), layout, 5))
+    mid = 0.5 * (np.asarray(layout.lo) + np.asarray(layout.hi))
+    thetas = 0.7 * mid[None, :] + 0.3 * thetas
+    vref, gref = jax.vmap(jax.value_and_grad(ref))(
+        jnp.asarray(thetas, jnp.float64))
+    vp, gp = jax.vmap(jax.value_and_grad(pal))(jnp.asarray(thetas))
+    vref, gref, vp, gp = map(np.asarray, (vref, gref, vp, gp))
+    np.testing.assert_allclose(vp, vref, rtol=RTOL)
+    # per-row scale floor: tiny components of a large gradient only
+    # need absolute agreement at f32 resolution of the row scale
+    denom = np.maximum(np.abs(gref),
+                       1e-3 * np.abs(gref).max(axis=1, keepdims=True))
+    np.testing.assert_array_less(np.abs(gp - gref) / denom, 2e-3)
+    bad = thetas[0].copy()
+    bad[0] = layout.hi[0] + 1.0
+    v, g = jax.value_and_grad(pal)(jnp.asarray(bad, jnp.float32))
+    assert float(v) == -np.inf
+    np.testing.assert_array_equal(np.asarray(g), 0.0)
+
+
+def test_value_and_grad_vmem_gate(monkeypatch):
+    import lumfuncmcmc_tpu.ops.pallas_lnlike as pk
+    cfg, ctx, layout = _setup(size_ln=31, n_target=250)
+    monkeypatch.setattr(pk, "_VMEM_ARRAY_LIMIT", 1024)
+    assert pk.make_pallas_lnprob_and_grad(ctx, layout) is None
+
+
 @pytest.mark.parametrize("flat", [True, False])
 def test_z_model_parity(flat):
     """z-evolving kernel (both layouts) vs the XLA lnprob, including the
