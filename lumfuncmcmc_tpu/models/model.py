@@ -387,14 +387,25 @@ class _BaseModel:
         num_warmup = num_warmup or max(200, cfg.nsteps // 4)
         scalar = self._make_scalar_lnprob()
         post = scalar
-        if (self._resolve_use_pallas() and self.model_kind == "single"
-                and self.mesh is None):
+        # The fused kernel only wins where the per-element gradient work
+        # is transcendental-heavy — the free-completeness model (Fleming
+        # + decay per cell): 1.9x raw value_and_grad, 2.5-2.8x NUTS
+        # end-to-end on v5e. The fixed/z/hier gradients are one cheap
+        # exp per element, which XLA's fused forward+backward already
+        # saturates: measured ties at 201-grids and 1.2-1.3x LOSSES at
+        # 32-grids (launch overhead + XLA-side collapsed-term features
+        # dominate), so those keep the XLA autodiff path.
+        free_single = (self.model_kind == "single"
+                       and not self.cfg.fix_comp)
+        if (self._resolve_use_pallas() and self.mesh is None
+                and free_single):
             # native gradient tier: one fused Pallas pass per
             # value_and_grad call instead of XLA forward + backward
             from lumfuncmcmc_tpu.ops.pallas_lnlike import (
                 make_pallas_lnprob_and_grad)
             pal = make_pallas_lnprob_and_grad(
-                self.ctx, self.layout, interpret=cfg.pallas_interpret)
+                self.ctx, self.layout, interpret=cfg.pallas_interpret,
+                model=self.model_kind)
             if pal is not None:
                 post = pal
                 self.log.info(

@@ -766,6 +766,119 @@ def _kernel_free_vg(th_ref, g_logf, g_a, g_p, g_r, g_w,
         out_ref[i, 6] = d_ac
 
 
+def _kernel_z_vg(th_ref, g_a2, g_p2, g_w2, zrow, z2row,
+                 s_a, s_z, s_z2, s_lnom0, s_mask, out_ref, *,
+                 grid_rows, lref_a):
+    """Fused value + feature-gradient for the z-evolving lnlike in the
+    per-z-node hoisted 2-D layout (same trick as :func:`_kernel_z2_slab`:
+    the quadratics and the cutoff scale t1(z) are (1, ZP) node rows, so
+    the per-element work is one exp plus a few fmas). Features are the 7
+    quadratic coefficients of :func:`_feat_z_one`; output columns
+    [lnlike, d/d(th_0..6)].
+
+    The gradient reductions factorize over the L rows: with
+    r = dlnphi/dx = th6 - P*t1 and x = a - Lq(z),
+    sum E*z^k, sum E*r*z^k and sum E*x all follow from three column
+    sums (colE, col(E*P), col(E*a)) contracted against the z-node rows
+    — so the per-element cost of the gradient is two extra multiplies.
+    """
+    for i in range(th_ref.shape[0]):
+        th = [th_ref[i, j] for j in range(7)]
+        lnl = jnp.float32(0.0)
+        d = [jnp.float32(0.0) for _ in range(7)]
+        for f, (go, gn) in enumerate(grid_rows):
+            zr = zrow[f:f + 1, :]
+            z2r = z2row[f:f + 1, :]
+            lq = th[3] * z2r + th[4] * zr + th[5]      # LN10 * Lstar(z)
+            pr = th[0] * z2r + th[1] * zr + th[2]
+            t1 = jnp.exp(lref_a - lq)
+            base = pr - th[6] * lq
+            zp = zr.shape[1]
+            col_e = jnp.zeros((1, zp), jnp.float32)
+            col_ep = jnp.zeros((1, zp), jnp.float32)
+            col_ea = jnp.zeros((1, zp), jnp.float32)
+            for ro in range(0, gn, _CHUNK_ROWS):
+                rn = min(_CHUNK_ROWS, gn - ro)
+                lo = go + ro
+                a = g_a2[lo:lo + rn, :]
+                p = g_p2[lo:lo + rn, :]
+                e = (jnp.exp(base + th[6] * a - p * t1)
+                     * g_w2[lo:lo + rn, :])
+                col_e = col_e + jnp.sum(e, axis=0, keepdims=True)
+                col_ep = col_ep + jnp.sum(e * p, axis=0, keepdims=True)
+                col_ea = col_ea + jnp.sum(e * a, axis=0, keepdims=True)
+            s0 = jnp.sum(col_e)
+            lnl = lnl - s0
+            d[2] = d[2] - s0
+            cez2 = jnp.sum(col_e * z2r)
+            cez = jnp.sum(col_e * zr)
+            d[0] = d[0] - cez2
+            d[1] = d[1] - cez
+            d[6] = d[6] - (jnp.sum(col_ea) - jnp.sum(lq * col_e))
+            tp = t1 * col_ep
+            d[3] = d[3] + th[6] * cez2 - jnp.sum(tp * z2r)
+            d[4] = d[4] + th[6] * cez - jnp.sum(tp * zr)
+            d[5] = d[5] + th[6] * s0 - jnp.sum(tp)
+        sn = s_a.shape[0]
+        for ro in range(0, sn, _CHUNK_ROWS):
+            rn = min(_CHUNK_ROWS, sn - ro)
+            m = s_mask[ro:ro + rn, :]
+            z = s_z[ro:ro + rn, :]
+            z2 = s_z2[ro:ro + rn, :]
+            lq = th[3] * z2 + th[4] * z + th[5]
+            x = jnp.minimum(s_a[ro:ro + rn, :] - lq, 60.0)
+            ex = jnp.exp(x)
+            contrib = (th[0] * z2 + th[1] * z + th[2] + th[6] * x - ex
+                       + s_lnom0[ro:ro + rn, :])
+            lnl = lnl + jnp.sum(jnp.where(m > 0.0, contrib, 0.0))
+            r = th[6] - ex
+            d[2] = d[2] + jnp.sum(m)
+            d[0] = d[0] + jnp.sum(m * z2)
+            d[1] = d[1] + jnp.sum(m * z)
+            d[6] = d[6] + jnp.sum(m * x)
+            mr = m * r
+            d[3] = d[3] - jnp.sum(mr * z2)
+            d[4] = d[4] - jnp.sum(mr * z)
+            d[5] = d[5] - jnp.sum(mr)
+        out_ref[i, 0] = lnl
+        for j in range(7):
+            out_ref[i, 1 + j] = d[j]
+
+
+def _kernel_hier_vg(th_ref, g_a, g_p, g_w, out_ref, *, grid_rows):
+    """Fused value + feature-gradient for the hierarchical lnlike.
+    Features [aA, lnrest, (c_f, lA_f, t1_f) x F] (:func:`_feat_h_one`);
+    output [lnlike, d_aA, d_lnrest, (d_c, d_lA, d_t1) x F]."""
+    for i in range(th_ref.shape[0]):
+        aA = th_ref[i, 0]
+        lnl = th_ref[i, 1]
+        d_aA = jnp.float32(0.0)
+        for f, (go, gn) in enumerate(grid_rows):
+            c = th_ref[i, 2 + 3 * f]
+            lA = th_ref[i, 3 + 3 * f]
+            t1 = th_ref[i, 4 + 3 * f]
+            s0 = jnp.float32(0.0)
+            s1 = jnp.float32(0.0)
+            s2 = jnp.float32(0.0)
+            for ro in range(0, gn, _CHUNK_ROWS):
+                rn = min(_CHUNK_ROWS, gn - ro)
+                lo = go + ro
+                am = g_a[lo:lo + rn, :] - lA
+                p = g_p[lo:lo + rn, :]
+                e = jnp.exp(c + aA * am - p * t1) * g_w[lo:lo + rn, :]
+                s0 = s0 + jnp.sum(e)
+                s1 = s1 + jnp.sum(e * am)
+                s2 = s2 + jnp.sum(e * p)
+            lnl = lnl - s0
+            d_aA = d_aA - s1
+            out_ref[i, 3 + 3 * f] = -s0
+            out_ref[i, 4 + 3 * f] = aA * s0
+            out_ref[i, 5 + 3 * f] = s2
+        out_ref[i, 0] = lnl
+        out_ref[i, 1] = d_aA
+        out_ref[i, 2] = jnp.float32(1.0)
+
+
 def _kernel_fixed_vg(th_ref, g_a, g_p, g_w, out_ref):
     """Fused value + feature-gradient, fixed completeness. Features
     [c_grid, aA, lA, t1, lnpart] (:func:`_feat_fixed_one`); output
@@ -821,19 +934,21 @@ def _features_free(thetas, layout, lref, fcmin):
         thetas.astype(jnp.float32))
 
 
-def _features_z(thetas, layout):
-    """(W, D) z-model thetas -> (W, 7) quadratic-coefficient features."""
+def _feat_z_one(theta, layout):
+    """(D,) z-model theta -> (7,) quadratic-coefficient features."""
     from lumfuncmcmc_tpu.ops.schechter import quad_coef
 
-    def one(theta):
-        L1, L2, L3, p1, p2, p3, al = layout.unpack(theta)
-        ap, bp, cp = quad_coef(p1, p2, p3, layout.z1, layout.z2,
-                               layout.z3)
-        aL, bL, cL = quad_coef(L1, L2, L3, layout.z1, layout.z2,
-                               layout.z3)
-        return jnp.stack([LN10 * ap, LN10 * bp, LN10 * cp + _LOG_LN10,
-                          LN10 * aL, LN10 * bL, LN10 * cL, al + 1.0])
-    return jax.vmap(one)(thetas.astype(jnp.float32))
+    L1, L2, L3, p1, p2, p3, al = layout.unpack(theta)
+    ap, bp, cp = quad_coef(p1, p2, p3, layout.z1, layout.z2, layout.z3)
+    aL, bL, cL = quad_coef(L1, L2, L3, layout.z1, layout.z2, layout.z3)
+    return jnp.stack([LN10 * ap, LN10 * bp, LN10 * cp + _LOG_LN10,
+                      LN10 * aL, LN10 * bL, LN10 * cL, al + 1.0])
+
+
+def _features_z(thetas, layout):
+    """(W, D) z-model thetas -> (W, 7) quadratic-coefficient features."""
+    return jax.vmap(lambda t: _feat_z_one(t, layout))(
+        thetas.astype(jnp.float32))
 
 
 def _feat_fixed_one(theta, ctx, layout, lref):
@@ -1015,28 +1130,31 @@ def make_pallas_lnprob_z(ctx: LFContext, layout, interpret: bool = False,
     return batched
 
 
-def _features_hier(thetas, ctx, layout, lref):
+def _feat_h_one(theta, ctx, layout, lref):
     from lumfuncmcmc_tpu.models.hierarchical import _ln_normal
 
-    def one(theta):
-        mu_l, sig_l, mu_p, sig_p, sch_al, lstar_f, phistar_f = \
-            layout.unpack(theta)
-        log_ln10 = jnp.log(jnp.asarray(LN10, theta.dtype))
-        lnpart_f = (ctx.nsrc_f * (log_ln10 + LN10 * phistar_f)
-                    + LN10 * (sch_al + 1.0)
-                    * (ctx.sum_lum_f - ctx.nsrc_f * lstar_f)
-                    - jnp.exp(LN10 * (ctx.lref - lstar_f))
-                    * ctx.sum_pow_lum_f
-                    + ctx.sum_ln_om_f)
-        hyper = (jnp.sum(_ln_normal(lstar_f, mu_l, sig_l))
-                 + jnp.sum(_ln_normal(phistar_f, mu_p, sig_p)))
-        lnrest = jnp.sum(lnpart_f) + hyper
-        per_field = jnp.stack([LN10 * phistar_f, LN10 * lstar_f,
-                               10.0 ** (lref - lstar_f)],
-                              axis=1).ravel()              # (3F,)
-        return jnp.concatenate(
-            [jnp.stack([sch_al + 1.0, lnrest]), per_field])
-    return jax.vmap(one)(thetas.astype(jnp.float32))
+    mu_l, sig_l, mu_p, sig_p, sch_al, lstar_f, phistar_f = \
+        layout.unpack(theta)
+    log_ln10 = jnp.log(jnp.asarray(LN10, theta.dtype))
+    lnpart_f = (ctx.nsrc_f * (log_ln10 + LN10 * phistar_f)
+                + LN10 * (sch_al + 1.0)
+                * (ctx.sum_lum_f - ctx.nsrc_f * lstar_f)
+                - jnp.exp(LN10 * (ctx.lref - lstar_f))
+                * ctx.sum_pow_lum_f
+                + ctx.sum_ln_om_f)
+    hyper = (jnp.sum(_ln_normal(lstar_f, mu_l, sig_l))
+             + jnp.sum(_ln_normal(phistar_f, mu_p, sig_p)))
+    lnrest = jnp.sum(lnpart_f) + hyper
+    per_field = jnp.stack([LN10 * phistar_f, LN10 * lstar_f,
+                           10.0 ** (lref - lstar_f)],
+                          axis=1).ravel()              # (3F,)
+    return jnp.concatenate(
+        [jnp.stack([sch_al + 1.0, lnrest]), per_field])
+
+
+def _features_hier(thetas, ctx, layout, lref):
+    return jax.vmap(lambda t: _feat_h_one(t, ctx, layout, lref))(
+        thetas.astype(jnp.float32))
 
 
 def make_pallas_lnprob_h(ctx: LFContext, layout, interpret: bool = False,
@@ -1084,51 +1202,10 @@ def make_pallas_lnprob_h(ctx: LFContext, layout, interpret: bool = False,
     return batched
 
 
-def make_pallas_lnprob_and_grad(ctx: LFContext, layout,
-                                interpret: bool = False):
-    """Scalar ``theta -> lnprob`` whose value AND vjp run one fused
-    Pallas pass — the native tier's gradient path for NUTS (the
-    reference has no gradients at all; ``jax.grad`` of the XLA path is
-    the baseline here, ``samplers/nuts.py``).
-
-    The kernel emits ``[lnlike, d lnlike/d features]`` per walker in a
-    single sweep over the resident grids (:func:`_kernel_free_vg` /
-    :func:`_kernel_fixed_vg`); a ``jax.custom_vjp`` hands the feature
-    cotangent to XLA autodiff of the cheap feature map, so
-    ``jax.value_and_grad`` (and NUTS's per-leapfrog calls) cost one
-    kernel launch instead of XLA's forward + backward sweeps. The slab
-    layout keeps full (8, 128) VPU rows per program even at batch 1, so
-    the chain ``vmap`` in :func:`run_nuts` (which batches pallas_call by
-    adding a grid dimension) loses no lane utilization.
-
-    Returns ``None`` past the VMEM gate (mega catalogs — shard those).
-    Box-prior masking matches ``make_pallas_lnprob``.
-    """
-    fix_comp = bool(layout.fix_comp)
-    ncells = int(np.prod(np.asarray(ctx.logL_grid).shape))
-    nsrc = int(np.asarray(ctx.lum).shape[0])
-    n_g, n_s = (3, 0) if fix_comp else (5, 6)
-    if (ncells * n_g + nsrc * n_s) * 4 > _VMEM_ARRAY_LIMIT:
-        return None
-    data = prepare_pallas_data(ctx, fix_comp, flat=False)
-    fcmin = float(layout.fcmin) if layout.fcmin else 0.0
-
-    if fix_comp:
-        kern = _kernel_fixed_vg
-        arrays = (data.g_a, data.g_p, data.g_w)
-        feat_one = lambda th: _feat_fixed_one(th, ctx, layout, data.lref)
-        nfeat = 5
-    else:
-        kern = partial(_kernel_free_vg, grid_rows=data.grid_rows,
-                       src_rows=data.src_rows, nfields=data.nfields,
-                       fcmin=fcmin)
-        arrays = (data.g_logf, data.g_a, data.g_p, data.g_r, data.g_w,
-                  data.s_logf, data.s_a, data.s_p, data.s_r,
-                  data.s_lnom0, data.s_mask)
-        feat_one = lambda th: _feat_free_one(th, layout, data.lref,
-                                             fcmin)
-        nfeat = 6 + 2 * data.nfields
-
+def _build_vg_scalar(kern, arrays, feat_one, nfeat, interpret, mask_fn):
+    """custom_vjp plumbing shared by the gradient-path builders: the
+    kernel emits [lnl, d lnl/d feats]; the fwd pass keeps the gradient
+    columns as residuals so the bwd is one elementwise multiply."""
     def vg_rows(feats):
         wk = feats.shape[0]
         const2 = lambda w: (0, 0)
@@ -1158,26 +1235,123 @@ def make_pallas_lnprob_and_grad(ctx: LFContext, layout,
 
     lnl_of_feats.defvjp(_fwd, _bwd)
 
-    lo = jnp.asarray(layout.lo, jnp.float32)
-    hi = jnp.asarray(layout.hi, jnp.float32)
-
     def scalar_lnprob(theta):
         theta = theta.astype(jnp.float32)
-        th_k = theta
+        feats = feat_one(theta).astype(jnp.float32)
+        lnl = lnl_of_feats(feats[None, :])[0]
+        return mask_fn(theta, lnl)
+
+    scalar_lnprob.engine = "pallas"
+    return scalar_lnprob
+
+
+def make_pallas_lnprob_and_grad(ctx: LFContext, layout,
+                                interpret: bool = False,
+                                model: str = "single"):
+    """Scalar ``theta -> lnprob`` whose value AND vjp run one fused
+    Pallas pass — the native tier's gradient path for NUTS (the
+    reference has no gradients at all; ``jax.grad`` of the XLA path is
+    the baseline here, ``samplers/nuts.py``).
+
+    The kernel emits ``[lnlike, d lnlike/d features]`` per walker in a
+    single sweep over the resident grids (``_kernel_*_vg``); a
+    ``jax.custom_vjp`` hands the feature cotangent to XLA autodiff of
+    the cheap feature map, so ``jax.value_and_grad`` (and NUTS's
+    per-leapfrog calls) cost one kernel launch instead of XLA's forward
+    + backward sweeps. The slab layout keeps full (8, 128) VPU rows per
+    program even at batch 1, so the chain ``vmap`` in :func:`run_nuts`
+    (which batches pallas_call by adding a grid dimension) loses no
+    lane utilization.
+
+    ``model`` selects the family: "single" (both completeness modes),
+    "z" (quadratic pivot evolution), or "hier" (per-field Schechter
+    with population hyperprior). Returns ``None`` past the VMEM gate
+    (mega catalogs — shard those). Prior masking matches the
+    corresponding forward lnprob builder.
+    """
+    ncells = int(np.prod(np.asarray(ctx.logL_grid).shape))
+    nsrc = int(np.asarray(ctx.lum).shape[0])
+
+    if model == "z":
+        from lumfuncmcmc_tpu.models.likelihood_z import lnprior_z
+
+        if (ncells * 3 + nsrc * 5) * 4 > _VMEM_ARRAY_LIMIT:
+            return None
+        d2 = prepare_pallas_z2_data(ctx)
+        kern = partial(_kernel_z_vg, grid_rows=d2.grid_rows,
+                       lref_a=float(LN10 * d2.lref))
+        arrays = (d2.g_a2, d2.g_p2, d2.g_w2, d2.zrow, d2.z2row,
+                  d2.s_a, d2.s_z, d2.s_z2, d2.s_lnom0, d2.s_mask)
+        feat_one = lambda th: _feat_z_one(th, layout)
+        nfeat = 7
+
+        def mask_fn(theta, lnl):
+            lp = lnprior_z(theta, layout)
+            return jnp.where(jnp.isfinite(lp), lp + lnl, -jnp.inf)
+
+        return _build_vg_scalar(kern, arrays, feat_one, nfeat,
+                                interpret, mask_fn)
+
+    if model == "hier":
+        from lumfuncmcmc_tpu.models.hierarchical import lnprior_h
+
+        if ncells * 3 * 4 > _VMEM_ARRAY_LIMIT:
+            return None
+        data = prepare_pallas_data(ctx, fix_comp=True, flat=False)
+        kern = partial(_kernel_hier_vg, grid_rows=data.grid_rows)
+        arrays = (data.g_a, data.g_p, data.g_w)
+        feat_one = lambda th: _feat_h_one(th, ctx, layout, data.lref)
+        nfeat = 2 + 3 * len(data.grid_rows)
+
+        def mask_fn(theta, lnl):
+            lp = lnprior_h(theta, layout)
+            return jnp.where(jnp.isfinite(lp), lp + lnl, -jnp.inf)
+
+        return _build_vg_scalar(kern, arrays, feat_one, nfeat,
+                                interpret, mask_fn)
+
+    fix_comp = bool(layout.fix_comp)
+    n_g, n_s = (3, 0) if fix_comp else (5, 6)
+    if (ncells * n_g + nsrc * n_s) * 4 > _VMEM_ARRAY_LIMIT:
+        return None
+    data = prepare_pallas_data(ctx, fix_comp, flat=False)
+    fcmin = float(layout.fcmin) if layout.fcmin else 0.0
+
+    if fix_comp:
+        kern = _kernel_fixed_vg
+        arrays = (data.g_a, data.g_p, data.g_w)
+        base_one = lambda th: _feat_fixed_one(th, ctx, layout, data.lref)
+        nfeat = 5
+    else:
+        kern = partial(_kernel_free_vg, grid_rows=data.grid_rows,
+                       src_rows=data.src_rows, nfields=data.nfields,
+                       fcmin=fcmin)
+        arrays = (data.g_logf, data.g_a, data.g_p, data.g_r, data.g_w,
+                  data.s_logf, data.s_a, data.s_p, data.s_r,
+                  data.s_lnom0, data.s_mask)
+        base_one = lambda th: _feat_free_one(th, layout, data.lref,
+                                             fcmin)
+        nfeat = 6 + 2 * data.nfields
+
+    def feat_one(theta):
         if not fix_comp:
             # clamp Flim positive for the log10 in the feature map
             # (out-of-box thetas are masked below)
             nf = layout.nfields
             k = 2 if layout.fix_sch_al else 3
             flim = jnp.maximum(theta[k:k + nf], 1e-6)
-            th_k = jnp.concatenate([theta[:k], flim, theta[k + nf:]])
-        feats = feat_one(th_k).astype(jnp.float32)
-        lnl = lnl_of_feats(feats[None, :])[0]
+            theta = jnp.concatenate([theta[:k], flim, theta[k + nf:]])
+        return base_one(theta)
+
+    lo = jnp.asarray(layout.lo, jnp.float32)
+    hi = jnp.asarray(layout.hi, jnp.float32)
+
+    def mask_fn(theta, lnl):
         ok = jnp.all((theta >= lo) & (theta <= hi))
         return jnp.where(ok, lnl, -jnp.inf)
 
-    scalar_lnprob.engine = "pallas"
-    return scalar_lnprob
+    return _build_vg_scalar(kern, arrays, feat_one, nfeat, interpret,
+                            mask_fn)
 
 
 def make_pallas_lnprob(ctx: LFContext, layout, interpret: bool = False,

@@ -182,6 +182,73 @@ def test_value_and_grad_vmem_gate(monkeypatch):
     assert pk.make_pallas_lnprob_and_grad(ctx, layout) is None
 
 
+def _grad_close(gp, gref, rtol=2e-3):
+    denom = np.maximum(np.abs(gref),
+                       1e-3 * np.abs(gref).max(axis=-1, keepdims=True))
+    np.testing.assert_array_less(np.abs(gp - gref) / denom, rtol)
+
+
+def test_value_and_grad_parity_z():
+    """z-model gradient path vs jax.value_and_grad of the float64 XLA
+    lnprob (quadratic pivot features, strict pivot prior)."""
+    from lumfuncmcmc_tpu.models.likelihood_z import (
+        ThetaLayoutZ, make_lnprob_z)
+    from lumfuncmcmc_tpu.ops.pallas_lnlike import (
+        make_pallas_lnprob_and_grad)
+    cfg = LFConfig(min_comp_frac=0.5, fix_comp=True, size_ln=31)
+    cat = apply_completeness_cut(make_catalog(cfg, n_target=300, seed=6),
+                                 cfg)
+    _, ctx = build_context(cfg, z=cat["z"], flux=cat["flux"],
+                           flux_e=cat["flux_e"], field_id=cat["field_id"])
+    layout = ThetaLayoutZ.from_config(cfg)
+    ref = make_lnprob_z(ctx, layout)
+    pal = make_pallas_lnprob_and_grad(ctx, layout, interpret=True,
+                                      model="z")
+    rng = np.random.default_rng(13)
+    thetas = np.column_stack(
+        [rng.uniform(42.0, 43.0, (5, 3)), rng.uniform(-3.5, -2.0, (5, 3)),
+         rng.uniform(-1.8, -1.0, (5, 1))])
+    vref, gref = jax.vmap(jax.value_and_grad(ref))(
+        jnp.asarray(thetas, jnp.float64))
+    vp, gp = jax.vmap(jax.value_and_grad(pal))(
+        jnp.asarray(thetas, jnp.float32))
+    np.testing.assert_allclose(np.asarray(vp), np.asarray(vref),
+                               rtol=RTOL)
+    _grad_close(np.asarray(gp), np.asarray(gref))
+
+
+def test_value_and_grad_parity_hier():
+    """Hierarchical-model gradient path vs float64 XLA autodiff,
+    including the population hyperprior inside the lnrest feature."""
+    from lumfuncmcmc_tpu.models.hierarchical import (
+        ThetaLayoutH, make_lnprob_h)
+    from lumfuncmcmc_tpu.models.model import LumFuncModelH
+    from lumfuncmcmc_tpu.ops.pallas_lnlike import (
+        make_pallas_lnprob_and_grad)
+    cfg = LFConfig(min_comp_frac=0.5, fix_comp=True, size_ln=31)
+    cat = apply_completeness_cut(make_catalog(cfg, n_target=300, seed=6),
+                                 cfg)
+    _, ctx = build_context(cfg, z=cat["z"], flux=cat["flux"],
+                           flux_e=cat["flux_e"], field_id=cat["field_id"])
+    layout = ThetaLayoutH.from_config(cfg)
+    m = LumFuncModelH(cfg, z=cat["z"], flux=cat["flux"],
+                      flux_e=cat["flux_e"], field_id=cat["field_id"])
+    ref = make_lnprob_h(ctx, layout)
+    pal = make_pallas_lnprob_and_grad(ctx, layout, interpret=True,
+                                      model="hier")
+    thetas = np.array(m._initial_positions(jax.random.PRNGKey(9))[:5])
+    lo, hi = layout.bounds_arrays()
+    mid = 0.5 * (np.asarray(lo) + np.asarray(hi))
+    thetas = 0.6 * mid[None, :] + 0.4 * thetas
+    vref, gref = jax.vmap(jax.value_and_grad(ref))(
+        jnp.asarray(thetas, jnp.float64))
+    vp, gp = jax.vmap(jax.value_and_grad(pal))(
+        jnp.asarray(thetas, jnp.float32))
+    np.testing.assert_allclose(np.asarray(vp), np.asarray(vref),
+                               rtol=RTOL)
+    _grad_close(np.asarray(gp), np.asarray(gref))
+
+
 @pytest.mark.parametrize("flat", [True, False])
 def test_z_model_parity(flat):
     """z-evolving kernel (both layouts) vs the XLA lnprob, including the
