@@ -374,6 +374,38 @@ class _BaseModel:
         self.samples = full[burn:].reshape(-1, ndim + 1)
         return self.samples
 
+    def _nuts_gradient_post(self, scalar):
+        """Select the NUTS posterior callable: the fused Pallas
+        value+grad kernel where measured to win, else the XLA scalar.
+
+        The fused kernel only wins where the per-element gradient work
+        is transcendental-heavy — the free-completeness model (Fleming
+        + decay per cell): 1.9x raw value_and_grad, 2.5-2.8x NUTS
+        end-to-end on v5e. The fixed/z/hier gradients are one cheap
+        exp per element, which XLA's fused forward+backward already
+        saturates (ties at 201-grids, 1.2-1.3x losses at 32-grids), so
+        those keep XLA autodiff. exact_bounds likewise stays on the XLA
+        scalar (the kernel has no exact-bounds path; short-circuiting
+        before _resolve_use_pallas also avoids its explicit-use_pallas
+        + exact_bounds error, which is an ensemble-path contract).
+        """
+        free_single = (self.model_kind == "single"
+                       and not self.cfg.fix_comp
+                       and not self.cfg.exact_bounds)
+        if not (free_single and self.mesh is None
+                and self._resolve_use_pallas()):
+            return scalar
+        from lumfuncmcmc_tpu.ops.pallas_lnlike import (
+            make_pallas_lnprob_and_grad)
+        pal = make_pallas_lnprob_and_grad(
+            self.ctx, self.layout, interpret=self.cfg.pallas_interpret,
+            model=self.model_kind)
+        if pal is None:
+            return scalar
+        self.log.info("NUTS gradient path: fused Pallas value+grad "
+                      "kernel")
+        return pal
+
     def fit_model_nuts(self, key=None, num_warmup=None, nchains=8):
         """Gradient-based NUTS fit of the same posterior (new capability;
         the reference likelihood is not differentiable). Produces the
@@ -386,30 +418,7 @@ class _BaseModel:
         k_init, k_run = jax.random.split(key)
         num_warmup = num_warmup or max(200, cfg.nsteps // 4)
         scalar = self._make_scalar_lnprob()
-        post = scalar
-        # The fused kernel only wins where the per-element gradient work
-        # is transcendental-heavy — the free-completeness model (Fleming
-        # + decay per cell): 1.9x raw value_and_grad, 2.5-2.8x NUTS
-        # end-to-end on v5e. The fixed/z/hier gradients are one cheap
-        # exp per element, which XLA's fused forward+backward already
-        # saturates: measured ties at 201-grids and 1.2-1.3x LOSSES at
-        # 32-grids (launch overhead + XLA-side collapsed-term features
-        # dominate), so those keep the XLA autodiff path.
-        free_single = (self.model_kind == "single"
-                       and not self.cfg.fix_comp)
-        if (self._resolve_use_pallas() and self.mesh is None
-                and free_single):
-            # native gradient tier: one fused Pallas pass per
-            # value_and_grad call instead of XLA forward + backward
-            from lumfuncmcmc_tpu.ops.pallas_lnlike import (
-                make_pallas_lnprob_and_grad)
-            pal = make_pallas_lnprob_and_grad(
-                self.ctx, self.layout, interpret=cfg.pallas_interpret,
-                model=self.model_kind)
-            if pal is not None:
-                post = pal
-                self.log.info(
-                    "NUTS gradient path: fused Pallas value+grad kernel")
+        post = self._nuts_gradient_post(scalar)
         lo, hi = self.layout.bounds_arrays()
         lnp_y, to_theta, to_y = make_unconstrained(post, lo, hi)
 

@@ -95,21 +95,37 @@ def _round_up(x, m):
     return -(-x // m) * m
 
 
+def _clamp_flim(theta, layout):
+    """Keep theta's Flim block positive for the ``log10`` in the
+    feature maps (out-of-box thetas are masked by the caller). Shared
+    by the forward and gradient paths so the clamp floor and the
+    fixed-parameter offset rule cannot drift apart."""
+    if layout.fix_comp:
+        return theta
+    nf = layout.nfields
+    k = 2 if layout.fix_sch_al else 3
+    flim = jnp.maximum(theta[..., k:k + nf], 1e-6)
+    return jnp.concatenate([theta[..., :k], flim, theta[..., k + nf:]],
+                           axis=-1)
+
+
 def _choose_blk(wk_in, blk, flat=True, max_chunk=_CHUNK):
     """Walker-block size for a batch of ``wk_in`` thetas. ``blk`` forces
     a size (experiments/tests); None auto-selects — 8 for production
     half-ensembles, and for large batches the tallest block whose
     (blk, max_chunk) op-chain temporary stays within ``_TEMP_BUDGET``
     (taller broadcast ops amortize per-program setup until the live
-    temporaries spill). The slab layout serializes walkers inside the
-    program, so its temporaries don't scale with blk — it keeps the
-    default."""
+    temporaries spill) AND whose round-up padding wastes at most ~1/8 of
+    the batch (a 300-theta half-ensemble must not pad to 512). The slab
+    layout serializes walkers inside the program, so its temporaries
+    don't scale with blk — it keeps the default."""
     if blk is not None:
         return int(blk)
     if not flat or wk_in < _BIG_BATCH:
         return BLK_W
     b = _BLK_W_MAX
-    while b > BLK_W and b * max_chunk * 4 > _TEMP_BUDGET:
+    while b > BLK_W and (b * max_chunk * 4 > _TEMP_BUDGET
+                         or _round_up(wk_in, b) - wk_in > wk_in // 8):
         b //= 2
     return b
 
@@ -1334,14 +1350,7 @@ def make_pallas_lnprob_and_grad(ctx: LFContext, layout,
         nfeat = 6 + 2 * data.nfields
 
     def feat_one(theta):
-        if not fix_comp:
-            # clamp Flim positive for the log10 in the feature map
-            # (out-of-box thetas are masked below)
-            nf = layout.nfields
-            k = 2 if layout.fix_sch_al else 3
-            flim = jnp.maximum(theta[k:k + nf], 1e-6)
-            theta = jnp.concatenate([theta[:k], flim, theta[k + nf:]])
-        return base_one(theta)
+        return base_one(_clamp_flim(theta, layout))
 
     lo = jnp.asarray(layout.lo, jnp.float32)
     hi = jnp.asarray(layout.hi, jnp.float32)
@@ -1372,17 +1381,7 @@ def make_pallas_lnprob(ctx: LFContext, layout, interpret: bool = False,
 
     def batched(thetas):
         thetas = thetas.astype(jnp.float32)
-        if not layout.fix_comp:
-            # theta carries Flim in 1e-17 units; unpack's log10(flim)
-            # needs it positive — clamp out-of-box values (masked below)
-            nf = layout.nfields
-            k = 2 if layout.fix_sch_al else 3
-            flim = jnp.maximum(thetas[:, k:k + nf], 1e-6)
-            thetas_k = jnp.concatenate(
-                [thetas[:, :k], flim, thetas[:, k + nf:]], axis=1)
-        else:
-            thetas_k = thetas
-        lnl = lnlike(thetas_k)
+        lnl = lnlike(_clamp_flim(thetas, layout))
         ok = jnp.all((thetas >= lo) & (thetas <= hi), axis=1)
         return jnp.where(ok, lnl, -jnp.inf)
 

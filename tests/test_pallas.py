@@ -134,6 +134,10 @@ def test_walker_block_sizes(monkeypatch):
     assert pk._choose_blk(pk._BIG_BATCH, None, True, 1024) == 256
     assert pk._choose_blk(pk._BIG_BATCH, None, True, 4096) == 64
     assert pk._choose_blk(pk._BIG_BATCH, None, False, 1024) == pk.BLK_W
+    # round-up waste rule: a 300-theta half-ensemble must not pad to
+    # 512 — the block halves until padding <= wk/8
+    assert pk._choose_blk(300, None, True, 1024) == 64
+    assert pk._choose_blk(500, None, True, 1024) == 256
     # auto path end to end: force the threshold down so 24 walkers take
     # the big block
     monkeypatch.setattr(pk, "_BIG_BATCH", 16)
@@ -142,11 +146,21 @@ def test_walker_block_sizes(monkeypatch):
     np.testing.assert_allclose(auto, base, rtol=1e-6)
 
 
+def _grad_close(gp, gref, rtol=2e-3):
+    """Gradient gate: relative to each component, with a per-row scale
+    floor (tiny components of a large gradient only need absolute
+    agreement at f32 resolution of the row scale). Typical measured
+    error is ~1e-4; the gate is 2e-3."""
+    denom = np.maximum(np.abs(gref),
+                       1e-3 * np.abs(gref).max(axis=-1, keepdims=True))
+    np.testing.assert_array_less(np.abs(gp - gref) / denom, rtol)
+
+
 @pytest.mark.parametrize("fix_comp", [False, True])
 def test_value_and_grad_parity(fix_comp):
     """The fused value+grad kernel (NUTS gradient path) matches
     jax.value_and_grad of the float64 XLA lnprob: value to float32
-    rounding, gradient to ~1e-3 relative; out-of-box thetas give -inf
+    rounding, gradient per _grad_close; out-of-box thetas give -inf
     with zero gradient; the scalar composes with vmap (the chain axis
     in run_nuts)."""
     from lumfuncmcmc_tpu.ops.pallas_lnlike import (
@@ -163,11 +177,7 @@ def test_value_and_grad_parity(fix_comp):
     vp, gp = jax.vmap(jax.value_and_grad(pal))(jnp.asarray(thetas))
     vref, gref, vp, gp = map(np.asarray, (vref, gref, vp, gp))
     np.testing.assert_allclose(vp, vref, rtol=RTOL)
-    # per-row scale floor: tiny components of a large gradient only
-    # need absolute agreement at f32 resolution of the row scale
-    denom = np.maximum(np.abs(gref),
-                       1e-3 * np.abs(gref).max(axis=1, keepdims=True))
-    np.testing.assert_array_less(np.abs(gp - gref) / denom, 2e-3)
+    _grad_close(gp, gref)
     bad = thetas[0].copy()
     bad[0] = layout.hi[0] + 1.0
     v, g = jax.value_and_grad(pal)(jnp.asarray(bad, jnp.float32))
@@ -182,10 +192,29 @@ def test_value_and_grad_vmem_gate(monkeypatch):
     assert pk.make_pallas_lnprob_and_grad(ctx, layout) is None
 
 
-def _grad_close(gp, gref, rtol=2e-3):
-    denom = np.maximum(np.abs(gref),
-                       1e-3 * np.abs(gref).max(axis=-1, keepdims=True))
-    np.testing.assert_array_less(np.abs(gp - gref) / denom, rtol)
+def test_nuts_gate_exact_bounds_falls_back(monkeypatch):
+    """fit_model_nuts's engine gate must fall back to the XLA scalar for
+    exact-bounds free-completeness runs — not propagate the ensemble
+    path's explicit-use_pallas + exact_bounds ValueError."""
+    from lumfuncmcmc_tpu.models.model import LumFuncModel
+    import lumfuncmcmc_tpu.models.model as mm
+    cfg = LFConfig(min_comp_frac=0.5, fix_comp=False, exact_bounds=True,
+                   use_pallas=True, size_ln=31)
+    cat = apply_completeness_cut(make_catalog(cfg, n_target=150, seed=5),
+                                 cfg)
+    m = LumFuncModel(cfg, z=cat["z"], flux=cat["flux"],
+                     flux_e=cat["flux_e"], field_id=cat["field_id"])
+    monkeypatch.setattr(mm.jax, "default_backend", lambda: "tpu")
+    sentinel = object()
+    assert m._nuts_gradient_post(sentinel) is sentinel
+    # and the winning configuration still selects the kernel
+    cfg2 = cfg.replace(exact_bounds=False, use_pallas=True,
+                       pallas_interpret=True)
+    m2 = LumFuncModel(cfg2, z=cat["z"], flux=cat["flux"],
+                      flux_e=cat["flux_e"], field_id=cat["field_id"])
+    post = m2._nuts_gradient_post(sentinel)
+    assert post is not sentinel and getattr(post, "engine", None) == \
+        "pallas"
 
 
 def test_value_and_grad_parity_z():
