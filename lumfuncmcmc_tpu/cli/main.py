@@ -51,6 +51,13 @@ def _add_common_flags(p):
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--sampler", type=str, default=None,
                    choices=["stretch", "nuts"])
+    p.add_argument("--move", type=str, default=None,
+                   choices=["stretch", "de", "mix"],
+                   help="ensemble proposal for --sampler stretch: "
+                        "Goodman-Weare stretch (reference semantics), "
+                        "differential evolution, or a 50/50 per-step "
+                        "mix (better-mixing option for correlated "
+                        "posteriors)")
     p.add_argument("--size-ln", dest="size_ln", type=int, default=None)
     p.add_argument("--thin", type=int, default=None,
                    help="record every thin-th sampler step")

@@ -102,6 +102,11 @@ class LFConfig:
     # --- new knobs (no reference counterpart) ---
     seed: int = 42                         # global PRNG seed (reference had none)
     sampler: str = "stretch"               # "stretch" | "nuts"
+    move: str = "stretch"                  # ensemble proposal:
+                                           #   "stretch" (reference
+                                           #   semantics) | "de"
+                                           #   (differential evolution)
+                                           #   | "mix" (50/50 per step)
     use_x64: Optional[bool] = None         # None = auto (x64 on CPU, f32 on TPU)
     size_ln: Optional[int] = None          # likelihood grid size; None = reference
                                            #   rule (101 free-comp / 201 fixed-comp,

@@ -270,7 +270,8 @@ class _BaseModel:
                 kk, k_blk = jax.random.split(kk)
                 nblk = min(every, remaining)
                 state, ch, lp, ac = run_stretch(lnprob, state_pos, k_blk,
-                                                nblk, thin=thin)
+                                                nblk, thin=thin,
+                                                move=cfg.move)
                 state_pos = state.pos
                 chains.append(np.asarray(ch))
                 lnps_parts.append(np.asarray(lp))
@@ -285,7 +286,8 @@ class _BaseModel:
             lnps = np.concatenate(lnps_parts)
         else:
             state, chain, lnps, acc = run_stretch(lnprob, pos0, k_run,
-                                                  nsteps_exec, thin=thin)
+                                                  nsteps_exec, thin=thin,
+                                                  move=cfg.move)
             chain, lnps, acc = (np.asarray(chain), np.asarray(lnps),
                                 np.asarray(acc))
         jax.block_until_ready(jnp.zeros(()))
@@ -347,7 +349,8 @@ class _BaseModel:
         for nblocks in range(1, max_blocks + 1):
             kk, k_blk = jax.random.split(kk)
             state, ch, lp, ac = run_stretch(lnprob, pos, k_blk,
-                                            block_steps)
+                                            block_steps,
+                                            move=self.cfg.move)
             pos = state.pos
             chains.append(np.asarray(ch))
             lnps_parts.append(np.asarray(lp))

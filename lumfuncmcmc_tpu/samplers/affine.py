@@ -55,6 +55,57 @@ def _half_step(rand, move_pos, move_lnp, other_pos, lnprob_batch, a, ndim):
     return new_pos, new_lnp, accept
 
 
+def _de_half_step(rand, move_pos, move_lnp, other_pos, lnprob_batch):
+    """Differential-evolution move for one half-ensemble (emcee DEMove
+    analogue): proposal x' = x + g * (x_a - x_b) with a, b two distinct
+    walkers of the fixed half. Symmetric proposal -> plain Metropolis
+    accept. ``rand = (g, j1, j2, ln_u)`` pre-generated: g carries the
+    jittered gamma_0 = 2.38/sqrt(2 ndim) with 10% "gamma = 1" draws
+    (full-strength mode-hopping jumps, as in emcee)."""
+    g, j1, j2, ln_u = rand
+    diff = other_pos[j1] - other_pos[j2]
+    prop = move_pos + g[:, None] * diff
+    lnp_prop = lnprob_batch(prop)
+    accept = ln_u < lnp_prop - move_lnp
+    new_pos = jnp.where(accept[:, None], prop, move_pos)
+    new_lnp = jnp.where(accept, lnp_prop, move_lnp)
+    return new_pos, new_lnp, accept
+
+
+def _step_de_pre(rands, state: EnsembleState, lnprob_batch: Callable):
+    """One full DE step from pre-generated randoms; red-black scheme as
+    in :func:`_step_pre` (second half moves against the updated first).
+    ``rands = (g, j1, j2, ln_u)`` each of shape (2, nh)."""
+    pos, lnp = state
+    nh = pos.shape[0] // 2
+    g, j1, j2, ln_u = rands
+    p0, l0 = pos[:nh], lnp[:nh]
+    p1, l1 = pos[nh:], lnp[nh:]
+    p0, l0, a0 = _de_half_step((g[0], j1[0], j2[0], ln_u[0]), p0, l0,
+                               p1, lnprob_batch)
+    p1, l1, a1 = _de_half_step((g[1], j1[1], j2[1], ln_u[1]), p1, l1,
+                               p0, lnprob_batch)
+    return (EnsembleState(jnp.concatenate([p0, p1]),
+                          jnp.concatenate([l0, l1])),
+            jnp.concatenate([a0, a1]))
+
+
+def _de_rands(key, nsteps, nh, ndim, dtype):
+    """Bulk randoms for DE steps: jittered/jumping gamma, two distinct
+    partner indices, log accept uniforms — shapes (nsteps, 2, nh)."""
+    k_g, k_jump, k_j1, k_j2, k_a = jax.random.split(key, 5)
+    g0 = 2.38 / jnp.sqrt(2.0 * ndim)
+    g = g0 * (1.0 + 1e-5 * jax.random.normal(k_g, (nsteps, 2, nh),
+                                             dtype=dtype))
+    jump = jax.random.uniform(k_jump, (nsteps, 2, nh), dtype=dtype) < 0.1
+    g = jnp.where(jump, jnp.asarray(1.0, dtype), g)
+    j1 = jax.random.randint(k_j1, (nsteps, 2, nh), 0, nh)
+    j2 = jax.random.randint(k_j2, (nsteps, 2, nh), 0, nh - 1)
+    j2 = j2 + (j2 >= j1)                     # distinct partners
+    ln_u = jnp.log(jax.random.uniform(k_a, (nsteps, 2, nh), dtype=dtype))
+    return g, j1, j2, ln_u
+
+
 def _step_pre(rands, state: EnsembleState, lnprob_batch: Callable,
               a: float):
     """One full stretch-move step from pre-generated randoms.
@@ -91,9 +142,10 @@ def step(key, state: EnsembleState, lnprob_batch: Callable, a: float = 2.0):
     return _step_pre((u_z, j, ln_u), state, lnprob_batch, a)
 
 
-@partial(jax.jit, static_argnames=("lnprob_batch", "nsteps", "a", "thin"))
+@partial(jax.jit, static_argnames=("lnprob_batch", "nsteps", "a", "thin",
+                                   "move"))
 def run_stretch(lnprob_batch: Callable, pos0, key, nsteps: int,
-                a: float = 2.0, thin: int = 1):
+                a: float = 2.0, thin: int = 1, move: str = "stretch"):
     """Run the ensemble for ``nsteps`` full steps.
 
     Parameters
@@ -107,6 +159,11 @@ def run_stretch(lnprob_batch: Callable, pos0, key, nsteps: int,
         a multiple of ``thin`` — a remainder would otherwise be silently
         dropped while callers normalize acceptance/timing by ``nsteps``.
     thin : record every ``thin``-th step.
+    move : "stretch" (Goodman-Weare, reference semantics), "de"
+        (differential evolution), or "mix" (per-step 50/50 choice —
+        stretch for local exploration, DE for correlated-direction
+        jumps; same composition emcee users build from StretchMove +
+        DEMove).
 
     Returns
     -------
@@ -124,26 +181,55 @@ def run_stretch(lnprob_batch: Callable, pos0, key, nsteps: int,
             "(round it yourself so acceptance/timing normalization is "
             "explicit)")
     nh = nwalkers // 2
+    ndim = pos0.shape[1]
     state = EnsembleState(pos0, lnprob_batch(pos0))
 
-    # bulk-generate every random draw for the whole run: three threefry
+    # bulk-generate every random draw for the whole run: a few threefry
     # kernels total instead of ~12 tiny ones per step inside the scan
-    k_z, k_j, k_a = jax.random.split(key, 3)
-    u_z = jax.random.uniform(k_z, (nsteps, 2, nh), dtype=pos0.dtype)
-    j = jax.random.randint(k_j, (nsteps, 2, nh), 0, nh)
-    ln_u = jnp.log(jax.random.uniform(k_a, (nsteps, 2, nh),
-                                      dtype=pos0.dtype))
+    def stretch_rands(k):
+        k_z, k_j, k_a = jax.random.split(k, 3)
+        u_z = jax.random.uniform(k_z, (nsteps, 2, nh), dtype=pos0.dtype)
+        j = jax.random.randint(k_j, (nsteps, 2, nh), 0, nh)
+        ln_u = jnp.log(jax.random.uniform(k_a, (nsteps, 2, nh),
+                                          dtype=pos0.dtype))
+        return u_z, j, ln_u
 
-    def scan_body(carry, rands):
+    if move == "stretch":
+        rands = stretch_rands(key)
+
+        def step_fn(st, r):
+            return _step_pre(r, st, lnprob_batch, a)
+    elif move == "de":
+        rands = _de_rands(key, nsteps, nh, ndim, pos0.dtype)
+
+        def step_fn(st, r):
+            return _step_de_pre(r, st, lnprob_batch)
+    elif move == "mix":
+        k_s, k_d, k_sel = jax.random.split(key, 3)
+        rands = (jax.random.bernoulli(k_sel, 0.5, (nsteps,)),
+                 stretch_rands(k_s),
+                 _de_rands(k_d, nsteps, nh, ndim, pos0.dtype))
+
+        def step_fn(st, r):
+            sel, sr, dr = r
+            return jax.lax.cond(
+                sel,
+                lambda s: _step_de_pre(dr, s, lnprob_batch),
+                lambda s: _step_pre(sr, s, lnprob_batch, a),
+                st)
+    else:
+        raise ValueError(f"unknown move {move!r} (stretch|de|mix)")
+
+    def scan_body(carry, r):
         st, acc = carry
-        st, accepted = _step_pre(rands, st, lnprob_batch, a)
+        st, accepted = step_fn(st, r)
         acc = acc + accepted
         return (st, acc), (st.pos, st.lnp)
 
     acc0 = jnp.zeros(nwalkers, dtype=pos0.dtype)
     if thin == 1:
         (state, acc), (chain, lnps) = jax.lax.scan(
-            scan_body, (state, acc0), (u_z, j, ln_u))
+            scan_body, (state, acc0), rands)
     else:
         def outer_body(carry, rands_block):
             (st, acc), _ = jax.lax.scan(scan_body, carry, rands_block)
@@ -152,12 +238,13 @@ def run_stretch(lnprob_batch: Callable, pos0, key, nsteps: int,
         reshape = lambda x: x.reshape((nblocks, thin) + x.shape[1:])
         (state, acc), (chain, lnps) = jax.lax.scan(
             outer_body, (state, acc0),
-            (reshape(u_z), reshape(j), reshape(ln_u)))
+            jax.tree_util.tree_map(reshape, rands))
     return state, chain, lnps, acc
 
 
 def run_stretch_ensembles(lnprob_batch: Callable, pos0, key, nsteps: int,
-                          a: float = 2.0, thin: int = 1):
+                          a: float = 2.0, thin: int = 1,
+                          move: str = "stretch"):
     """Run C independent ensembles in parallel (vmapped).
 
     ``pos0``: (C, nwalkers, ndim). Independent replicated chains saturate
@@ -172,6 +259,6 @@ def run_stretch_ensembles(lnprob_batch: Callable, pos0, key, nsteps: int,
     keys = jax.random.split(key, pos0.shape[0])
 
     def one(p, k):
-        return run_stretch(lnprob_batch, p, k, nsteps, a, thin)
+        return run_stretch(lnprob_batch, p, k, nsteps, a, thin, move)
 
     return jax.vmap(one)(pos0, keys)

@@ -63,3 +63,18 @@ def test_stretch_and_nuts_agree():
     # form of) both historic width-bias bugs: endpoint-only U-turn
     # checking (1.7x) and the leftward sub-u-turn orientation flip
     np.testing.assert_allclose(std_s, std_n, rtol=0.15)
+
+    # the mixed stretch/DE proposal (the better-mixing option,
+    # docs/PERFORMANCE.md) targets the same posterior: third
+    # independent algorithm, same agreement bands
+    _, chain_m, _, _ = run_stretch(lnprob, pos0, jax.random.PRNGKey(4),
+                                   2500, move="mix")
+    chain_m = np.asarray(chain_m)
+    burn_m, _ = burnin_steps(chain_m, 2500)
+    post_m = chain_m[burn_m:].reshape(-1, 3)
+    mean_m, std_m = post_m.mean(axis=0), post_m.std(axis=0)
+    for i in range(3):
+        tol = 0.2 * max(std_s[i], std_m[i])
+        assert abs(mean_m[i] - mean_s[i]) < tol, (
+            i, mean_m, mean_s, std_m, std_s)
+    np.testing.assert_allclose(std_m, std_s, rtol=0.15)

@@ -88,6 +88,52 @@ def test_rejects_out_of_bounds_walkers():
     assert np.all(np.abs(np.asarray(chain)) < 3.0)
 
 
+def test_de_and_mix_moves_recover_moments():
+    """The DE and mixed proposals target the same distribution as the
+    stretch move (symmetric Metropolis — tested on a strongly
+    correlated Gaussian, where DE should also mix faster)."""
+    import pytest
+    cov = np.array([[1.0, 0.95], [0.95, 1.0]])
+    lnprob = _gauss_lnprob(jnp.zeros(2), jnp.asarray(np.linalg.inv(cov)))
+    pos0 = 0.1 * jax.random.normal(jax.random.PRNGKey(10), (64, 2))
+    ess = {}
+    for move in ("stretch", "de", "mix"):
+        _, chain, _, acc = run_stretch(lnprob, pos0,
+                                       jax.random.PRNGKey(11), 4000,
+                                       move=move)
+        samples = np.asarray(chain)[1000:].reshape(-1, 2)
+        np.testing.assert_allclose(samples.mean(axis=0), 0.0, atol=0.08)
+        np.testing.assert_allclose(np.cov(samples.T), cov, atol=0.12)
+        frac = float(np.mean(np.asarray(acc))) / 4000
+        assert 0.15 < frac < 0.85
+        ess[move] = float(effective_sample_size(
+            np.asarray(chain)[1000:]).min())
+    # the DE direction proposal exploits the correlation structure
+    assert ess["de"] > 2.0 * ess["stretch"]
+    with pytest.raises(ValueError, match="unknown move"):
+        run_stretch(lnprob, pos0, jax.random.PRNGKey(12), 10,
+                    move="bogus")
+
+
+def test_de_move_reproducible():
+    lnprob = _gauss_lnprob(jnp.zeros(2), jnp.eye(2))
+    pos0 = jax.random.normal(jax.random.PRNGKey(13), (16, 2))
+    out1 = run_stretch(lnprob, pos0, jax.random.PRNGKey(14), 100,
+                       move="de")
+    out2 = run_stretch(lnprob, pos0, jax.random.PRNGKey(14), 100,
+                       move="de")
+    np.testing.assert_array_equal(np.asarray(out1[1]), np.asarray(out2[1]))
+    # thinning contract holds for the new rand pytrees (mix exercises
+    # the nested tree_map reshape)
+    st1, chain1, _, _ = run_stretch(lnprob, pos0, jax.random.PRNGKey(15),
+                                    100, thin=10, move="mix")
+    st2, chain2, _, _ = run_stretch(lnprob, pos0, jax.random.PRNGKey(15),
+                                    100, thin=1, move="mix")
+    np.testing.assert_allclose(np.asarray(st1.pos), np.asarray(st2.pos))
+    np.testing.assert_allclose(np.asarray(chain2[9::10]),
+                               np.asarray(chain1))
+
+
 def test_multi_ensemble_runner():
     from lumfuncmcmc_tpu.samplers.affine import run_stretch_ensembles
     lnprob = _gauss_lnprob(jnp.zeros(2), jnp.eye(2))
