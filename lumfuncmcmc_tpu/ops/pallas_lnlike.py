@@ -228,12 +228,15 @@ def _pack_flat(per_field_cols, fills):
 
 
 def prepare_pallas_data(ctx: LFContext, fix_comp: bool,
-                        flat: bool = True) -> PallasGridData:
+                        flat: bool = True,
+                        src_row_align: int = 1) -> PallasGridData:
     """Flatten/pad the context grids into the kernel layout.
 
     Free completeness folds the per-field area fraction and the ln10
     Schechter prefactor into the weights; fixed completeness uses the
     frozen ``w_fixed`` (area and Omega already inside) times ln10.
+    ``src_row_align`` pads each field's source rows to that multiple
+    (the streaming kernel needs fields aligned to whole slabs).
     """
     lref = float(ctx.lref)
     logL = np.asarray(ctx.logL_grid, dtype=np.float64)
@@ -279,7 +282,8 @@ def prepare_pallas_data(ctx: LFContext, fix_comp: bool,
     sfills = {"logf": -30.0, "a": 0.0, "p": _P_PAD, "r": 1.0,
               "lnom0": 0.0, "mask": 0.0}
     spack, src_rows = (_pack_flat(scols, sfills) if flat
-                       else _pack_rows(scols, sfills, row_align=1))
+                       else _pack_rows(scols, sfills,
+                                       row_align=src_row_align))
 
     return PallasGridData(
         g_logf=gpack["logf"], g_a=gpack["a"], g_p=gpack["p"],
@@ -782,6 +786,86 @@ def _kernel_free_vg(th_ref, g_logf, g_a, g_p, g_r, g_w,
         out_ref[i, 6] = d_ac
 
 
+_SLAB_ROWS = 64         # streamed source-slab height (64 x 128 = 8192
+                        # sources per slab; 6 arrays x 2 double-buffered
+                        # slabs = 384 KB in flight)
+
+
+def _kernel_free_stream(th_ref, g_logf, g_a, g_p, g_r, g_w,
+                        s_logf, s_a, s_p, s_r, s_lnom0, s_mask,
+                        out_ref, *, grid_rows, slab_starts, nfields,
+                        fcmin):
+    """Free-completeness lnlike for catalogs whose source arrays exceed
+    VMEM: the quadrature grids stay resident (constant index maps) while
+    the per-source arrays stream from HBM one (SLAB_ROWS, 128) slab per
+    inner grid step — Mosaic double-buffers the loads, so the kernel
+    stays compute-bound (~0.4 ms HBM vs ~2 ms transcendentals per
+    100-walker batch at 10^6 sources).
+
+    Grid = (walker_blocks, n_slabs): walkers outer so the (blk, 1)
+    output block accumulates across consecutive inner steps (init +
+    grid integral at slab 0). Slabs are FIELD-ALIGNED (each field's
+    rows padded to a slab multiple, ``slab_starts`` static), so the
+    per-field theta scalars are one dynamic SMEM lookup per program —
+    no per-element field-id selects.
+    """
+    j = pl.program_id(1)
+    f_idx = jnp.int32(0)
+    for f in range(1, nfields):
+        f_idx = f_idx + jnp.where(j >= slab_starts[f], 1, 0)
+
+    @pl.when(j == 0)
+    def _init():
+        # full resident-grid integral + accumulator init
+        for i in range(th_ref.shape[0]):
+            c_g = th_ref[i, 0]
+            aA = th_ref[i, 2]
+            lA = th_ref[i, 3]
+            t1 = th_ref[i, 4]
+            ac = th_ref[i, 5]
+            tot = jnp.float32(0.0)
+            for f in range(nfields):
+                lf50 = th_ref[i, 6 + f]
+                t2 = th_ref[i, 6 + nfields + f]
+                go, gn = grid_rows[f]
+                for ro in range(0, gn, _CHUNK_ROWS):
+                    rn = min(_CHUNK_ROWS, gn - ro)
+                    lo = go + ro
+                    x = ac * (g_logf[lo:lo + rn, :] - lf50)
+                    u = jax.lax.rsqrt(1.0 + x * x)
+                    lfc = jnp.log(jnp.maximum(0.5 + 0.5 * x * u, 1e-30))
+                    if fcmin:
+                        lfc = lfc / (1.0 - jnp.exp(
+                            -(g_r[lo:lo + rn, :] * t2)))
+                    e = (c_g + aA * (g_a[lo:lo + rn, :] - lA)
+                         - g_p[lo:lo + rn, :] * t1 + lfc)
+                    tot = tot - jnp.sum(jnp.exp(e) * g_w[lo:lo + rn, :])
+            out_ref[i, 0] = tot
+
+    for i in range(th_ref.shape[0]):
+        c_s = th_ref[i, 1]
+        aA = th_ref[i, 2]
+        lA = th_ref[i, 3]
+        t1 = th_ref[i, 4]
+        ac = th_ref[i, 5]
+        lf50 = th_ref[i, 6 + f_idx]
+        t2 = th_ref[i, 6 + nfields + f_idx]
+        tot = jnp.float32(0.0)
+        for ro in range(0, _SLAB_ROWS, _CHUNK_ROWS):
+            rn = min(_CHUNK_ROWS, _SLAB_ROWS - ro)
+            x = ac * (s_logf[ro:ro + rn, :] - lf50)
+            u = jax.lax.rsqrt(1.0 + x * x)
+            lfc = jnp.log(jnp.maximum(0.5 + 0.5 * x * u, 1e-30))
+            if fcmin:
+                lfc = lfc / (1.0 - jnp.exp(-(s_r[ro:ro + rn, :] * t2)))
+            contrib = (c_s + aA * (s_a[ro:ro + rn, :] - lA)
+                       - s_p[ro:ro + rn, :] * t1
+                       + s_lnom0[ro:ro + rn, :] + lfc)
+            tot = tot + jnp.sum(
+                jnp.where(s_mask[ro:ro + rn, :] > 0.0, contrib, 0.0))
+        out_ref[i, 0] = out_ref[i, 0] + tot
+
+
 def _kernel_z_vg(th_ref, g_a2, g_p2, g_w2, zrow, z2row,
                  s_a, s_z, s_z2, s_lnom0, s_mask, out_ref, *,
                  grid_rows, lref_a):
@@ -1005,6 +1089,51 @@ def _call_kernel(kern, feats, arrays, interpret, flat, blk=BLK_W):
     )(feats, *arrays)
 
 
+def _make_stream_lnlike(ctx: LFContext, layout, interpret, blk):
+    """Streaming free-completeness lnlike for over-VMEM catalogs (see
+    :func:`_kernel_free_stream`)."""
+    data = prepare_pallas_data(ctx, fix_comp=False, flat=False,
+                               src_row_align=_SLAB_ROWS)
+    fcmin = float(layout.fcmin) if layout.fcmin else 0.0
+    n_slabs = data.s_a.shape[0] // _SLAB_ROWS
+    slab_starts = tuple(off // _SLAB_ROWS for off, _ in data.src_rows)
+    kern = partial(_kernel_free_stream, grid_rows=data.grid_rows,
+                   slab_starts=slab_starts, nfields=data.nfields,
+                   fcmin=fcmin)
+    g_arrays = (data.g_logf, data.g_a, data.g_p, data.g_r, data.g_w)
+    s_arrays = (data.s_logf, data.s_a, data.s_p, data.s_r,
+                data.s_lnom0, data.s_mask)
+    b = BLK_W if blk is None else int(blk)
+
+    def batched(thetas):
+        wk_in = thetas.shape[0]
+        wk = _round_up(wk_in, b)
+        if wk != wk_in:
+            thetas = jnp.concatenate(
+                [thetas, jnp.broadcast_to(thetas[:1],
+                                          (wk - wk_in,) + thetas.shape[1:])])
+        feats = _features_free(thetas, layout, data.lref,
+                               fcmin).astype(jnp.float32)
+        nfeat = feats.shape[1]
+        out = pl.pallas_call(
+            kern,
+            grid=(wk // b, n_slabs),
+            in_specs=[pl.BlockSpec((b, nfeat), lambda i, j: (i, 0),
+                                   memory_space=pltpu.SMEM)]
+            + [pl.BlockSpec(a.shape, lambda i, j: (0, 0),
+                            memory_space=pltpu.VMEM) for a in g_arrays]
+            + [pl.BlockSpec((_SLAB_ROWS, LANES), lambda i, j: (j, 0),
+                            memory_space=pltpu.VMEM) for a in s_arrays],
+            out_specs=pl.BlockSpec((b, 1), lambda i, j: (i, 0),
+                                   memory_space=pltpu.SMEM),
+            out_shape=jax.ShapeDtypeStruct((wk, 1), jnp.float32),
+            interpret=interpret,
+        )(feats, *g_arrays, *s_arrays)
+        return out[:wk_in, 0]
+
+    return batched
+
+
 def make_pallas_lnlike(ctx: LFContext, layout, interpret: bool = False,
                        flat=None, blk=None):
     """Build a (W, D) -> (W,) batched single-epoch lnlike.
@@ -1021,11 +1150,15 @@ def make_pallas_lnlike(ctx: LFContext, layout, interpret: bool = False,
     nsrc = int(np.asarray(ctx.lum).shape[0])
     n_g, n_s = (3, 0) if fix_comp else (5, 6)
     if (ncells * n_g + nsrc * n_s) * 4 > _VMEM_ARRAY_LIMIT:
-        # even the slab layout keeps all arrays VMEM-resident; past
-        # ~10 MB (e.g. mega-catalogs) that OOMs scoped vmem. Those
-        # workloads belong to the XLA path + source-axis mesh sharding
-        # (parallel/sharding.py) — signal the caller to use it.
-        return None
+        # the resident layouts keep all arrays in VMEM; past ~10 MB
+        # that OOMs scoped vmem. Mega free-completeness catalogs keep
+        # the grids resident and STREAM the source slabs from HBM
+        # instead; if even the grid arrays overflow (or the ln-term is
+        # already collapsed — fixed comp), signal the caller to use the
+        # XLA path + source-axis mesh sharding (parallel/sharding.py).
+        if fix_comp or ncells * n_g * 4 > _VMEM_ARRAY_LIMIT:
+            return None
+        return _make_stream_lnlike(ctx, layout, interpret, blk)
     if flat is None:
         # the (1, C) broadcast layout costs 8x VMEM (sublane padding);
         # use it whenever the resident arrays fit comfortably, else

@@ -379,6 +379,41 @@ def test_oversize_workload_falls_back_to_xla(monkeypatch):
     np.testing.assert_allclose(np.asarray(lnp(thetas)), ref, rtol=1e-6)
 
 
+def test_streaming_source_kernel(monkeypatch):
+    """Mega free-completeness catalogs (source arrays past the VMEM
+    budget, grids resident) stream the source slabs from HBM: parity vs
+    the resident kernel AND the float64 XLA path, field-aligned slab
+    padding, walker-block padding, and the gate routing."""
+    import lumfuncmcmc_tpu.ops.pallas_lnlike as pk
+    cfg, ctx, layout = _setup(size_ln=31, n_target=400)
+    resident = pk.make_pallas_lnlike(ctx, layout, interpret=True)
+    stream = pk._make_stream_lnlike(ctx, layout, interpret=True,
+                                    blk=None)
+    thetas = np.asarray(sample_init(jax.random.PRNGKey(0), layout, 11))
+    mid = 0.5 * (np.asarray(layout.lo) + np.asarray(layout.hi))
+    thetas = np.asarray(0.7 * mid[None, :] + 0.3 * thetas,
+                        dtype=np.float32)
+    a = np.asarray(stream(jnp.asarray(thetas)))
+    b = np.asarray(resident(jnp.asarray(thetas)))
+    np.testing.assert_allclose(a, b, rtol=1e-5)
+    ref = np.asarray(jax.vmap(make_lnprob(ctx, layout))(
+        jnp.asarray(thetas, jnp.float64)))
+    fin = np.isfinite(ref)
+    np.testing.assert_allclose(a[fin], ref[fin], rtol=RTOL)
+    # gate: source arrays over budget but grids resident -> streaming
+    # (engine stays "pallas"); grids over budget too -> None
+    nsrc_bytes = int(np.asarray(ctx.lum).shape[0]) * 6 * 4
+    ncell_bytes = int(np.prod(np.asarray(ctx.logL_grid).shape)) * 5 * 4
+    monkeypatch.setattr(pk, "_VMEM_ARRAY_LIMIT", ncell_bytes + 16)
+    assert ncell_bytes + 16 < ncell_bytes + nsrc_bytes
+    lnl = pk.make_pallas_lnlike(ctx, layout, interpret=True)
+    assert lnl is not None
+    np.testing.assert_allclose(np.asarray(lnl(jnp.asarray(thetas))), b,
+                               rtol=1e-5)
+    monkeypatch.setattr(pk, "_VMEM_ARRAY_LIMIT", 64)
+    assert pk.make_pallas_lnlike(ctx, layout, interpret=True) is None
+
+
 def test_model_gate_uses_pallas_for_both_comp_modes():
     """LumFuncModel honors use_pallas for free AND fixed completeness,
     and raises loudly for the unsupported exact-bounds combination."""
