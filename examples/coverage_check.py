@@ -35,6 +35,7 @@ from lumfuncmcmc_tpu.utils.synth import make_catalog, apply_completeness_cut
 PARAMS = ["Lstar", "phistar", "sch_al"]
 FREE = "--free" in sys.argv  # 9-parameter free-completeness model
 PALLAS = "--pallas" in sys.argv  # validate the native-tier engine
+MOVE = "mix" if "--mix" in sys.argv else "stretch"  # ensemble proposal
 
 
 def one_replicate(k, rng):
@@ -67,7 +68,7 @@ def one_replicate(k, rng):
     pos0 = sample_init(jax.random.PRNGKey(2 * k), layout, cfg.nwalkers)
     _, chain, _, _ = run_stretch(lnprob, pos0,
                                  jax.random.PRNGKey(2 * k + 1),
-                                 cfg.nsteps)
+                                 cfg.nsteps, move=MOVE)
     chain = np.asarray(chain)
     burn, _ = burnin_steps(chain, cfg.nsteps)
     post = chain[burn:].reshape(-1, layout.ndim)

@@ -143,9 +143,10 @@ def step(key, state: EnsembleState, lnprob_batch: Callable, a: float = 2.0):
 
 
 @partial(jax.jit, static_argnames=("lnprob_batch", "nsteps", "a", "thin",
-                                   "move"))
+                                   "move", "de_prob"))
 def run_stretch(lnprob_batch: Callable, pos0, key, nsteps: int,
-                a: float = 2.0, thin: int = 1, move: str = "stretch"):
+                a: float = 2.0, thin: int = 1, move: str = "stretch",
+                de_prob: float = 0.5):
     """Run the ensemble for ``nsteps`` full steps.
 
     Parameters
@@ -160,10 +161,14 @@ def run_stretch(lnprob_batch: Callable, pos0, key, nsteps: int,
         dropped while callers normalize acceptance/timing by ``nsteps``.
     thin : record every ``thin``-th step.
     move : "stretch" (Goodman-Weare, reference semantics), "de"
-        (differential evolution), or "mix" (per-step 50/50 choice —
+        (differential evolution), or "mix" (per-step random choice —
         stretch for local exploration, DE for correlated-direction
         jumps; same composition emcee users build from StretchMove +
         DEMove).
+    de_prob : probability of a DE step under move="mix". The 0.5
+        default is the emcee-style equal-weight composition; on the
+        flagship posterior the optimum sits near 0.7 (within ~15% of
+        0.5 — docs/PERFORMANCE.md sweep).
 
     Returns
     -------
@@ -206,7 +211,7 @@ def run_stretch(lnprob_batch: Callable, pos0, key, nsteps: int,
             return _step_de_pre(r, st, lnprob_batch)
     elif move == "mix":
         k_s, k_d, k_sel = jax.random.split(key, 3)
-        rands = (jax.random.bernoulli(k_sel, 0.5, (nsteps,)),
+        rands = (jax.random.bernoulli(k_sel, de_prob, (nsteps,)),
                  stretch_rands(k_s),
                  _de_rands(k_d, nsteps, nh, ndim, pos0.dtype))
 
