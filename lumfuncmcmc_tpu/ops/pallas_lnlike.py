@@ -1211,8 +1211,12 @@ def make_pallas_lnlike_z(ctx: LFContext, layout, interpret: bool = False,
     364-376``); quadratic pivot coefficients are per-walker features.
     Small grids use the broadcast layout (two exps per element); big
     grids the 2-D slab layout with per-z-node hoisting (one exp per
-    element). Returns None when even those arrays exceed the VMEM
-    budget (mega source counts — use the sharded XLA path)."""
+    element). Returns None past the VMEM budget: unlike the free
+    -completeness model, mega z catalogs are deliberately LEFT to XLA —
+    the z source term is a (sources x z-features) @ (features x
+    walkers) contraction that XLA lowers onto the MXU (measured
+    2.15e11 source-evals/s at 10^6 sources, 2.1x a VPU streaming
+    kernel; docs/PERFORMANCE.md), so a hand kernel can only lose."""
     ncells = int(np.prod(np.asarray(ctx.logL_grid).shape))
     nsrc = int(np.asarray(ctx.lum).shape[0])
     if (ncells * 3 + nsrc * 5) * 4 > _VMEM_ARRAY_LIMIT:
