@@ -212,26 +212,26 @@ def main():
     # same posterior (cross-validated vs stretch and NUTS), lower tau —
     # recorded so the round artifact carries the best ESS/s the
     # framework offers, not just the reference-semantics default
-    mix_detail = {}
     fn_mix = pal_g if pal is not None else lnprob_g
     out = run_stretch(fn_mix, pos0, jax.random.PRNGKey(1), args.steps,
                       move="mix")
     jax.block_until_ready(out[0].pos)
     t0 = time.time()
-    st_m, chain_m, _, _ = run_stretch(fn_mix, pos0, jax.random.PRNGKey(2),
-                                      args.steps, move="mix")
-    jax.block_until_ready(st_m.pos)
-    wall_m = time.time() - t0
-    cm = np.asarray(chain_m)
-    burn_m, tau_m = burnin_steps(cm, cm.shape[0])
-    ess_m = float(effective_sample_size(cm[burn_m:]).min())
+    st_mx, chain_mx, _, _ = run_stretch(fn_mix, pos0,
+                                        jax.random.PRNGKey(2),
+                                        args.steps, move="mix")
+    jax.block_until_ready(st_mx.pos)
+    wall_mx = time.time() - t0
+    cmx = np.asarray(chain_mx)
+    burn_mx, tau_mx = burnin_steps(cmx, cmx.shape[0])
+    ess_mx = float(effective_sample_size(cmx[burn_mx:]).min())
     mix_detail = {
-        "mix_tau_steps": round(float(tau_m), 2),
-        "mix_min_ess": round(ess_m, 1),
-        "mix_ess_per_sec": round(ess_m / wall_m, 1),
+        "mix_tau_steps": round(float(tau_mx), 2),
+        "mix_min_ess": round(ess_mx, 1),
+        "mix_ess_per_sec": round(ess_mx / wall_mx, 1),
     }
-    log(f"mix move (gauss-32): {wall_m:.2f}s tau={tau_m:.0f} "
-        f"minESS={ess_m:.0f} ({ess_m / wall_m:,.0f}/s)")
+    log(f"mix move (gauss-32): {wall_mx:.2f}s tau={tau_mx:.0f} "
+        f"minESS={ess_mx:.0f} ({ess_mx / wall_mx:,.0f}/s)")
 
     # honest ESS: full-chain FFT autocorrelation after the reference
     # burn-in rule (a thinned subsample-and-scale estimate overstates

@@ -420,6 +420,10 @@ class _BaseModel:
             key = jax.random.PRNGKey(cfg.seed)
         k_init, k_run = jax.random.split(key)
         num_warmup = num_warmup or max(200, cfg.nsteps // 4)
+        if cfg.move != "stretch":
+            self.log.warning(
+                "--move %s is an ensemble-proposal option; it is "
+                "ignored under --sampler nuts" % cfg.move)
         scalar = self._make_scalar_lnprob()
         post = self._nuts_gradient_post(scalar)
         lo, hi = self.layout.bounds_arrays()

@@ -459,7 +459,11 @@ def _kernel_free_bcast(th_ref, g_logf, g_a, g_p, g_r, g_w,
 
         def ln_fc(logf, r):
             x = ac * (logf - lf50)
-            fc = 0.5 + 0.5 * x * jax.lax.rsqrt(1.0 + x * x)
+            # clamp matches the XLA path (completeness.py) and the
+            # streaming/vg kernels: fc underflow must not turn an
+            # in-bounds lnlike into -inf on one engine only
+            fc = jnp.maximum(0.5 + 0.5 * x * jax.lax.rsqrt(1.0 + x * x),
+                             1e-30)
             lf = jnp.log(fc)
             if not fcmin:
                 return lf
@@ -632,7 +636,8 @@ def _kernel_free(th_ref, g_logf, g_a, g_p, g_r, g_w,
 
             def ln_fc(logf, r):
                 x = ac * (logf - lf50)
-                fc = 0.5 + 0.5 * x * jax.lax.rsqrt(1.0 + x * x)
+                fc = jnp.maximum(
+                    0.5 + 0.5 * x * jax.lax.rsqrt(1.0 + x * x), 1e-30)
                 lf = jnp.log(fc)
                 if not fcmin:
                     return lf

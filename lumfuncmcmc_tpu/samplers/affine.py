@@ -26,6 +26,7 @@ from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as _np
 
 
 class EnsembleState(NamedTuple):
@@ -60,10 +61,13 @@ def _de_half_step(rand, move_pos, move_lnp, other_pos, lnprob_batch):
     analogue): proposal x' = x + g * (x_a - x_b) with a, b two distinct
     walkers of the fixed half. Symmetric proposal -> plain Metropolis
     accept. ``rand = (g, j1, j2, ln_u)`` pre-generated: g carries the
-    jittered gamma_0 = 2.38/sqrt(2 ndim) with 10% "gamma = 1" draws
-    (full-strength mode-hopping jumps, as in emcee)."""
+    jittered gamma_0 = 2.38/sqrt(2 ndim) (emcee's DEMove default) plus
+    10% "gamma = 1" draws — full-strength mode-hopping jumps per ter
+    Braak's DE-MC recommendation (NOT part of emcee's DEMove; expect
+    slightly different acceptance statistics than an emcee
+    composition)."""
     g, j1, j2, ln_u = rand
-    diff = other_pos[j1] - other_pos[j2]
+    diff = other_pos[j1] - other_pos[j2]          # distinct by draw
     prop = move_pos + g[:, None] * diff
     lnp_prop = lnprob_batch(prop)
     accept = ln_u < lnp_prop - move_lnp
@@ -161,14 +165,16 @@ def run_stretch(lnprob_batch: Callable, pos0, key, nsteps: int,
         dropped while callers normalize acceptance/timing by ``nsteps``.
     thin : record every ``thin``-th step.
     move : "stretch" (Goodman-Weare, reference semantics), "de"
-        (differential evolution), or "mix" (per-step random choice —
-        stretch for local exploration, DE for correlated-direction
-        jumps; same composition emcee users build from StretchMove +
-        DEMove).
-    de_prob : probability of a DE step under move="mix". The 0.5
-        default is the emcee-style equal-weight composition; on the
-        flagship posterior the optimum sits near 0.7 (within ~15% of
-        0.5 — docs/PERFORMANCE.md sweep).
+        (differential evolution), or "mix" (deterministic per-step
+        interleaving — stretch for local exploration, DE for
+        correlated-direction jumps; the composition emcee users build
+        from StretchMove + DEMove, with a fixed schedule instead of a
+        random one so vmapped multi-ensemble runs execute only one
+        move per step).
+    de_prob : fraction of DE steps under move="mix" (Bresenham
+        schedule). The 0.5 default is the emcee-style equal-weight
+        composition; on the flagship posterior the optimum sits near
+        0.7 (within ~15% of 0.5 — docs/PERFORMANCE.md sweep).
 
     Returns
     -------
@@ -180,6 +186,12 @@ def run_stretch(lnprob_batch: Callable, pos0, key, nsteps: int,
     nwalkers = pos0.shape[0]
     if nwalkers % 2:
         raise ValueError("nwalkers must be even for the red-black scheme")
+    if move in ("de", "mix") and nwalkers < 4:
+        # nh = 1 leaves no pair of distinct DE partners: the randint
+        # range is empty and the proposal degenerates to x' = x
+        raise ValueError(
+            "the DE proposal needs nwalkers >= 4 (two distinct "
+            "partners in the fixed half-ensemble)")
     if thin > 1 and nsteps % thin:
         raise ValueError(
             f"nsteps={nsteps} must be a multiple of thin={thin} "
@@ -210,15 +222,24 @@ def run_stretch(lnprob_batch: Callable, pos0, key, nsteps: int,
         def step_fn(st, r):
             return _step_de_pre(r, st, lnprob_batch)
     elif move == "mix":
-        k_s, k_d, k_sel = jax.random.split(key, 3)
-        rands = (jax.random.bernoulli(k_sel, de_prob, (nsteps,)),
-                 stretch_rands(k_s),
+        k_s, k_d = jax.random.split(key)
+        # DETERMINISTIC Bresenham schedule of DE steps (a fixed
+        # composition of invariant kernels is valid MCMC): the selector
+        # is a host constant, so under vmap (run_stretch_ensembles) the
+        # per-step lax.cond predicate stays unbatched and only ONE
+        # branch executes — a random per-ensemble selector would batch
+        # the predicate, lower cond to select, and silently evaluate
+        # BOTH moves' lnprob every step
+        t = _np.arange(nsteps, dtype=_np.float64)
+        sel = jnp.asarray(_np.floor((t + 1) * de_prob)
+                          - _np.floor(t * de_prob) >= 1.0)
+        rands = (sel, stretch_rands(k_s),
                  _de_rands(k_d, nsteps, nh, ndim, pos0.dtype))
 
         def step_fn(st, r):
-            sel, sr, dr = r
+            sel_t, sr, dr = r
             return jax.lax.cond(
-                sel,
+                sel_t,
                 lambda s: _step_de_pre(dr, s, lnprob_batch),
                 lambda s: _step_pre(sr, s, lnprob_batch, a),
                 st)

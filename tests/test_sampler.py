@@ -141,6 +141,11 @@ def test_multi_ensemble_runner():
     st, chain, lnps, acc = run_stretch_ensembles(
         lnprob, pos0, jax.random.PRNGKey(9), 800)
     assert chain.shape == (4, 800, 16, 2)
+    # the mixed move composes with the ensemble vmap (its deterministic
+    # DE schedule keeps the per-step cond predicate unbatched)
+    _, chain_m, _, _ = run_stretch_ensembles(
+        lnprob, pos0, jax.random.PRNGKey(9), 200, move="mix")
+    assert np.all(np.isfinite(np.asarray(chain_m)))
     # chains are independent (different keys -> different trajectories)
     c = np.asarray(chain)
     assert not np.allclose(c[0], c[1])
