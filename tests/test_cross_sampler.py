@@ -66,12 +66,23 @@ def test_stretch_and_nuts_agree():
 
     # the mixed stretch/DE proposal (the better-mixing option,
     # docs/PERFORMANCE.md) targets the same posterior: third
-    # independent algorithm, same agreement bands
-    _, chain_m, _, _ = run_stretch(lnprob, pos0, jax.random.PRNGKey(4),
-                                   2500, move="mix")
+    # independent algorithm, same agreement bands. Processed like the
+    # real pipeline: the reference's lnprobcut selection
+    # (select_samples) runs before any posterior use — it is the guard
+    # against a straggling walker, which box-wide inits can leave
+    # behind for thousands of steps (DE steps halve the rate at which
+    # stretch moves absorb outliers, so mix chains hit this at ~2x the
+    # stretch rate on unlucky seeds)
+    from lumfuncmcmc_tpu.models.model import select_samples
+    _, chain_m, lnps_m, _ = run_stretch(lnprob, pos0,
+                                        jax.random.PRNGKey(4),
+                                        2500, move="mix")
     chain_m = np.asarray(chain_m)
     burn_m, _ = burnin_steps(chain_m, 2500)
-    post_m = chain_m[burn_m:].reshape(-1, 3)
+    flat_m = chain_m[burn_m:].reshape(-1, 3)
+    flat_lnp = np.asarray(lnps_m)[burn_m:].reshape(-1, 1)
+    post_m = select_samples(np.concatenate([flat_m, flat_lnp], axis=1),
+                            drop_lnp=True)
     mean_m, std_m = post_m.mean(axis=0), post_m.std(axis=0)
     for i in range(3):
         tol = 0.2 * max(std_s[i], std_m[i])
