@@ -141,10 +141,25 @@ class _BaseModel:
         grid at production walker counts — docs/PERFORMANCE.md); off
         elsewhere (Mosaic kernels don't run on CPU outside the
         interpreter). Explicit True on a non-TPU backend without
-        pallas_interpret falls back loudly."""
+        pallas_interpret falls back loudly.
+
+        One measured exception: fixed completeness on a SMALL grid at
+        large ensembles. The fixed-comp exponent is affine in the (a, p)
+        cell features, so XLA computes it as a (cells x 2) @ (2 x W)
+        MXU matmul whose efficiency grows with W — at gauss-32 it ties
+        Pallas by W=300 and wins 1.3x by W=1000 (big trapz grids stay
+        Pallas at every W: 1.2-1.5x). Auto mode picks XLA there.
+        """
         cfg = self.cfg
         if cfg.use_pallas is None:
-            return jax.default_backend() == "tpu" and not cfg.exact_bounds
+            if jax.default_backend() != "tpu" or cfg.exact_bounds:
+                return False
+            if (cfg.fix_comp and self.model_kind == "single"
+                    and cfg.nwalkers >= 512):
+                ncells = int(np.prod(np.asarray(self.ctx.logL_grid).shape))
+                if ncells * 3 * 4 * 8 < 11 * 2**20:  # flat-layout grids
+                    return False
+            return True
         if (cfg.use_pallas and cfg.exact_bounds and not cfg.fix_comp
                 and self.model_kind == "single" and self.mesh is None):
             # with a mesh active the Pallas request is ignored anyway

@@ -363,6 +363,14 @@ def test_engine_auto_selection(monkeypatch):
     assert m4._resolve_use_pallas() is False  # --no-pallas respected
     m5 = LumFuncModel(cfg.replace(fix_comp=False, exact_bounds=True), **kw)
     assert m5._resolve_use_pallas() is False  # auto avoids exact-bounds
+    # fixed comp, small (flat-layout) grid, large ensemble: XLA's MXU
+    # matmul of the affine exponent wins there (docs/PERFORMANCE.md)
+    m6 = LumFuncModel(cfg.replace(nwalkers=1024), **kw)
+    assert m6._resolve_use_pallas() is False
+    m7 = LumFuncModel(cfg.replace(nwalkers=1024, size_ln=161), **kw)
+    assert m7._resolve_use_pallas() is True   # big grid stays Pallas
+    m8 = LumFuncModel(cfg.replace(nwalkers=1024, fix_comp=False), **kw)
+    assert m8._resolve_use_pallas() is True   # free comp stays Pallas
 
 
 def test_oversize_workload_falls_back_to_xla(monkeypatch):
