@@ -132,6 +132,17 @@ def main():
     lnprob = jax.vmap(make_lnprob(ctx, layout))
     pos0 = sample_init(jax.random.PRNGKey(0), layout, args.walkers)
 
+    def timed_chain(fn, pos, steps, **kw):
+        """Warm up with the full-length program (the scan trip count is
+        a static jit arg), then time a pure cache-hit run."""
+        out = run_stretch(fn, pos, jax.random.PRNGKey(1), steps, **kw)
+        jax.block_until_ready(out[0].pos)
+        t0 = time.time()
+        state, chain, lnps, acc = run_stretch(
+            fn, pos, jax.random.PRNGKey(2), steps, **kw)
+        jax.block_until_ready(state.pos)
+        return time.time() - t0, state, chain, lnps, acc
+
     # compile warmup: run the FULL-length program once so the timed call
     # is a pure cache-hit execution (a 3-step warmup compiles a different
     # program — the scan trip count is static — and the timed call would
@@ -158,13 +169,7 @@ def main():
                              flux_e=cat["flux_e"],
                              field_id=cat["field_id"])
     lnprob_g = jax.vmap(make_lnprob(ctx_g, layout))
-    out = run_stretch(lnprob_g, pos0, jax.random.PRNGKey(1), args.steps)
-    jax.block_until_ready(out[0].pos)
-    t0 = time.time()
-    state_g, *_ = run_stretch(lnprob_g, pos0, jax.random.PRNGKey(2),
-                              args.steps)
-    jax.block_until_ready(state_g.pos)
-    wall_g = time.time() - t0
+    wall_g, *_ = timed_chain(lnprob_g, pos0, args.steps)
     log(f"gauss-32 production mode: {wall_g:.2f}s "
         f"-> {evals / wall_g:,.0f} lnprob evals/s")
 
@@ -181,21 +186,9 @@ def main():
                 "gate) — skipping the A/B")
             pal = None
     if pal is not None:
-        out = run_stretch(pal, pos0, jax.random.PRNGKey(1), args.steps)
-        jax.block_until_ready(out[0].pos)
-        t0 = time.time()
-        st_p, *_ = run_stretch(pal, pos0, jax.random.PRNGKey(2),
-                               args.steps)
-        jax.block_until_ready(st_p.pos)
-        wall_p = time.time() - t0
+        wall_p, *_ = timed_chain(pal, pos0, args.steps)
         pal_g = make_pallas_lnprob(ctx_g, layout)
-        out = run_stretch(pal_g, pos0, jax.random.PRNGKey(1), args.steps)
-        jax.block_until_ready(out[0].pos)
-        t0 = time.time()
-        st_pg, *_ = run_stretch(pal_g, pos0, jax.random.PRNGKey(2),
-                                args.steps)
-        jax.block_until_ready(st_pg.pos)
-        wall_pg = time.time() - t0
+        wall_pg, *_ = timed_chain(pal_g, pos0, args.steps)
         pallas_detail = {
             "pallas_trapz101_evals_per_sec": round(evals / wall_p, 1),
             "pallas_trapz101_vs_xla": round(wall / wall_p, 3),
@@ -213,15 +206,8 @@ def main():
     # recorded so the round artifact carries the best ESS/s the
     # framework offers, not just the reference-semantics default
     fn_mix = pal_g if pal is not None else lnprob_g
-    out = run_stretch(fn_mix, pos0, jax.random.PRNGKey(1), args.steps,
-                      move="mix")
-    jax.block_until_ready(out[0].pos)
-    t0 = time.time()
-    st_mx, chain_mx, _, _ = run_stretch(fn_mix, pos0,
-                                        jax.random.PRNGKey(2),
-                                        args.steps, move="mix")
-    jax.block_until_ready(st_mx.pos)
-    wall_mx = time.time() - t0
+    wall_mx, _, chain_mx, _, _ = timed_chain(fn_mix, pos0, args.steps,
+                                             move="mix")
     cmx = np.asarray(chain_mx)
     burn_mx, tau_mx = burnin_steps(cmx, cmx.shape[0])
     ess_mx = float(effective_sample_size(cmx[burn_mx:]).min())
@@ -272,13 +258,7 @@ def main():
         layout_m = ThetaLayout.from_config(cfg_m)
         lnprob_m = jax.vmap(make_lnprob(ctx_m, layout_m))
         pos_m = sample_init(jax.random.PRNGKey(0), layout_m, 1000)
-        out = run_stretch(lnprob_m, pos_m, jax.random.PRNGKey(1), 2000)
-        jax.block_until_ready(out[0].pos)
-        t0 = time.time()
-        st_m, *_ = run_stretch(lnprob_m, pos_m, jax.random.PRNGKey(2),
-                               2000)
-        jax.block_until_ready(st_m.pos)
-        wall_m = time.time() - t0
+        wall_m, *_ = timed_chain(lnprob_m, pos_m, 2000)
         mega_detail = {
             "mega_sources": len(cat_m["z"]),
             "mega_walkers": 1000,

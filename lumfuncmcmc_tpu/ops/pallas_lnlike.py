@@ -109,6 +109,33 @@ def _clamp_flim(theta, layout):
                            axis=-1)
 
 
+def _pad_walkers(thetas, b):
+    """Pad a (W, D) theta batch to a multiple of block ``b`` by
+    repeating row 0 (padded rows are sliced off after the kernel)."""
+    wk_in = thetas.shape[0]
+    wk = _round_up(wk_in, b)
+    if wk != wk_in:
+        thetas = jnp.concatenate(
+            [thetas, jnp.broadcast_to(thetas[:1],
+                                      (wk - wk_in,) + thetas.shape[1:])])
+    return thetas
+
+
+def _ln_fc(logf, r, ac, lf50, t2, fcmin):
+    """ln Fleming completeness for a cell block. ``ac``/``lf50``/``t2``
+    broadcast as per-walker scalars or (blk, 1) columns. fc is clamped
+    away from 0 (matching the XLA path, ``ops/completeness.py``) so an
+    underflow cannot turn an in-bounds lnlike into -inf on one engine
+    only; shared by every forward kernel so the numerics cannot drift.
+    """
+    x = ac * (logf - lf50)
+    fc = jnp.maximum(0.5 + 0.5 * x * jax.lax.rsqrt(1.0 + x * x), 1e-30)
+    lf = jnp.log(fc)
+    if not fcmin:
+        return lf
+    return lf / (1.0 - jnp.exp(-(r * t2)))
+
+
 def _choose_blk(wk_in, blk, flat=True, max_chunk=_CHUNK):
     """Walker-block size for a batch of ``wk_in`` thetas. ``blk`` forces
     a size (experiments/tests); None auto-selects — 8 for production
@@ -458,17 +485,7 @@ def _kernel_free_bcast(th_ref, g_logf, g_a, g_p, g_r, g_w,
         t2 = th_ref[:, 6 + nfields + f:7 + nfields + f]
 
         def ln_fc(logf, r):
-            x = ac * (logf - lf50)
-            # clamp matches the XLA path (completeness.py) and the
-            # streaming/vg kernels: fc underflow must not turn an
-            # in-bounds lnlike into -inf on one engine only
-            fc = jnp.maximum(0.5 + 0.5 * x * jax.lax.rsqrt(1.0 + x * x),
-                             1e-30)
-            lf = jnp.log(fc)
-            if not fcmin:
-                return lf
-            decay = 1.0 - jnp.exp(-(r * t2))
-            return lf / decay
+            return _ln_fc(logf, r, ac, lf50, t2, fcmin)
 
         go, gn = grid_rows[f]
         # static chunks bound the live (8, chunk) temporaries (~10 are
@@ -635,14 +652,7 @@ def _kernel_free(th_ref, g_logf, g_a, g_p, g_r, g_w,
             t2 = th_ref[i, 6 + nfields + f]
 
             def ln_fc(logf, r):
-                x = ac * (logf - lf50)
-                fc = jnp.maximum(
-                    0.5 + 0.5 * x * jax.lax.rsqrt(1.0 + x * x), 1e-30)
-                lf = jnp.log(fc)
-                if not fcmin:
-                    return lf
-                decay = 1.0 - jnp.exp(-(r * t2))
-                return lf / decay
+                return _ln_fc(logf, r, ac, lf50, t2, fcmin)
 
             go, gn = grid_rows[f]
             for ro in range(0, gn, _CHUNK_ROWS):
@@ -836,12 +846,8 @@ def _kernel_free_stream(th_ref, g_logf, g_a, g_p, g_r, g_w,
                 for ro in range(0, gn, _CHUNK_ROWS):
                     rn = min(_CHUNK_ROWS, gn - ro)
                     lo = go + ro
-                    x = ac * (g_logf[lo:lo + rn, :] - lf50)
-                    u = jax.lax.rsqrt(1.0 + x * x)
-                    lfc = jnp.log(jnp.maximum(0.5 + 0.5 * x * u, 1e-30))
-                    if fcmin:
-                        lfc = lfc / (1.0 - jnp.exp(
-                            -(g_r[lo:lo + rn, :] * t2)))
+                    lfc = _ln_fc(g_logf[lo:lo + rn, :],
+                                 g_r[lo:lo + rn, :], ac, lf50, t2, fcmin)
                     e = (c_g + aA * (g_a[lo:lo + rn, :] - lA)
                          - g_p[lo:lo + rn, :] * t1 + lfc)
                     tot = tot - jnp.sum(jnp.exp(e) * g_w[lo:lo + rn, :])
@@ -858,11 +864,8 @@ def _kernel_free_stream(th_ref, g_logf, g_a, g_p, g_r, g_w,
         tot = jnp.float32(0.0)
         for ro in range(0, _SLAB_ROWS, _CHUNK_ROWS):
             rn = min(_CHUNK_ROWS, _SLAB_ROWS - ro)
-            x = ac * (s_logf[ro:ro + rn, :] - lf50)
-            u = jax.lax.rsqrt(1.0 + x * x)
-            lfc = jnp.log(jnp.maximum(0.5 + 0.5 * x * u, 1e-30))
-            if fcmin:
-                lfc = lfc / (1.0 - jnp.exp(-(s_r[ro:ro + rn, :] * t2)))
+            lfc = _ln_fc(s_logf[ro:ro + rn, :], s_r[ro:ro + rn, :],
+                         ac, lf50, t2, fcmin)
             contrib = (c_s + aA * (s_a[ro:ro + rn, :] - lA)
                        - s_p[ro:ro + rn, :] * t1
                        + s_lnom0[ro:ro + rn, :] + lfc)
@@ -1108,21 +1111,16 @@ def _make_stream_lnlike(ctx: LFContext, layout, interpret, blk):
     g_arrays = (data.g_logf, data.g_a, data.g_p, data.g_r, data.g_w)
     s_arrays = (data.s_logf, data.s_a, data.s_p, data.s_r,
                 data.s_lnom0, data.s_mask)
-    b = BLK_W if blk is None else int(blk)
-
     def batched(thetas):
         wk_in = thetas.shape[0]
-        wk = _round_up(wk_in, b)
-        if wk != wk_in:
-            thetas = jnp.concatenate(
-                [thetas, jnp.broadcast_to(thetas[:1],
-                                          (wk - wk_in,) + thetas.shape[1:])])
+        b = _choose_blk(wk_in, blk, flat=False)
+        thetas = _pad_walkers(thetas, b)
         feats = _features_free(thetas, layout, data.lref,
                                fcmin).astype(jnp.float32)
         nfeat = feats.shape[1]
         out = pl.pallas_call(
             kern,
-            grid=(wk // b, n_slabs),
+            grid=(thetas.shape[0] // b, n_slabs),
             in_specs=[pl.BlockSpec((b, nfeat), lambda i, j: (i, 0),
                                    memory_space=pltpu.SMEM)]
             + [pl.BlockSpec(a.shape, lambda i, j: (0, 0),
@@ -1131,7 +1129,8 @@ def _make_stream_lnlike(ctx: LFContext, layout, interpret, blk):
                             memory_space=pltpu.VMEM) for a in s_arrays],
             out_specs=pl.BlockSpec((b, 1), lambda i, j: (i, 0),
                                    memory_space=pltpu.SMEM),
-            out_shape=jax.ShapeDtypeStruct((wk, 1), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((thetas.shape[0], 1),
+                                           jnp.float32),
             interpret=interpret,
         )(feats, *g_arrays, *s_arrays)
         return out[:wk_in, 0]
@@ -1198,11 +1197,7 @@ def make_pallas_lnlike(ctx: LFContext, layout, interpret: bool = False,
     def batched(thetas):
         wk_in = thetas.shape[0]
         b = _choose_blk(wk_in, blk, flat, max_chunk)
-        wk = _round_up(wk_in, b)
-        if wk != wk_in:
-            thetas = jnp.concatenate(
-                [thetas, jnp.broadcast_to(thetas[:1],
-                                          (wk - wk_in,) + thetas.shape[1:])])
+        thetas = _pad_walkers(thetas, b)
         feats = feats_fn(thetas).astype(jnp.float32)
         out = _call_kernel(kern, feats, arrays, interpret, flat, blk=b)
         return out[:wk_in, 0]
@@ -1247,11 +1242,7 @@ def make_pallas_lnlike_z(ctx: LFContext, layout, interpret: bool = False,
     def batched(thetas):
         wk_in = thetas.shape[0]
         b = _choose_blk(wk_in, blk, flat, max_chunk)
-        wk = _round_up(wk_in, b)
-        if wk != wk_in:
-            thetas = jnp.concatenate(
-                [thetas, jnp.broadcast_to(thetas[:1],
-                                          (wk - wk_in,) + thetas.shape[1:])])
+        thetas = _pad_walkers(thetas, b)
         feats = _features_z(thetas, layout).astype(jnp.float32)
         out = _call_kernel(kern, feats, arrays, interpret, flat, blk=b)
         return out[:wk_in, 0]
@@ -1343,12 +1334,7 @@ def make_pallas_lnprob_h(ctx: LFContext, layout, interpret: bool = False,
         thetas = thetas.astype(jnp.float32)
         wk_in = thetas.shape[0]
         b = _choose_blk(wk_in, blk, flat, max_chunk)
-        wk = _round_up(wk_in, b)
-        padded = thetas
-        if wk != wk_in:
-            padded = jnp.concatenate(
-                [thetas, jnp.broadcast_to(thetas[:1],
-                                          (wk - wk_in,) + thetas.shape[1:])])
+        padded = _pad_walkers(thetas, b)
         feats = _features_hier(padded, ctx, layout,
                                data.lref).astype(jnp.float32)
         lnl = _call_kernel(kern, feats, arrays, interpret, flat,
