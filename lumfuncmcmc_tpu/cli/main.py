@@ -133,22 +133,19 @@ def _pivot_z(cfg: LFConfig, filename) -> LFConfig:
 
 
 def _align_fields(cfg, field_names):
-    """Truncate the per-field config arrays to the catalog's field count.
+    """Align the per-field config arrays to the catalog's fields.
 
-    With fewer unique fields in the data than configured Flim/Omega_0
+    By-name matching against cfg.survey_fields when the names are known,
+    else positional truncation (see ``io.align_field_params``). With
+    fewer unique fields in the data than configured Flim/Omega_0
     entries, the extra entries would enter the Poisson integral as
-    surveyed-but-empty fields and bias phistar low (the reference crashes
-    in this situation, run_lumfuncmcmc.py:174/defineFlimOmArr). Keeping a
-    genuinely surveyed zero-detection field is a library-level choice —
-    pass the full arrays to build_context directly for that.
+    surveyed-but-empty fields and bias phistar low (the reference
+    crashes in this situation, run_lumfuncmcmc.py:174/defineFlimOmArr).
+    Keeping a genuinely surveyed zero-detection field is a library-level
+    choice — pass the full arrays to build_context directly for that.
     """
-    nf = len(field_names)
-    if nf < len(cfg.Flim):
-        print(f"Catalog has {nf} fields; using the first {nf} of "
-              f"{len(cfg.Flim)} configured Flim/Omega_0 entries")
-        cfg = cfg.replace(Flim=tuple(cfg.Flim[:nf]),
-                          Omega_0=tuple(cfg.Omega_0[:nf]))
-    return cfg
+    from lumfuncmcmc_tpu.utils.io import align_field_params
+    return align_field_params(cfg, field_names)
 
 
 def _load_inputs(args, cfg):
@@ -594,6 +591,14 @@ def cmd_vmax(args):
                 cfg.nbins)
         lavg, lfbin, var = map(np.asarray, (lavg, lfbin, var))
         if getattr(args, "correct_low", False):
+            if linear:
+                # mult_factor works in log10-luminosity space (as the
+                # reference applies it, getBootErrLog only); against
+                # linear edges it would silently return factor 1
+                raise SystemExit(
+                    "--correct-low is a log-binning feature (the "
+                    "reference applies it in getBootErrLog only) — "
+                    "drop --linear")
             from lumfuncmcmc_tpu.models.veff import (
                 apply_partial_bin_correction)
             lfbin, var = apply_partial_bin_correction(

@@ -47,6 +47,15 @@ class LFConfig:
 
     # --- completeness curve (configLF.py:6-13) ---
     Flim: tuple = _DEFAULT_FLIM            # per-field F50, 1e-17 cgs
+    survey_fields: tuple = ("AEGIS", "COSMOS", "GOODSN", "GOODSS",
+                            "UDS")         # field names aligned with
+                                           #   Flim/Omega_0 entries (the
+                                           #   reference's 5 grism
+                                           #   fields, lumfuncmcmc.py:91)
+                                           #   — lets catalogs with a
+                                           #   SUBSET of fields match by
+                                           #   NAME instead of silently
+                                           #   taking the wrong limits
     Flim_lims: tuple = (1.0, 6.0)
     alpha: float = 4.56                    # Fleming slope
     alpha_lims: tuple = (1.0, 7.0)

@@ -323,6 +323,16 @@ def build_context(cfg: LFConfig,
     om_src = (omega0_src / SQARCSEC_PER_SR
               * fleming_from_logf_np(logf_src, logF50_src, alpha_c,
                                      cfg.fcmin))
+    if not np.all(om_src > 0.0):
+        # a source >~2.5 dex below its field's F50 underflows the
+        # Fleming curve to exactly 0, which would bake ln(0) = -inf
+        # into every likelihood evaluation (reachable with -mcf 0,
+        # where no completeness cut is applied at read time)
+        bad = int(np.sum(om_src <= 0.0))
+        raise ValueError(
+            f"{bad} source(s) have zero completeness at their flux "
+            "(far below the field's F50) — every lnlike would be -inf. "
+            "Raise min_comp_frac or remove the sources.")
     ln_om_src = np.log(om_src)
 
     lref = float(lum.max())

@@ -133,26 +133,47 @@ def fit_schechter(Lavg, lfbinorig, var, name="OIII", alpha_value=None,
     x0 = np.array([p0[nm] / scale[nm] for nm in free_names])
     lo = np.array([bounds[nm][0] / scale[nm] for nm in free_names])
     hi = np.array([bounds[nm][1] / scale[nm] for nm in free_names])
-    sc = jnp.asarray([scale[nm] for nm in free_names])
-
-    Lj, yj, wj = jnp.asarray(Lavg), jnp.asarray(y), jnp.asarray(w)
+    # constants stay HOST numpy: a remote-TPU-resident closure constant
+    # makes the first CPU-pinned compile fetch it through the tunnel,
+    # which measured ~200 s on the axon backend (a numpy constant
+    # embeds for free)
+    sc = np.asarray([scale[nm] for nm in free_names])
+    Lj, yj, wj = (np.asarray(Lavg), np.asarray(y), np.asarray(w))
 
     def residual(x):
         p = dict(p0)
         for i, nm in enumerate(free_names):
-            p[nm] = x[i] * sc[i]
-        return wj * (_model_eval_params(p, Lj, log, integ) - yj)
+            p[nm] = x[i] * float(sc[i])
+        return wj * (_model_eval_params(p, jnp.asarray(Lj), log, integ)
+                     - yj)
 
-    res_jit = jax.jit(residual)
-    jac_jit = jax.jit(jax.jacfwd(residual))
+    # the LM iteration is a HOST loop over a ~50-point problem: pin its
+    # jitted residual/Jacobian to the CPU backend — on a remote TPU
+    # the per-iteration device calls and tiny-program compiles
+    # otherwise turn a sub-second fit into minutes
+    try:
+        _cpu = jax.local_devices(backend="cpu")[0]
+        _dev_ctx = lambda: jax.default_device(_cpu)
+    except RuntimeError:
+        import contextlib
+        _dev_ctx = contextlib.nullcontext
+
+    def _on_cpu(fn):
+        def wrapped(x):
+            with _dev_ctx():
+                return fn(jnp.asarray(x))
+        return wrapped
+
+    res_jit = _on_cpu(jax.jit(residual))
+    jac_jit = _on_cpu(jax.jit(jax.jacfwd(residual)))
 
     x = x0.copy()
     lam = 1e-3
-    cost = float(np.sum(np.asarray(res_jit(jnp.asarray(x))) ** 2))
+    cost = float(np.sum(np.asarray(res_jit(x)) ** 2))
     converged = False
     for _ in range(max_iter):
-        r = np.asarray(res_jit(jnp.asarray(x)), dtype=np.float64)
-        J = np.asarray(jac_jit(jnp.asarray(x)), dtype=np.float64)
+        r = np.asarray(res_jit(x), dtype=np.float64)
+        J = np.asarray(jac_jit(x), dtype=np.float64)
         JtJ = J.T @ J
         g = J.T @ r
         try:
@@ -162,8 +183,7 @@ def fit_schechter(Lavg, lfbinorig, var, name="OIII", alpha_value=None,
             lam *= 10.0
             continue
         x_new = np.clip(x + step, lo, hi)
-        cost_new = float(np.sum(np.asarray(
-            res_jit(jnp.asarray(x_new))) ** 2))
+        cost_new = float(np.sum(np.asarray(res_jit(x_new)) ** 2))
         if cost_new < cost:
             rel = (cost - cost_new) / max(cost, 1e-300)
             x, cost = x_new, cost_new
@@ -179,7 +199,7 @@ def fit_schechter(Lavg, lfbinorig, var, name="OIII", alpha_value=None,
                 break
 
     # covariance from the Gauss-Newton approximation at the optimum
-    J = np.asarray(jac_jit(jnp.asarray(x)), dtype=np.float64)
+    J = np.asarray(jac_jit(x), dtype=np.float64)
     dof = max(len(y) - len(free_names), 1)
     redchi = cost / dof
     try:

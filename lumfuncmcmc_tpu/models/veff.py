@@ -34,7 +34,7 @@ import numpy as np
 from lumfuncmcmc_tpu.cosmology import CosmoTable, SQARCSEC_PER_SR
 from lumfuncmcmc_tpu.ops.completeness import fleming_from_logf
 from lumfuncmcmc_tpu.ops.omega import LOG10_4PI as _LOG10_4PI
-from lumfuncmcmc_tpu.ops.quadrature import gl_nodes_unit
+from lumfuncmcmc_tpu.ops.quadrature import integrate_gl_unit
 
 
 
@@ -81,6 +81,10 @@ def binned_lf_bootstrap(key, lum, phi, edges, nboot: int, nbins: int,
     segment-sums — O(N) working set, so the 1e6-source mega-catalog fits
     (a gathered one-hot formulation would need nboot*N*nbins elements).
     """
+    if nbins < 2:
+        # lavg[1] - lavg[0] would clamp to 0 under jit's out-of-bounds
+        # gather semantics and silently divide by zero
+        raise ValueError("binned_lf_bootstrap needs nbins >= 2")
     n = lum.shape[0]
     lavg = 0.5 * (edges[:-1] + edges[1:])
     dl = lavg[1] - lavg[0]
@@ -148,13 +152,11 @@ def mult_factor(lum0, lum1, logfmin, zmin, zmax, cosmo: CosmoTable,
     """Partial-bin completeness correction (``get_mult_factor``,
     ``VmaxLumFunc.py:755-777``): ratio of the full (z x L) bin rectangle
     to the part above the minimum-luminosity curve Lmin(z)."""
-    u, w = gl_nodes_unit(n_nodes)
-    zq = zmin + jnp.asarray(u, lum0.dtype if hasattr(lum0, "dtype")
-                            else None) * (zmax - zmin)
-    lmin_z = logfmin + _LOG10_4PI + 2.0 * cosmo.log10_dl_cm_at(zq)
-    integrand = jnp.clip(lum1 - lmin_z, 0.0, lum1 - lum0)
-    denom = jnp.sum(integrand * jnp.asarray(w, integrand.dtype)) \
-        * (zmax - zmin)
+    def covered_width(zq):
+        lmin_z = logfmin + _LOG10_4PI + 2.0 * cosmo.log10_dl_cm_at(zq)
+        return jnp.clip(lum1 - lmin_z, 0.0, lum1 - lum0)
+
+    denom = integrate_gl_unit(covered_width, n_nodes, zmin, zmax)
     full = (zmax - zmin) * (lum1 - lum0)
     lmin_at_zmin = logfmin + _LOG10_4PI + 2.0 * cosmo.log10_dl_cm_at(zmin)
     lmin_at_zmax = logfmin + _LOG10_4PI + 2.0 * cosmo.log10_dl_cm_at(zmax)

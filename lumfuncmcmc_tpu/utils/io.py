@@ -145,6 +145,41 @@ def read_fixed_width_two_line(path: str) -> dict:
     return read_ascii_table(path)
 
 
+def align_field_params(cfg: LFConfig, field_names):
+    """Align the per-field ``Flim``/``Omega_0`` config entries with the
+    catalog's (sorted-unique) field names.
+
+    Matching is BY NAME against ``cfg.survey_fields`` whenever every
+    catalog field is known there: the reference pairs positionally
+    (``run_lumfuncmcmc.py:174`` + ``defineFlimOmArr``), which silently
+    mismatches subsets — a COSMOS+UDS catalog would be cut at AEGIS's
+    and COSMOS's flux limits. Unknown field names fall back to the
+    positional truncation (with a printed notice when entries are
+    dropped, matching the previous behavior).
+    """
+    names = [str(n) for n in field_names]
+    known = [str(n) for n in (cfg.survey_fields or ())]
+    if known and all(n in known for n in names) and (
+            len(cfg.Flim) == len(known) == len(cfg.Omega_0)):
+        ix = [known.index(n) for n in names]
+        if ix != list(range(len(cfg.Flim))):
+            print(f"Matched {len(names)} catalog fields to configured "
+                  f"Flim/Omega_0 entries by name: "
+                  + ", ".join(f"{n}={cfg.Flim[i]}"
+                              for n, i in zip(names, ix)))
+        return cfg.replace(Flim=tuple(cfg.Flim[i] for i in ix),
+                           Omega_0=tuple(cfg.Omega_0[i] for i in ix),
+                           survey_fields=tuple(names))
+    if len(names) < len(cfg.Flim):
+        print(f"Catalog has {len(names)} fields not matching "
+              f"cfg.survey_fields; using the first {len(names)} of "
+              f"{len(cfg.Flim)} configured Flim/Omega_0 entries")
+        return cfg.replace(Flim=tuple(cfg.Flim[:len(names)]),
+                           Omega_0=tuple(cfg.Omega_0[:len(names)]),
+                           survey_fields=tuple(names))
+    return cfg.replace(survey_fields=tuple(names))
+
+
 def read_catalog(filename: str, cfg: LFConfig, dust_fn: Optional[str] = None):
     """Read a multi-field catalog and apply per-field completeness cuts.
 
@@ -166,6 +201,7 @@ def read_catalog(filename: str, cfg: LFConfig, dust_fn: Optional[str] = None):
             f"{len(cfg.Flim)} Flim / {len(cfg.Omega_0)} Omega_0 entries "
             "— supply one Flim/Omega_0 per field")
 
+    cfg = align_field_params(cfg, field_names)
     if abs(cfg.min_comp_frac) < 1.0e-6:
         roots = np.zeros(nf)  # no cut
     else:
@@ -179,7 +215,7 @@ def read_catalog(filename: str, cfg: LFConfig, dust_fn: Optional[str] = None):
     flux_col, lum_col = f"{line}_flux", f"{line}_lum"
     out = {"field_names": field_names}
 
-    def per_field_select(valcol, cond_fn):
+    def per_field_select(cond_fn):
         sel_z, sel_fid, sel_idx = [], [], []
         for i, fd in enumerate(field_names):
             cond = (fields == fd) & cond_fn(i)
@@ -191,15 +227,14 @@ def read_catalog(filename: str, cfg: LFConfig, dust_fn: Optional[str] = None):
 
     if flux_col in tab:
         fluxfull = tab[flux_col]
-        z, fid, idx = per_field_select(
-            fluxfull, lambda i: fluxfull > roots[i])
+        z, fid, idx = per_field_select(lambda i: fluxfull > roots[i])
         flux_e = (tab[f"{flux_col}_e"][idx]
                   if f"{flux_col}_e" in tab else None)
         out.update(z=z, field_id=fid, flux=fluxfull[idx], flux_e=flux_e,
                    lum=None, lum_e=None)
     elif lum_col in tab:
         lumfull = tab[lum_col]
-        z, fid, idx = per_field_select(lumfull, lambda i: lumfull > 0)
+        z, fid, idx = per_field_select(lambda i: lumfull > 0)
         out.update(z=z, field_id=fid, flux=None, flux_e=None,
                    lum=lumfull[idx],
                    lum_e=tab[f"{lum_col}_e"][idx]
@@ -211,11 +246,21 @@ def read_catalog(filename: str, cfg: LFConfig, dust_fn: Optional[str] = None):
 
     if dust_fn is not None and os.path.exists(dust_fn):
         dust = read_ascii_table(dust_fn)
-        key = np.char.add(dust["Field"].astype(str),
-                          dust["ID"].astype(np.int64).astype(str))
-        ids = tab["ID"].astype(np.int64).astype(str)
-        want = np.char.add(fields, ids)[idx]
+        # "|" separator keeps (Field, ID) keys unambiguous — bare
+        # concatenation would collide ('A', 11) with ('A1', 1)
+        key = [f"{f}|{i}" for f, i in
+               zip(dust["Field"].astype(str),
+                   dust["ID"].astype(np.int64))]
+        ids = tab["ID"].astype(np.int64)
+        want = [f"{f}|{i}" for f, i in zip(fields[idx], ids[idx])]
         lookup = {k: i for i, k in enumerate(key)}
+        missing = [k for k in want if k not in lookup]
+        if missing:
+            raise ValueError(
+                f"{dust_fn}: no dust row for {len(missing)} of the "
+                f"{len(want)} selected sources (e.g. "
+                f"{', '.join(missing[:3])}) — the dust table must "
+                "cover every source that passes the completeness cut")
         over = np.asarray([lookup[k] for k in want], dtype=np.int64)
         coef = 2.07 * (2.66 if line == "Ha" else 3.46)
         out["AHa"] = coef * dust["E(B-V)"][over]

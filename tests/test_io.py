@@ -104,3 +104,48 @@ def test_read_ascii_plain_table(tmp_path):
     t = read_ascii_table(str(p))
     np.testing.assert_allclose(t["a"], [1, 3])
     assert list(t["c"]) == ["x", "y"]
+
+
+def test_field_subset_matches_flim_by_name(tmp_path):
+    """A catalog covering a SUBSET of the known survey fields must get
+    each field's OWN flux limit, not the first entries positionally
+    (COSMOS+UDS previously received AEGIS's and COSMOS's limits)."""
+    from lumfuncmcmc_tpu.utils.io import align_field_params
+    cfg = LFConfig(min_comp_frac=0.5)
+    cfg2 = align_field_params(cfg, ["COSMOS", "UDS"])
+    assert cfg2.Flim == (cfg.Flim[1], cfg.Flim[4])
+    assert cfg2.Omega_0 == (cfg.Omega_0[1], cfg.Omega_0[4])
+    assert cfg2.survey_fields == ("COSMOS", "UDS")
+    # unknown names keep the positional truncation
+    cfg3 = align_field_params(cfg, ["X", "Y", "Z"])
+    assert cfg3.Flim == tuple(cfg.Flim[:3])
+    # and the full known set in catalog (sorted) order is a no-op
+    cfg4 = align_field_params(cfg, sorted(cfg.survey_fields))
+    assert cfg4.Flim == cfg.Flim
+
+
+def test_dust_join_missing_row_raises_clearly(tmp_path):
+    p = str(tmp_path / "cat.dat")
+    fields, ids, z, flux = _write_catalog(p, kind="flux")
+    d = tmp_path / "dust.dat"
+    # dust table missing every row except the first source
+    d.write_text("Field ID E(B-V) E(B-V)err SFR100 SFR100err\n"
+                 f"{fields[0]} {ids[0]} 0.1 0.01 1.0 0.1\n")
+    cfg = LFConfig(min_comp_frac=0.0, Flim=(2.72, 3.61, 2.55))
+    with pytest.raises(ValueError, match="no dust row"):
+        read_catalog(p, cfg, dust_fn=str(d))
+
+
+def test_zero_completeness_source_raises(tmp_path):
+    """A source far below its field's F50 underflows the Fleming curve
+    to exactly 0 — build_context must fail loudly instead of baking
+    ln(0) = -inf into every likelihood (reachable with -mcf 0)."""
+    import jax
+    from lumfuncmcmc_tpu.models.context import build_context
+    cfg = LFConfig(min_comp_frac=0.0, Flim=(2.72,), Omega_0=(1.0e6,),
+                   survey_fields=("A",))
+    z = np.array([1.3, 1.4, 1.5])
+    flux = np.array([5.0, 6.0, 1.0e-3])       # last is ~3.4 dex faint
+    with pytest.raises(ValueError, match="zero completeness"):
+        build_context(cfg, z=z, flux=flux, flux_e=None,
+                      field_id=np.zeros(3, dtype=np.int32))
