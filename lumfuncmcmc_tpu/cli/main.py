@@ -352,9 +352,26 @@ def cmd_fit(args):
 def _write_ppc(model, cfg, args, outdir):
     from lumfuncmcmc_tpu.models.ppc import (
         posterior_predictive_check, plot_ppc)
+    from lumfuncmcmc_tpu.models.context import build_context
     from lumfuncmcmc_tpu.utils.io import (
         artifact_path, write_fixed_width_two_line)
-    ppc = posterior_predictive_check(model.samples, model.ctx,
+    if cfg.exact_bounds:
+        print("WARNING: --ppc evaluates predicted counts on the frozen "
+              "build-time grid; with --exact-bounds the posterior was "
+              "sampled under per-theta integration bounds, so faint-bin "
+              "predictions can be biased where posterior Flim drifts "
+              "from the build-time value")
+    # rate evaluation on a FINER grid than the fit used: whole
+    # quadrature-node weights land in single bins, so coarse grids
+    # (gauss-32 especially) quantize the per-bin rates by up to ~5%
+    # rebuild from the log-luminosities (unit-stable: LFData.flux is
+    # absolute cgs while build_context takes 1e-17 units)
+    d = model.data
+    _, ctx_fine = build_context(
+        cfg.replace(size_ln=max(201, cfg.size_ln or 0),
+                    quadrature="trapz"),
+        z=d.z, lum=d.lum, lum_e=d.lum_e, field_id=d.field_id)
+    ppc = posterior_predictive_check(model.samples, ctx_fine,
                                      model.layout, nbins=cfg.nbins,
                                      seed=cfg.seed)
     write_fixed_width_two_line(

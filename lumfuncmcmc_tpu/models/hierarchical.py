@@ -100,9 +100,10 @@ def _ln_normal(x, mu, sig):
 
 
 def lnprior_h(theta, layout: ThetaLayoutH):
-    lo, hi = layout.bounds_arrays(theta.dtype)
-    ok = jnp.all((theta >= lo) & (theta <= hi))
-    return jnp.where(ok, 0.0, NEG_INF)
+    """Uniform box prior — the same masking rule as the single-epoch
+    model (``likelihood.lnprior`` is layout-duck-typed)."""
+    from lumfuncmcmc_tpu.models.likelihood import lnprior
+    return lnprior(theta, layout)
 
 
 def lnlike_h(theta, ctx: LFContext, layout: ThetaLayoutH):

@@ -76,7 +76,10 @@ def posterior_predictive_check(samples, ctx: LFContext,
     # posterior predictive includes Poisson scatter
     draws = rng.poisson(np.maximum(rates, 0.0))
     lo, med, hi = np.percentile(draws, [16, 50, 84], axis=0)
-    # two-sided predictive p-value per bin (with continuity correction)
+    # two-sided predictive p-value per bin. NOTE: no continuity
+    # correction — both tails include the P(draws == obs) point mass,
+    # so for low-count bins the p-values are conservative (err on the
+    # side of NOT flagging a discrepancy)
     p_hi = (draws >= observed[None, :]).mean(axis=0)
     p_lo = (draws <= observed[None, :]).mean(axis=0)
     pval = np.minimum(1.0, 2.0 * np.minimum(p_hi, p_lo))

@@ -61,7 +61,6 @@ def gelman_rubin(chain):
     x = np.asarray(chain, dtype=np.float64)
     n = x.shape[0] // 2
     halves = np.concatenate([x[:n], x[n:2 * n]], axis=1)  # (n, 2W, D)
-    m = halves.shape[1]
     means = halves.mean(axis=0)                  # (2W, D)
     variances = halves.var(axis=0, ddof=1)       # (2W, D)
     w = variances.mean(axis=0)

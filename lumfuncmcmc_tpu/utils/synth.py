@@ -25,13 +25,20 @@ from lumfuncmcmc_tpu.ops.omega import LOG10_4PI as _LOG10_4PI
 
 def make_catalog(cfg: LFConfig, zmin=1.16, zmax=1.90,
                  n_target=None, seed=0, ngrid=512,
-                 lum_err_dex=0.05):
+                 lum_err_dex=0.0):
     """Draw a catalog; returns dict with z, flux (1e-17 cgs), flux_e,
     field_id, and the true (logL) values.
 
     ``n_target``: approximate total sources wanted; the per-field Poisson
     intensity is rescaled to hit it (amplitude change only — shape of the
     process is untouched). None keeps the physical phi* normalization.
+
+    ``lum_err_dex``: Gaussian measurement scatter applied to the
+    OBSERVED log-luminosities (and hence fluxes); ``true_lum`` keeps
+    the noiseless draws. The default 0 produces exact fluxes — the
+    ``flux_e`` column is then a nominal reported-error column for the
+    delta-method propagation path, like the reference catalogs' error
+    columns, not actual scatter.
     """
     rng = np.random.default_rng(seed)
     nfields = len(cfg.Flim)
@@ -76,8 +83,11 @@ def make_catalog(cfg: LFConfig, zmin=1.16, zmax=1.90,
         z = zc[iz] + rng.uniform(-0.5, 0.5, n) * dz
         out_lum.append(lum)
         out_z.append(z)
+        obs_lum = lum
+        if lum_err_dex:
+            obs_lum = lum + rng.normal(0.0, lum_err_dex, n)
         logdl_src = np.interp(z, zg, logdl_tab)
-        logf = lum - _LOG10_4PI - 2.0 * logdl_src
+        logf = obs_lum - _LOG10_4PI - 2.0 * logdl_src
         out_flux.append(10.0 ** (logf + 17.0))   # 1e-17 cgs units
         out_fid.append(np.full(n, f, dtype=np.int32))
 
