@@ -43,7 +43,10 @@ def init_distributed(coordinator: str, num_processes: int,
         want = f"--xla_force_host_platform_device_count={local_device_count}"
         if "xla_force_host_platform_device_count" not in flags:
             os.environ["XLA_FLAGS"] = (flags + " " + want).strip()
-        elif want not in flags:
+        else:
+            # always regex-replace: a substring test would skip the
+            # update when the wanted count is a string prefix of the
+            # existing one (want "=2" inside existing "=24")
             import re
             os.environ["XLA_FLAGS"] = re.sub(
                 r"--xla_force_host_platform_device_count=\d+", want,

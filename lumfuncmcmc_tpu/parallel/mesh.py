@@ -39,5 +39,11 @@ def make_mesh(n_walkers: int = 0, n_sources: int = 1, devices=None) -> Mesh:
     if use > ndev:
         raise ValueError(f"mesh {n_walkers}x{n_sources} needs {use} devices,"
                          f" have {ndev}")
+    if use < ndev:
+        import warnings
+        warnings.warn(f"mesh {n_walkers}x{n_sources} uses {use} of "
+                      f"{ndev} devices; {ndev - use} sit idle "
+                      "(pick axis sizes whose product divides the "
+                      "device count)", stacklevel=2)
     arr = np.array(devices[:use]).reshape(n_walkers, n_sources)
     return Mesh(arr, (AXIS_WALKERS, AXIS_SOURCES))

@@ -16,4 +16,8 @@ def setup_logging(name: str = "lumfuncmcmc_tpu") -> logging.Logger:
         handler.setLevel(logging.INFO)
         log.setLevel(logging.DEBUG)
         log.addHandler(handler)
+        # the logger carries its own handler: without this, an
+        # embedding app that configures root logging sees every line
+        # twice
+        log.propagate = False
     return log

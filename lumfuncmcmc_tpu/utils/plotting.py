@@ -88,7 +88,8 @@ def corner_plot(samples, labels, bins=30, range_frac=0.95, fig=None):
                 ax.set_ylim(lo[i], hi[i])
             if i == ndim - 1:
                 ax.set_xlabel(labels[j], fontsize=fs)
-                ax.tick_params(labelsize=fs - 4, rotation=45)
+                ax.tick_params(labelsize=fs - 4)
+                ax.tick_params(axis="x", rotation=45)
             else:
                 ax.set_xticklabels([])
             if j == 0 and i != 0:
@@ -131,24 +132,23 @@ def triangle_plot_single(model, outname, lnprobcut=7.5, imgtype="png",
 
     lum = model.lum
     indsort = np.argsort(lum)
+    # canonical median fit: medianLF / median_flim / median_alpha and
+    # the V_eff overlay come from ONE routine so they cannot diverge
+    # (this block previously re-derived them with a different RNG seed)
+    model.set_median_fit(rndsamples=rndsamples, lnprobcut=lnprobcut)
+    med_flim = model.median_flim
+    med_alpha = model.median_alpha
     rng = np.random.default_rng(model.cfg.seed + 3)
     idx = rng.integers(0, nsamples.shape[0], rndsamples)
-    lf, flims, alphas, lstars = [], [], [], []
+    lstars = []
     for th in nsamples[idx, :-1]:
         lstar, phistar, sch_al, logf50, alpha_c = model.layout.unpack(
             jnp.asarray(th))
         mod = np.asarray(true_lum_func(jnp.asarray(lum), sch_al, lstar,
                                        phistar))
-        lf.append(mod)
-        flims.append(np.asarray(10.0 ** (logf50 + 17.0)))
-        alphas.append(float(alpha_c))
         lstars.append(float(lstar))
         ax1.plot(lum[indsort], mod[indsort], color="r", linestyle="solid",
                  alpha=0.1)
-    model.medianLF = np.median(np.asarray(lf), axis=0)
-    med_flim = np.median(np.asarray(flims), axis=0)
-    med_alpha = float(np.median(alphas))
-    model.veff_lf(flim=med_flim, alpha=med_alpha)
     ax1.plot(lum[indsort], model.medianLF[indsort], color="dimgray",
              linestyle="solid")
 
@@ -191,8 +191,7 @@ def triangle_plot_z(model, outname, lnprobcut=7.5, imgtype="png",
     add_lumfunc_axes(ax1)
 
     model.set_median_fit(lnprobcut=lnprobcut, zlen=zlen, Llen=Llen)
-    LL, _ = np.meshgrid(model.Lout, model.zout)
-    _, zzout = np.meshgrid(model.Lout, model.zout)
+    LL, zzout = np.meshgrid(model.Lout, model.zout)
     # reference semantics (lumfuncmcmc_z.py:534): y coordinates are the
     # LF *values* (non-monotonic by construction) colored by redshift —
     # matplotlib warns about the cell-center interpretation; intentional.
@@ -253,7 +252,7 @@ def plot_schechter(Lavg, lfbinorig, var, fit, name, img_dir="ImageFiles",
     ax.minorticks_on()
     sub = "Log" if log else "Lin"
     os.makedirs(os.path.join(img_dir, sub), exist_ok=True)
-    stem = name.split(".")[0]
+    stem = os.path.splitext(name)[0]
     suffix = ("_log" if log else "") + ("_integ" if integ else "")
     fn = os.path.join(img_dir, sub, f"{stem}{suffix}.png")
     fig.savefig(fn, bbox_inches="tight", dpi=300)
@@ -313,7 +312,7 @@ def plot_z_evolution(results, name, img_dir="ImageFiles", log=True,
     ax.minorticks_on()
     sub = "Log" if log else "Lin"
     os.makedirs(os.path.join(img_dir, sub), exist_ok=True)
-    stem = name.split(".")[0]
+    stem = os.path.splitext(name)[0]
     suffix = ("_log" if log else "") + ("_integ" if integ else "")
     fn = os.path.join(img_dir, sub, f"{stem}_zevol{suffix}.png")
     fig.savefig(fn, bbox_inches="tight", dpi=300)
@@ -327,10 +326,16 @@ def plot_param_space(mcf, al, ls, mcfmc=None, almc=None, lsmc=None,
     """Scatter of (alpha, L*) colored by min completeness fraction
     (``plotParamSpace``, ``VmaxLumFunc.py:691-699``)."""
     fig = plt.figure()
-    sc = plt.scatter(al, ls, c=mcf, s=12, cmap="viridis")
+    # one shared normalization: independent autoscaling would map the
+    # same completeness fraction to different colors in the two sets
+    allc = (np.concatenate([np.asarray(mcf), np.asarray(mcfmc)])
+            if mcfmc is not None else np.asarray(mcf))
+    vmin, vmax = float(np.min(allc)), float(np.max(allc))
+    sc = plt.scatter(al, ls, c=mcf, s=12, cmap="viridis",
+                     vmin=vmin, vmax=vmax)
     if almc is not None:
         sc = plt.scatter(almc, lsmc, c=mcfmc, s=40, marker="*",
-                         cmap="viridis")
+                         cmap="viridis", vmin=vmin, vmax=vmax)
     plt.xlabel(r"%s $\alpha$" % lp)
     plt.ylabel(r"%s $\mathcal{L}_*$" % lp)
     plt.colorbar(sc, label="Min Completeness Fraction")
