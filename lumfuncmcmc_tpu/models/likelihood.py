@@ -224,19 +224,48 @@ def lnlike_exact_bounds_parts(theta, ctx: LFContext, layout: ThetaLayout,
     # would break under source sharding, where each shard sees a slice)
     zmin = ctx.z_lo
     zmax = ctx.z_hi
-    znodes = zmin + u * (zmax - zmin)                       # (S,)
-    wz = w * (zmax - zmin)
-    log_dl = ctx.cosmo.log10_dl_cm_at(znodes)               # (S,)
-    dvdz = ctx.cosmo.differential_comoving_volume(znodes)
 
     if min_comp_frac > 0.001:
         # theta-exact completeness roots per field (in-jit bisection)
         roots = fleming_root_logf(logf50, alpha_c, min_comp_frac,
                                   layout.fcmin, iters=50)   # (F,)
-        minlum = jnp.maximum(roots[:, None] + _LOG10_4PI
-                             + 2.0 * log_dl[None, :], lum_floor)
-    else:
-        minlum = jnp.full((layout.nfields, n_nodes), lum_floor, dt)
+        # minlum(z) = max(root-implied bound, lum_floor) has a
+        # derivative kink where the two branches cross; an un-split
+        # Gauss-Legendre z panel loses spectral convergence there (the
+        # same load-bearing split the frozen-grid gauss mode applies,
+        # here per theta AND per field since the roots move). The kink
+        # redshift follows from inverting the monotone dL table:
+        zstar = jnp.clip(ctx.cosmo.z_at_log10_dl_cm(
+            0.5 * (lum_floor - roots - _LOG10_4PI)), zmin, zmax)  # (F,)
+        z_lo = jnp.stack([jnp.full_like(zstar, zmin), zstar])  # (2, F)
+        z_hi = jnp.stack([zstar, jnp.full_like(zstar, zmax)])
+        zspan = z_hi - z_lo
+        znodes = z_lo[:, :, None] + u[None, None, :] * zspan[:, :, None]
+        wz = w[None, None, :] * zspan[:, :, None]           # (2, F, S)
+        log_dl = ctx.cosmo.log10_dl_cm_at(znodes)
+        dvdz = ctx.cosmo.differential_comoving_volume(znodes)
+        minlum = jnp.maximum(roots[None, :, None] + _LOG10_4PI
+                             + 2.0 * log_dl, lum_floor)     # (2, F, S)
+        span = lh - minlum
+        logL = (minlum[:, :, None, :]
+                + u[None, None, :, None] * span[:, :, None, :])
+        wl = w[None, None, :, None] * span[:, :, None, :]   # (2,F,S,S)
+        logf = logL - _LOG10_4PI - 2.0 * log_dl[:, :, None, :]
+        om = omega_from_logf(logf, ctx.omega0_f[None, :, None, None],
+                             logf50[None, :, None, None], alpha_c,
+                             layout.fcmin)
+        lnphi = log_true_lum_func(logL, sch_al, lstar, phistar)
+        fullint = jnp.sum(jnp.exp(lnphi) * om * wl
+                          * (wz * dvdz)[:, :, None, :])
+        return lnpart, fullint
+
+    # no completeness cut: the bound is the constant lum_floor — smooth,
+    # one z panel suffices
+    znodes = zmin + u * (zmax - zmin)                       # (S,)
+    wz = w * (zmax - zmin)
+    log_dl = ctx.cosmo.log10_dl_cm_at(znodes)               # (S,)
+    dvdz = ctx.cosmo.differential_comoving_volume(znodes)
+    minlum = jnp.full((layout.nfields, n_nodes), lum_floor, dt)
     span = lh - minlum
     logL = minlum[:, None, :] + u[None, :, None] * span[:, None, :]
     wl = w[None, :, None] * span[:, None, :]                # (F, S, S)

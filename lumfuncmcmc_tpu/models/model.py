@@ -46,9 +46,19 @@ def select_samples(samples: np.ndarray, lnprobcut: float = 7.5,
     of the maximum, doubling the cut until at least a quarter survive —
     the pattern repeated five times in the reference
     (``lumfuncmcmc.py:548-556,620-628,655-661``)."""
+    lnp = samples[:, -1]
+    if len(samples) < 4:
+        # len//4 == 0 would skip the loop and return an empty array
+        return samples[:, :-1] if drop_lnp else samples
+    if not np.any(np.isfinite(lnp)):
+        # all -inf/NaN: the > cut is all-False at every doubling and
+        # the loop would never terminate
+        raise ValueError(
+            "select_samples: no sample has a finite lnprob — the "
+            "chain never found a finite-posterior region")
     nsamples = np.empty((0, samples.shape[1]))
     while len(nsamples) < len(samples) // 4:
-        sel = samples[:, -1] > (np.max(samples[:, -1]) - lnprobcut)
+        sel = lnp > (np.nanmax(lnp) - lnprobcut)
         nsamples = samples[sel]
         lnprobcut *= 2.0
     return nsamples[:, :-1] if drop_lnp else nsamples
@@ -90,11 +100,9 @@ class _BaseModel:
         raise NotImplementedError
 
     def _initial_positions(self, key):
-        """Default: uniform draws inside the prior box."""
-        lo, hi = self.layout.bounds_arrays()
-        u = jax.random.uniform(key, (self.cfg.nwalkers, self.layout.ndim),
-                               dtype=lo.dtype)
-        return u * (hi - lo) + lo
+        """Default: uniform draws inside the prior box (shared
+        ``sample_init``; layouts are duck-typed)."""
+        return sample_init(key, self.layout, self.cfg.nwalkers)
 
     # --- shared API -----------------------------------------------------
     @property
@@ -119,6 +127,9 @@ class _BaseModel:
                     "L1": cfg.Lstar, "L2": cfg.Lstar, "L3": cfg.Lstar,
                     "phi1": cfg.phistar, "phi2": cfg.phistar,
                     "phi3": cfg.phistar,
+                    # natural z-evolution parameterization
+                    "Lmid": cfg.Lstar, "Lslope": 0.0, "Lcurv": 0.0,
+                    "pmid": cfg.phistar, "pslope": 0.0, "pcurv": 0.0,
                     # hierarchical hyperparameters
                     "mu_L": cfg.Lstar, "sig_L": 0.3,
                     "mu_p": cfg.phistar, "sig_p": 0.5}
@@ -156,7 +167,7 @@ class _BaseModel:
                 return False
             if (cfg.fix_comp and self.model_kind == "single"
                     and cfg.nwalkers >= 512):
-                ncells = int(np.prod(np.asarray(self.ctx.logL_grid).shape))
+                ncells = int(np.prod(self.ctx.logL_grid.shape))
                 if ncells * 3 * 4 * 8 < 11 * 2**20:  # flat-layout grids
                     return False
             return True
@@ -254,6 +265,10 @@ class _BaseModel:
                 "nsteps=%d is not a multiple of thin=%d; running %d steps"
                 % (cfg.nsteps, thin, nsteps_exec))
         acc_steps = nsteps_exec  # steps the acceptance counter covers
+        if checkpoint_path and not checkpoint_path.endswith(".npz"):
+            # np.savez appends .npz to bare paths; the resume check
+            # would then miss the file and silently restart from 0
+            checkpoint_path += ".npz"
         if every and 0 < every < nsteps_exec:
             if every % thin:
                 every = max(thin, every - (every % thin))
@@ -266,6 +281,20 @@ class _BaseModel:
             if resume and checkpoint_path and \
                     os.path.exists(checkpoint_path):
                 ck = np.load(checkpoint_path)
+                if "fingerprint" in ck:
+                    # nsteps is deliberately NOT fingerprinted:
+                    # extending a finished run is safe (the key-stream
+                    # replay depends only on these four)
+                    want = np.asarray([cfg.nwalkers, thin, every,
+                                       cfg.seed])
+                    if not np.array_equal(ck["fingerprint"], want):
+                        raise ValueError(
+                            "checkpoint config mismatch: saved "
+                            f"(nwalkers, thin, every, seed) = "
+                            f"{tuple(ck['fingerprint'])}, current = "
+                            f"{tuple(want)} — resuming with changed "
+                            "settings would corrupt the chain and the "
+                            "RNG replay")
                 done = ck["chain"].shape[0] * thin  # rows are thinned
                 chains = [ck["chain"]]
                 lnps_parts = [ck["lnprobability"]]
@@ -296,7 +325,9 @@ class _BaseModel:
                     np.savez(checkpoint_path,
                              chain=np.concatenate(chains),
                              lnprobability=np.concatenate(lnps_parts),
-                             acc=np.asarray(acc))
+                             acc=np.asarray(acc),
+                             fingerprint=np.asarray(
+                                 [cfg.nwalkers, thin, every, cfg.seed]))
             chain = np.concatenate(chains)
             lnps = np.concatenate(lnps_parts)
         else:

@@ -34,9 +34,12 @@ def expdecay(x, tau):
 
 def _log10_inverse_fleming_ratio(alpha, fcmin):
     """log10(f_tau / F50) where the unmodified curve equals fcmin
-    (closed form of ``VmaxLumFunc.py:143-167``)."""
-    a = (2.0 * fcmin - 1.0) ** 2
-    return -jnp.sqrt(jnp.abs(a / (1.0 - a)) / alpha**2)
+    (closed form of ``VmaxLumFunc.py:143-167``). The crossing sits on
+    the faint side of F50 for fcmin < 0.5 and the bright side for
+    fcmin > 0.5 — the sign follows (2 fcmin - 1)."""
+    s = 2.0 * fcmin - 1.0
+    a = s * s
+    return jnp.sign(s) * jnp.sqrt(jnp.abs(a / (1.0 - a)) / alpha**2)
 
 
 def inverse_fleming(f50, alpha, fcmin=0.1):
@@ -95,8 +98,10 @@ def fleming_from_logf_np(logf, logF50, alpha, fcmin=0.1):
     fc = 0.5 * (1.0 + x / np.sqrt(1.0 + x * x))
     if not fcmin:
         return fc
-    a = (2.0 * fcmin - 1.0) ** 2
-    log_ftau = logF50 - np.sqrt(abs(a / (1.0 - a)) / alpha**2)
+    s = 2.0 * fcmin - 1.0
+    a = s * s
+    log_ftau = logF50 + np.sign(s) * np.sqrt(abs(a / (1.0 - a))
+                                             / alpha**2)
     ratio = np.minimum((logf - log_ftau) * np.log(10.0), 40.0)
     fc_decay = 1.0 - np.exp(-np.exp(ratio))
     with np.errstate(divide="ignore"):

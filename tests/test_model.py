@@ -186,3 +186,16 @@ def test_thinned_fit(small_inputs):
     m.fit_model()
     assert m.chain.shape[0] == 20  # 100 steps / thin 5
     assert np.all(np.isfinite(m.samples[:, -1]))
+
+
+def test_get_params_natural_z_parameterization(small_inputs):
+    """get_params must cover the natural (value/slope/curvature)
+    z-evolution names (previously KeyError: 'Lmid')."""
+    from lumfuncmcmc_tpu.models.model import LumFuncModelZ
+    cfg, cat = small_inputs
+    m = LumFuncModelZ(cfg.replace(z_param="natural", fix_comp=True),
+                      z=cat["z"], flux=cat["flux"], flux_e=cat["flux_e"],
+                      field_id=cat["field_id"])
+    vals = m.get_params()
+    assert len(vals) == m.layout.ndim
+    assert np.all(np.isfinite(vals))

@@ -132,3 +132,20 @@ def test_min_flux_p_curve_matches_reference():
         got = min_flux_p_curve(mcf, flim, alpha)
         np.testing.assert_allclose(got, ref, rtol=1e-8)
     assert min_flux_p_curve(0.0, 3e-17, -3.5) == 0.0
+
+
+def test_inverse_fleming_sign_both_sides():
+    """The fc = fcmin crossing sits on the faint side of F50 for
+    fcmin < 0.5 and the BRIGHT side for fcmin > 0.5 (previously the
+    sign was forced negative)."""
+    import numpy as np
+    from lumfuncmcmc_tpu.ops.completeness import (
+        _log10_inverse_fleming_ratio)
+    alpha = 3.5
+    for fcmin in (0.1, 0.35, 0.65, 0.9):
+        r = float(_log10_inverse_fleming_ratio(alpha, fcmin))
+        assert np.sign(r) == np.sign(2 * fcmin - 1)
+        # the unmodified curve at the crossing equals fcmin
+        x = alpha * r
+        fc = 0.5 * (1.0 + x / np.sqrt(1.0 + x * x))
+        np.testing.assert_allclose(fc, fcmin, rtol=1e-12)
