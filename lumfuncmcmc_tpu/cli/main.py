@@ -33,7 +33,7 @@ from lumfuncmcmc_tpu.utils.logging import setup_logging
 def _add_common_flags(p):
     p.add_argument("-f", "--filename", type=str, default=None,
                    help="File to be read for galaxy data")
-    p.add_argument("-o", "--output_filename", type=str, default="test.dat",
+    p.add_argument("-o", "--output_filename", type=str, default=None,
                    help="Output filename for given run")
     p.add_argument("-nw", "--nwalkers", type=int, default=None)
     p.add_argument("-ns", "--nsteps", type=int, default=None)
@@ -41,7 +41,7 @@ def _add_common_flags(p):
     p.add_argument("-nboot", "--nboot", type=int, default=None)
     p.add_argument("-mcf", "--min_comp_frac", type=float, default=None)
     p.add_argument("-al", "--alpha", type=float, default=None)
-    p.add_argument("-fl", "--Flim", type=float, nargs="*", default=None)
+    p.add_argument("-fl", "--Flim", type=float, nargs="+", default=None)
     p.add_argument("-sa", "--sch_al", type=float, default=None)
     p.add_argument("-fsa", "--fix_sch_al", action="store_true",
                    default=None)
@@ -123,7 +123,8 @@ def _build_cfg(args) -> LFConfig:
 
 def _pivot_z(cfg: LFConfig, filename) -> LFConfig:
     """Pivot-redshift special cases (``run_lumfuncmcmc_z.py:123-128``)."""
-    if filename == "OIIIGautamWillNoAGN.dat":
+    base = os.path.basename(filename) if filename else ""
+    if base == "OIIIGautamWillNoAGN.dat":
         z = (1.20, 1.76, 2.32)
     else:
         z = (1.20, 1.53, 1.86)
@@ -309,6 +310,7 @@ def _resume_if_done(model, cfg, args, outdir):
 
 
 def cmd_fit(args):
+    args.output_filename = args.output_filename or "test.dat"
     from lumfuncmcmc_tpu.models.model import LumFuncModel
     cfg = _build_cfg(args)
     _apply_precision(cfg)
@@ -388,6 +390,10 @@ def _write_ppc(model, cfg, args, outdir):
 
 
 def cmd_fitz(args):
+    args.output_filename = args.output_filename or "test.dat"
+    if getattr(args, "ppc", False):
+        print("WARNING: --ppc is only implemented for the single-epoch "
+              "fit; ignored here")
     from lumfuncmcmc_tpu.models.model import LumFuncModelZ
     cfg = _pivot_z(_build_cfg(args), args.filename)
     _apply_precision(cfg)
@@ -417,6 +423,10 @@ def cmd_fitz(args):
 
 
 def cmd_fith(args):
+    args.output_filename = args.output_filename or "test.dat"
+    if getattr(args, "ppc", False):
+        print("WARNING: --ppc is only implemented for the single-epoch "
+              "fit; ignored here")
     """Hierarchical multi-field joint fit (new capability)."""
     from lumfuncmcmc_tpu.models.model import LumFuncModelH
     cfg = _build_cfg(args)
@@ -570,6 +580,17 @@ def cmd_vmax(args):
         root = 0.0  # reference get_min_flux: mcf ~ 0 means no cut
     keep = flux > root
     flux, z = flux[keep], z[keep]
+    if getattr(args, "ppc", False):
+        print("WARNING: --ppc is only implemented for the single-epoch "
+              "fit; ignored here")
+    if getattr(args, "linear", False):
+        import jax
+        if not jax.config.jax_enable_x64:
+            # the linear pipeline leaves log10 space (10**lum ~ 1e42,
+            # Lstar bounds up to 1e45) — float32 overflows to inf
+            jax.config.update("jax_enable_x64", True)
+            print("Linear binning: enabling float64 (linear "
+                  "luminosities overflow float32)")
     print("About to start Veff process for", cfg.line_name)
     print("Length of arrays:", len(flux), len(z))
 
@@ -585,6 +606,11 @@ def cmd_vmax(args):
         # same root, so the per-bin re-cut is a no-op
         cw = _veff_cut_and_weights(cfg, flux[sel], z[sel], flim, omega0,
                                    cfg.min_comp_frac)
+        if cw is None or len(cw["flux"]) < cfg.nbins + 2:
+            nkeep = 0 if cw is None else len(cw["flux"])
+            print(f"z bin {b}: only {nkeep} sources survive the cut "
+                  f"(need > nbins+1 = {cfg.nbins + 1}); skipped")
+            continue
         fz, zz = cw["flux"], cw["z"]
         zmin, zmax = cw["zmin"], cw["zmax"]
         cosmo, lum, w = cw["cosmo"], cw["lum"], cw["w"]

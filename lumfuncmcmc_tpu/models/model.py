@@ -512,7 +512,7 @@ class _BaseModel:
         self.log.info("Fitting with NUTS (%d chains, %d warmup, %d "
                       "samples)" % (nchains, num_warmup, cfg.nsteps))
         t0 = time.time()
-        samples_y, lnps_y, alphas, eps = run_nuts(
+        samples_y, lnps_y, alphas, eps, div_frac = run_nuts(
             lnp_y, y0, k_run, num_warmup=int(num_warmup),
             num_samples=int(cfg.nsteps))
         jax.block_until_ready(lnps_y)
@@ -524,8 +524,15 @@ class _BaseModel:
         # selection and the fitposterior "Ln Prob" column)
         lnps = np.asarray(jax.vmap(jax.vmap(scalar))(chain_dev))
         self.log.info("Total time taken: %0.2f s; step size %.4g; mean "
-                      "accept-stat %.2f"
-                      % (elapsed, float(eps), float(np.mean(alphas))))
+                      "accept-stat %.2f; divergent transitions %.2f%%"
+                      % (elapsed, float(eps), float(np.mean(alphas)),
+                         100.0 * float(div_frac)))
+        if float(div_frac) > 0.01:
+            self.log.warning(
+                "%.1f%% of NUTS transitions diverged — the posterior "
+                "may be biased near high-curvature regions; consider "
+                "more warmup or a smaller target_accept step"
+                % (100.0 * float(div_frac)))
         ess = effective_sample_size(chain)
         rhat = gelman_rubin(chain)
         self.log.info("min ESS: %.0f; max R-hat: %.4f; ESS/sec: %.0f"

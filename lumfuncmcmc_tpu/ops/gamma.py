@@ -18,7 +18,10 @@ from __future__ import annotations
 import jax.numpy as jnp
 from jax.scipy.special import gammaincc, gammaln
 
-_MAX_LIFTS = 8  # supports a > -8; reference priors keep al+1 >= -4
+_MAX_LIFTS = 9  # supports a > -8: shift = ceil(0.5 - a) reaches 9 for
+                # a in (-8, -7.5], so 8 lifts silently stopped one
+                # recurrence short there (reference priors keep
+                # al+1 >= -4, far inside the domain)
 
 
 def upper_gamma(a, x):

@@ -103,7 +103,7 @@ def _subtree_turn(go_right, ck_y, y_n, ck_p, p_n):
 
 def _nuts_step(value_and_grad, max_doublings, eps, key, y0):
     ndim = y0.shape[0]
-    k_mom, k_dir, k_acc = jax.random.split(key, 3)
+    k_mom, k_dir = jax.random.split(key)
     p0 = jax.random.normal(k_mom, (ndim,), dtype=y0.dtype)
     v0, _ = value_and_grad(y0)
     lw0 = v0 - 0.5 * jnp.dot(p0, p0)
@@ -232,7 +232,8 @@ def run_nuts(lnpost_y: Callable, y0, key, num_warmup: int,
 
     ``y0``: (C, D) initial unconstrained positions — C chains vmapped.
     Returns (samples (num_samples, C, D), lnp (num_samples, C),
-    accept_stat (num_samples, C), eps).
+    accept_stat (num_samples, C), eps, div_frac — the fraction of
+    sampling-phase transitions that hit a divergence).
 
     ``adapt_mass``: two-stage warmup — stage A adapts the step size with
     identity mass, a diagonal mass matrix is estimated from the stage-A
@@ -301,9 +302,12 @@ def run_nuts(lnpost_y: Callable, y0, key, num_warmup: int,
         keys = jax.random.split(k, nchains)
         y_new, alpha, div = step(vg_run, max_doublings, eps, keys, yc)
         lnp = jax.vmap(lnpost_y)(unscale(y_new))
-        return y_new, (unscale(y_new), lnp, alpha)
+        return y_new, (unscale(y_new), lnp, alpha, div)
 
     keys_s = jax.random.split(k_s, num_samples)
-    y_run, (samples, lnps, alphas) = jax.lax.scan(samp_body, y_run,
-                                                  keys_s)
-    return samples, lnps, alphas, eps
+    y_run, (samples, lnps, alphas, divs) = jax.lax.scan(samp_body, y_run,
+                                                        keys_s)
+    # divergent transitions truncate trajectories and bias the
+    # posterior — surface the fraction instead of discarding it
+    div_frac = jnp.mean(divs.astype(samples.dtype))
+    return samples, lnps, alphas, eps, div_frac

@@ -46,7 +46,7 @@ def test_stretch_and_nuts_agree():
         lambda th: lnlike_single_epoch(th, ctx, layout), lo, hi)
     start = jnp.asarray([[42.5, -2.6, -1.6]] * 8) + \
         0.02 * jax.random.normal(jax.random.PRNGKey(2), (8, 3))
-    samples, _, _, _ = run_nuts(lnp_y, jax.vmap(to_y)(start),
+    samples, _, _, _, _ = run_nuts(lnp_y, jax.vmap(to_y)(start),
                                 jax.random.PRNGKey(3), num_warmup=400,
                                 num_samples=1000, max_doublings=7)
     post_n = np.asarray(jax.vmap(jax.vmap(to_theta))(samples)

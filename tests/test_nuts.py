@@ -105,7 +105,7 @@ def test_nuts_recovers_truncated_gaussian_moments():
     nchains = 8
     y0 = to_y(mu + 0.1 * jax.random.normal(jax.random.PRNGKey(0),
                                            (nchains, 2)))
-    samples, lnps, alphas, eps = run_nuts(
+    samples, lnps, alphas, eps, _ = run_nuts(
         lnp_y, y0, jax.random.PRNGKey(1), num_warmup=300, num_samples=600,
         max_doublings=6)
     th = np.asarray(jax.vmap(jax.vmap(to_theta))(samples)).reshape(-1, 2)
@@ -141,7 +141,7 @@ def test_nuts_on_lf_posterior():
     start = jnp.asarray([[42.5, -2.6, -1.6]] * 4) \
         + 0.01 * jax.random.normal(jax.random.PRNGKey(5), (4, 3))
     y0 = jax.vmap(to_y)(start)
-    samples, lnps, alphas, eps = run_nuts(
+    samples, lnps, alphas, eps, _ = run_nuts(
         lnp_y, y0, jax.random.PRNGKey(6), num_warmup=150, num_samples=150,
         max_doublings=6)
     th = np.asarray(jax.vmap(jax.vmap(to_theta))(samples)).reshape(-1, 3)
