@@ -122,7 +122,7 @@ def main():
     cfg = LFConfig(min_comp_frac=0.5, fix_comp=False,
                    nwalkers=args.walkers, nsteps=args.steps)
     cat = apply_completeness_cut(
-        make_catalog(cfg, n_target=args.nsrc, seed=7), cfg)
+        make_catalog(cfg, n_target=args.nsrc, seed=7, lum_err_dex=0.0), cfg)
     log(f"catalog: {len(cat['z'])} sources over {len(cfg.Flim)} fields")
     data, ctx = build_context(cfg, z=cat["z"], flux=cat["flux"],
                               flux_e=cat["flux_e"],
@@ -251,7 +251,7 @@ def main():
         cfg_m = LFConfig(min_comp_frac=0.5, fix_comp=True,
                          quadrature="gauss", nwalkers=1000)
         cat_m = apply_completeness_cut(
-            make_catalog(cfg_m, n_target=1_200_000, seed=7), cfg_m)
+            make_catalog(cfg_m, n_target=1_200_000, seed=7, lum_err_dex=0.0), cfg_m)
         _, ctx_m = build_context(cfg_m, z=cat_m["z"], flux=cat_m["flux"],
                                  flux_e=cat_m["flux_e"],
                                  field_id=cat_m["field_id"])

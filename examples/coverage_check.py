@@ -47,7 +47,7 @@ def one_replicate(k, rng):
                    quadrature="gauss", nwalkers=64, nsteps=nsteps,
                    seed=k, **truth)
     cat = apply_completeness_cut(
-        make_catalog(cfg, n_target=1500, seed=1000 + k), cfg)
+        make_catalog(cfg, n_target=1500, seed=1000 + k, lum_err_dex=0.0), cfg)
     truth = dict(truth)
     truth["phistar"] = cat["theta_true"]["phistar"]  # amplitude rescale
     _, ctx = build_context(cfg, z=cat["z"], flux=cat["flux"],

@@ -42,7 +42,7 @@ def one_replicate(k, rng):
                    nwalkers=64, nsteps=1500, seed=k,
                    z_param="natural" if NATURAL else "pivots", **truth)
     cat = apply_completeness_cut(
-        make_catalog(cfg, n_target=1500, seed=2000 + k), cfg)
+        make_catalog(cfg, n_target=1500, seed=2000 + k, lum_err_dex=0.0), cfg)
     phistar_eff = cat["theta_true"]["phistar"]
     _, ctx = build_context(cfg, z=cat["z"], flux=cat["flux"],
                            flux_e=cat["flux_e"],

@@ -40,6 +40,10 @@ from lumfuncmcmc_tpu.samplers.diagnostics import (
 from lumfuncmcmc_tpu.utils.logging import setup_logging
 
 
+# checkpoint-fingerprint ids for the chain-affecting proposal knob
+_MOVE_IDS = {"stretch": 0, "de": 1, "mix": 2}
+
+
 def select_samples(samples: np.ndarray, lnprobcut: float = 7.5,
                    drop_lnp: bool = False):
     """Iterative lnprob-cut selection: keep samples within ``lnprobcut``
@@ -284,17 +288,26 @@ class _BaseModel:
                 if "fingerprint" in ck:
                     # nsteps is deliberately NOT fingerprinted:
                     # extending a finished run is safe (the key-stream
-                    # replay depends only on these four)
+                    # replay depends only on these five). move IS a
+                    # chain-affecting knob — resuming a stretch
+                    # checkpoint with --move mix would splice segments
+                    # from different proposals.
+                    move_id = _MOVE_IDS.get(cfg.move, -1)
                     want = np.asarray([cfg.nwalkers, thin, every,
-                                       cfg.seed])
-                    if not np.array_equal(ck["fingerprint"], want):
+                                       cfg.seed, move_id])
+                    saved = np.asarray(ck["fingerprint"])
+                    if saved.shape[0] == 4:
+                        # pre-move checkpoint: the proposal wasn't
+                        # recorded, so it can't be verified — trust it
+                        saved = np.concatenate([saved, [move_id]])
+                    if not np.array_equal(saved, want):
                         raise ValueError(
                             "checkpoint config mismatch: saved "
-                            f"(nwalkers, thin, every, seed) = "
-                            f"{tuple(ck['fingerprint'])}, current = "
-                            f"{tuple(want)} — resuming with changed "
-                            "settings would corrupt the chain and the "
-                            "RNG replay")
+                            f"(nwalkers, thin, every, seed, move) = "
+                            f"{tuple(saved)}, current = "
+                            f"{tuple(want)} (move ids {_MOVE_IDS}) — "
+                            "resuming with changed settings would "
+                            "corrupt the chain and the RNG replay")
                 done = ck["chain"].shape[0] * thin  # rows are thinned
                 chains = [ck["chain"]]
                 lnps_parts = [ck["lnprobability"]]
@@ -327,7 +340,8 @@ class _BaseModel:
                              lnprobability=np.concatenate(lnps_parts),
                              acc=np.asarray(acc),
                              fingerprint=np.asarray(
-                                 [cfg.nwalkers, thin, every, cfg.seed]))
+                                 [cfg.nwalkers, thin, every, cfg.seed,
+                                  _MOVE_IDS.get(cfg.move, -1)]))
             chain = np.concatenate(chains)
             lnps = np.concatenate(lnps_parts)
         else:

@@ -270,7 +270,7 @@ def run_stretch(lnprob_batch: Callable, pos0, key, nsteps: int,
 
 def run_stretch_ensembles(lnprob_batch: Callable, pos0, key, nsteps: int,
                           a: float = 2.0, thin: int = 1,
-                          move: str = "stretch"):
+                          move: str = "stretch", de_prob: float = 0.5):
     """Run C independent ensembles in parallel (vmapped).
 
     ``pos0``: (C, nwalkers, ndim). Independent replicated chains saturate
@@ -285,6 +285,7 @@ def run_stretch_ensembles(lnprob_batch: Callable, pos0, key, nsteps: int,
     keys = jax.random.split(key, pos0.shape[0])
 
     def one(p, k):
-        return run_stretch(lnprob_batch, p, k, nsteps, a, thin, move)
+        return run_stretch(lnprob_batch, p, k, nsteps, a, thin, move,
+                           de_prob)
 
     return jax.vmap(one)(pos0, keys)
