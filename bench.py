@@ -80,12 +80,46 @@ def numpy_reference_lnprob_factory(ctx, layout, cfg):
     return lnprob
 
 
+def numpy_stretch_chain(lnprob, pos0, nsteps, seed=0, a=2.0):
+    """Serial NumPy Goodman-Weare stretch sampler — the reference's
+    emcee execution model (``lumfuncmcmc.py:489-491``): red-black
+    half-ensemble updates, one lnprob call per walker per half-step.
+    Returns the (nsteps, W, D) chain so the baseline's autocorrelation
+    time is MEASURED, not assumed equal to ours."""
+    rng = np.random.default_rng(seed)
+    pos = np.array(pos0, dtype=np.float64)
+    nw, ndim = pos.shape
+    nh = nw // 2
+    lnp = np.array([lnprob(p) for p in pos])
+    chain = np.empty((nsteps, nw, ndim))
+    for t in range(nsteps):
+        for (s0, s1) in ((slice(0, nh), slice(nh, nw)),
+                         (slice(nh, nw), slice(0, nh))):
+            other = pos[s1]
+            z = ((a - 1.0) * rng.uniform(size=nh) + 1.0) ** 2 / a
+            j = rng.integers(0, nh, size=nh)
+            ln_u = np.log(rng.uniform(size=nh))
+            prop = other[j] + z[:, None] * (pos[s0] - other[j])
+            lnp_prop = np.array([lnprob(p) for p in prop])
+            acc = ln_u < (ndim - 1.0) * np.log(z) + lnp_prop - lnp[s0]
+            pos[s0][acc] = prop[acc]
+            lnp[s0][acc] = lnp_prop[acc]
+        chain[t] = pos
+    return chain
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=10000)
     ap.add_argument("--walkers", type=int, default=100)
     ap.add_argument("--nsrc", type=int, default=1000)
     ap.add_argument("--baseline-evals", type=int, default=30)
+    ap.add_argument("--baseline-tau-steps", type=int, default=300,
+                    help="serial-baseline chain length for the measured "
+                         "tau (0 disables; ~0.3 s/step of host time)")
+    ap.add_argument("--ab-reps", type=int, default=5,
+                    help="interleaved paired XLA/Pallas timings per "
+                         "config (median reported)")
     ap.add_argument("--mega", action="store_true",
                     help="also run the 1e6-source x 1000-walker "
                          "mega-catalog configuration (BASELINE.json)")
@@ -132,34 +166,20 @@ def main():
     lnprob = jax.vmap(make_lnprob(ctx, layout))
     pos0 = sample_init(jax.random.PRNGKey(0), layout, args.walkers)
 
+    def timed_once(fn, pos, steps, key, **kw):
+        t0 = time.time()
+        state, chain, lnps, acc = run_stretch(fn, pos, key, steps, **kw)
+        jax.block_until_ready(state.pos)
+        return time.time() - t0, state, chain, lnps, acc
+
     def timed_chain(fn, pos, steps, **kw):
         """Warm up with the full-length program (the scan trip count is
         a static jit arg), then time a pure cache-hit run."""
         out = run_stretch(fn, pos, jax.random.PRNGKey(1), steps, **kw)
         jax.block_until_ready(out[0].pos)
-        t0 = time.time()
-        state, chain, lnps, acc = run_stretch(
-            fn, pos, jax.random.PRNGKey(2), steps, **kw)
-        jax.block_until_ready(state.pos)
-        return time.time() - t0, state, chain, lnps, acc
+        return timed_once(fn, pos, steps, jax.random.PRNGKey(2), **kw)
 
-    # compile warmup: run the FULL-length program once so the timed call
-    # is a pure cache-hit execution (a 3-step warmup compiles a different
-    # program — the scan trip count is static — and the timed call would
-    # silently include a fresh multi-minute XLA compile)
-    t0 = time.time()
-    out = run_stretch(lnprob, pos0, jax.random.PRNGKey(1), args.steps)
-    jax.block_until_ready(out[0].pos)
-    log(f"compile+warmup (full-length program): {time.time() - t0:.1f}s")
-
-    t0 = time.time()
-    state, chain, lnps, acc = run_stretch(lnprob, pos0,
-                                          jax.random.PRNGKey(2),
-                                          args.steps)
-    jax.block_until_ready(state.pos)
-    wall = time.time() - t0
     evals = args.steps * args.walkers
-    evals_per_sec = evals / wall
 
     # production quadrature mode: split-panel GL-32 (equal semantics,
     # ~1e4x tighter integral error than the reference grid, 10x fewer
@@ -169,15 +189,12 @@ def main():
                              flux_e=cat["flux_e"],
                              field_id=cat["field_id"])
     lnprob_g = jax.vmap(make_lnprob(ctx_g, layout))
-    wall_g, *_ = timed_chain(lnprob_g, pos0, args.steps)
-    log(f"gauss-32 production mode: {wall_g:.2f}s "
-        f"-> {evals / wall_g:,.0f} lnprob evals/s")
 
-    # native tier A/B: the fused Pallas kernel on the same chains
-    # (TPU only — the kernel is Mosaic-compiled, no CPU fallback here)
-    pallas_detail = {}
-    wall_best, engine = wall, "xla"
-    pal = None
+    # engine roster: XLA always; the fused Pallas kernels and the
+    # (1,1)-mesh-composed Pallas path on TPU (Mosaic-compiled — no CPU
+    # fallback here)
+    engines = [("xla_trapz", lnprob), ("xla_gauss", lnprob_g)]
+    pal = pal_g = None
     if jax.default_backend() == "tpu":
         from lumfuncmcmc_tpu.ops.pallas_lnlike import make_pallas_lnprob
         pal = make_pallas_lnprob(ctx, layout)
@@ -185,19 +202,69 @@ def main():
             log("pallas kernel unavailable for this workload (VMEM "
                 "gate) — skipping the A/B")
             pal = None
+        else:
+            pal_g = make_pallas_lnprob(ctx_g, layout)
+            engines += [("pallas_trapz", pal), ("pallas_gauss", pal_g)]
+            # mesh composition regression check: the walker-sharded
+            # native path on a (1,1) mesh must not regress vs meshless
+            from lumfuncmcmc_tpu.parallel.mesh import make_mesh
+            from lumfuncmcmc_tpu.parallel.sharding import (
+                make_pallas_lnprob_sharded)
+            pal_m = make_pallas_lnprob_sharded(
+                ctx_g, layout, make_mesh(1, 1))
+            if pal_m is not None:
+                engines.append(("pallas_gauss_mesh11", pal_m))
+
+    # interleaved paired timings: warm every engine with the FULL-length
+    # program first (the scan trip count is a static jit arg — a short
+    # warmup would leave a fresh multi-minute compile inside the timed
+    # call), then alternate engines args.ab_reps times so shared-chip
+    # drift hits all engines equally; report the per-engine MEDIAN
+    # (single paired runs left the trapz margin inside the noise band —
+    # VERDICT r2)
+    walls = {name: [] for name, _ in engines}
+    chain = lnps = acc = None
+    for name, fn in engines:
+        t0 = time.time()
+        out = run_stretch(fn, pos0, jax.random.PRNGKey(1), args.steps)
+        jax.block_until_ready(out[0].pos)
+        log(f"compile+warmup [{name}] (full-length program): "
+            f"{time.time() - t0:.1f}s")
+    for rep in range(max(1, args.ab_reps)):
+        for name, fn in engines:
+            w, _, ch, lp, ac = timed_once(fn, pos0, args.steps,
+                                          jax.random.PRNGKey(2))
+            walls[name].append(w)
+            if name == "xla_trapz" and chain is None:
+                chain, lnps, acc = ch, lp, ac
+
+    med = {name: float(np.median(ws)) for name, ws in walls.items()}
+    spread = {name: (round(min(ws), 3), round(max(ws), 3))
+              for name, ws in walls.items()}
+    for name in med:
+        log(f"{name}: median {med[name]:.3f}s over {len(walls[name])} "
+            f"runs (min {spread[name][0]}, max {spread[name][1]}) -> "
+            f"{evals / med[name]:,.0f} evals/s")
+    wall = med["xla_trapz"]
+    wall_g = med["xla_gauss"]
+    evals_per_sec = evals / wall
+
+    pallas_detail = {}
+    wall_best, engine = wall, "xla"
     if pal is not None:
-        wall_p, *_ = timed_chain(pal, pos0, args.steps)
-        pal_g = make_pallas_lnprob(ctx_g, layout)
-        wall_pg, *_ = timed_chain(pal_g, pos0, args.steps)
+        wall_p = med["pallas_trapz"]
+        wall_pg = med["pallas_gauss"]
         pallas_detail = {
+            "ab_reps": len(walls["pallas_trapz"]),
             "pallas_trapz101_evals_per_sec": round(evals / wall_p, 1),
             "pallas_trapz101_vs_xla": round(wall / wall_p, 3),
             "pallas_gauss32_evals_per_sec": round(evals / wall_pg, 1),
             "pallas_gauss32_vs_xla": round(wall_g / wall_pg, 3),
+            "wall_spread_s": {k: list(v) for k, v in spread.items()},
         }
-        log(f"pallas trapz-101: {wall_p:.2f}s ({evals / wall_p:,.0f}/s, "
-            f"{wall / wall_p:.2f}x xla); gauss-32: {wall_pg:.2f}s "
-            f"({evals / wall_pg:,.0f}/s, {wall_g / wall_pg:.2f}x xla)")
+        if "pallas_gauss_mesh11" in med:
+            pallas_detail["pallas_mesh11_vs_meshless"] = round(
+                wall_pg / med["pallas_gauss_mesh11"], 3)
         if wall_p < wall_best:
             wall_best, engine = wall_p, "pallas"
 
@@ -245,6 +312,38 @@ def main():
         f"{base_rate:,.1f} evals/s "
         f"(sample lnp {vals[0]:.1f})")
 
+    # measured baseline tau (VERDICT r2 #4): actually run the serial
+    # stretch sampler instead of asserting ESS-per-eval equality. Both
+    # tau-hats come from same-length chains through the same FFT
+    # estimator, so the short-chain bias cancels in the ratio.
+    base_tau_detail = {}
+    if args.baseline_tau_steps > 0:
+        nbt = args.baseline_tau_steps
+        t0 = time.time()
+        bchain = numpy_stretch_chain(ref_lnprob, np.asarray(pos0), nbt,
+                                     seed=4)
+        base_tau_wall = time.time() - t0
+        bburn, btau = burnin_steps(bchain, bchain.shape[0])
+        bess = float(effective_sample_size(bchain[bburn:]).min())
+        jchain = np.asarray(chain)[:nbt]
+        jburn, jtau = burnin_steps(jchain, jchain.shape[0])
+        jess = float(effective_sample_size(jchain[jburn:]).min())
+        jax_wall_nbt = wall_best * nbt / args.steps
+        measured_ratio = ((jess / jax_wall_nbt)
+                          / max(bess / base_tau_wall, 1e-12))
+        base_tau_detail = {
+            "baseline_tau_steps": round(float(btau), 2),
+            "baseline_chain_steps": nbt,
+            "baseline_chain_wall_s": round(base_tau_wall, 1),
+            "baseline_min_ess": round(bess, 1),
+            "jax_tau_same_length": round(float(jtau), 2),
+            "matched_ess_ratio_measured": round(measured_ratio, 2),
+        }
+        log(f"baseline chain: {nbt} steps x {pos0.shape[0]} walkers in "
+            f"{base_tau_wall:.0f}s; tau={btau:.1f} (ours at same "
+            f"length: {jtau:.1f}); MEASURED matched-ESS ratio "
+            f"{measured_ratio:,.0f}x")
+
     mega_detail = {}
     if args.mega:
         log("mega-catalog configuration (collapsed fixed-comp ln-term)")
@@ -269,12 +368,33 @@ def main():
         log(f"mega: {wall_m:.2f}s for 2000 x 1000 "
             f"({2e6 / wall_m:,.0f} evals/s, N={len(cat_m['z']):,})")
 
-    # matched-ESS ratio: the baseline runs the same stretch-move sampler
-    # (emcee), so its implied ESS/s is ESS-per-eval * its eval rate; the
-    # ratio of ESS rates therefore equals the eval-rate ratio — reported
-    # explicitly so the "x at matched ESS" claim is checkable. ESS per
-    # eval is engine-independent (same sampler and seeds), so the rate
-    # uses the headline engine's wall — consistent with vs_baseline.
+    # speed-of-light context: the likelihood is pure VPU work (no
+    # matmul structure); per element the kernel executes ~4
+    # transcendentals (2 exp + log + rsqrt). The occupancy fraction is
+    # vs the 1-per-lane-per-cycle ISSUE bound (8x128 lanes at 0.94
+    # GHz) — real transcendentals are multi-cycle, so true occupancy
+    # is a small multiple of this conservative number
+    # (docs/PERFORMANCE.md "How close to speed-of-light?").
+    vpu_detail = {}
+    if pal is not None:
+        ncells_g = int(np.prod(np.asarray(ctx_g.logL_grid).shape))
+        nsrc_b = int(np.asarray(ctx.lum).shape[0])
+        trans_rate = 4.0 * (ncells_g + nsrc_b) * (
+            evals / med["pallas_gauss"])
+        peak_issue = 8 * 128 * 0.94e9
+        vpu_detail = {
+            "vpu_transcendentals_per_sec": round(trans_rate, -8),
+            "vpu_occupancy_vs_issue_limit": round(
+                trans_rate / peak_issue, 3),
+        }
+        log(f"VPU: {trans_rate:.3g} transcendentals/s sustained "
+            f"({trans_rate / peak_issue:.1%} of the 1/cycle issue "
+            "bound)")
+
+    # matched-ESS ratio (eval-rate form): the baseline runs the same
+    # stretch-move sampler, so its implied ESS/s is ESS-per-eval * its
+    # eval rate; the measured form above replaces this assumption with
+    # data when --baseline-tau-steps > 0.
     ess_per_sec = ess / wall_best
     base_ess_per_sec = (ess / evals) * base_rate
     result = {
@@ -300,6 +420,8 @@ def main():
             "gauss32_evals_per_sec": round(evals / wall_g, 1),
             "gauss32_vs_baseline": round(evals / wall_g / base_rate, 2),
             **pallas_detail,
+            **vpu_detail,
+            **base_tau_detail,
             **mix_detail,
             **mega_detail,
         },

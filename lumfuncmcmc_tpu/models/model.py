@@ -169,16 +169,20 @@ class _BaseModel:
         if cfg.use_pallas is None:
             if jax.default_backend() != "tpu" or cfg.exact_bounds:
                 return False
+            # the XLA-wins exception below is a per-device ensemble-size
+            # effect: under a mesh each device sees nwalkers/ndev
+            walkers_per_dev = cfg.nwalkers
+            if self.mesh is not None:
+                walkers_per_dev = max(1, cfg.nwalkers
+                                      // self.mesh.devices.size)
             if (cfg.fix_comp and self.model_kind == "single"
-                    and cfg.nwalkers >= 512):
+                    and walkers_per_dev >= 512):
                 ncells = int(np.prod(self.ctx.logL_grid.shape))
                 if ncells * 3 * 4 * 8 < 11 * 2**20:  # flat-layout grids
                     return False
             return True
         if (cfg.use_pallas and cfg.exact_bounds and not cfg.fix_comp
-                and self.model_kind == "single" and self.mesh is None):
-            # with a mesh active the Pallas request is ignored anyway
-            # (sharded path is XLA) — only the meshless case is invalid
+                and self.model_kind == "single"):
             raise ValueError(
                 "exact_bounds is not implemented in the Pallas kernel — "
                 "drop --use-pallas (the XLA exact-bounds path is the "
@@ -196,12 +200,23 @@ class _BaseModel:
         if self._lnprob_batch is None:
             cfg = self.cfg.replace(use_pallas=self._resolve_use_pallas())
             if self.mesh is not None:
-                if cfg.use_pallas and self.cfg.use_pallas:
-                    self.log.warning(
-                        "use_pallas is ignored when a device mesh is "
-                        "active (the sharded path uses the XLA kernels)")
                 from lumfuncmcmc_tpu.parallel.sharding import (
-                    make_lnprob_sharded)
+                    make_lnprob_sharded, make_pallas_lnprob_sharded)
+                if cfg.use_pallas and not cfg.exact_bounds:
+                    fn = make_pallas_lnprob_sharded(
+                        self.ctx, self.layout, self.mesh,
+                        model=self.model_kind,
+                        interpret=cfg.pallas_interpret)
+                    if fn is not None:
+                        self.log.info(
+                            "Engine: Pallas native kernels, walker"
+                            "-sharded over the %d-device mesh"
+                            % self.mesh.devices.size)
+                        self._lnprob_batch = fn
+                        return self._lnprob_batch
+                    self.log.info(
+                        "Catalog exceeds the Pallas VMEM gate — using "
+                        "the XLA sharded path (source axis sharded)")
                 self._lnprob_batch = make_lnprob_sharded(
                     self.ctx, self.layout, self.mesh,
                     model=self.model_kind,

@@ -151,3 +151,51 @@ def make_lnprob_sharded(ctx: LFContext, layout, mesh, model="single",
         return sharded_fn(thetas, ctx)[:w]
 
     return batch
+
+
+def make_pallas_lnprob_sharded(ctx: LFContext, layout, mesh,
+                               model="single", interpret=False):
+    """Compose the native tier with the device mesh: each device runs
+    the full fused Pallas lnprob kernel on its local walker block
+    (SURVEY.md:150 — quadrature-parallel Pallas blocks *inside*
+    walker-parallel ``shard_map``).
+
+    The walker axis is sharded over BOTH mesh axes (grid and source
+    arrays fit in a single device's VMEM whenever the Pallas builder
+    succeeds, so the source mesh axis is better spent on extra walker
+    parallelism than on redundant replicated work). Returns ``None``
+    when the workload exceeds the kernel's VMEM gate — mega catalogs
+    keep the XLA path of :func:`make_lnprob_sharded`, which genuinely
+    shards the source axis.
+
+    ``check_vma=False``: the output of ``pallas_call`` carries no
+    varying-mesh-axes annotation, so shard_map's replication checker
+    cannot prove the (true) fact that the result only varies along the
+    sharded walker dimension.
+    """
+    from lumfuncmcmc_tpu.ops import pallas_lnlike as _pk
+
+    builder = {"single": _pk.make_pallas_lnprob,
+               "z": _pk.make_pallas_lnprob_z,
+               "hier": _pk.make_pallas_lnprob_h}[model]
+    inner = builder(ctx, layout, interpret=interpret)
+    if getattr(inner, "engine", None) != "pallas":
+        return None  # VMEM-gated fallback — use the XLA sharded path
+    ndev = mesh.shape[AXIS_WALKERS] * mesh.shape[AXIS_SOURCES]
+    axes = (AXIS_WALKERS, AXIS_SOURCES)
+    sharded_fn = jax.shard_map(
+        inner, mesh=mesh, in_specs=P(axes), out_specs=P(axes),
+        check_vma=False)
+
+    def batch(thetas):
+        w = thetas.shape[0]
+        wpad = -(-w // ndev) * ndev
+        if wpad != w:
+            thetas = jnp.concatenate(
+                [thetas,
+                 jnp.broadcast_to(thetas[:1],
+                                  (wpad - w,) + thetas.shape[1:])])
+        return sharded_fn(thetas)[:w]
+
+    batch.engine = "pallas"
+    return batch

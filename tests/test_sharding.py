@@ -119,6 +119,111 @@ def test_nuts_on_mesh_too_few_walkers_raises(setup):
         m.fit_model_nuts(num_warmup=10, nchains=8)
 
 
+# --- native tier x device mesh (round-3 composition) -------------------
+
+@pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2), (1, 8)])
+def test_pallas_sharded_matches_unsharded_xla(setup, mesh_shape):
+    """The Pallas kernels compose with the device mesh: shard_map over
+    the walker axis (spread over BOTH mesh axes) runs the fused native
+    kernel per device; values match the unsharded f64 XLA path at the
+    kernel's f32 tolerance (tests/test_pallas.py RTOL)."""
+    from lumfuncmcmc_tpu.parallel.sharding import (
+        make_pallas_lnprob_sharded)
+    cfg, ctx, layout = setup
+    thetas = sample_init(jax.random.PRNGKey(6), layout, 24)
+    ref = _ref_vals(ctx, layout, thetas)
+    mesh = make_mesh(*mesh_shape)
+    fn = make_pallas_lnprob_sharded(ctx, layout, mesh, interpret=True)
+    assert fn is not None and fn.engine == "pallas"
+    got = np.asarray(jax.jit(fn)(jnp.asarray(thetas, jnp.float32)))
+    fin = np.isfinite(ref)
+    np.testing.assert_array_equal(np.isfinite(got), fin)
+    np.testing.assert_allclose(got[fin], ref[fin], rtol=5e-4)
+
+
+def test_pallas_sharded_odd_walker_count(setup):
+    """Walker counts that divide neither the mesh nor the kernel block
+    are padded through BOTH tilings and sliced back."""
+    from lumfuncmcmc_tpu.parallel.sharding import (
+        make_pallas_lnprob_sharded)
+    cfg, ctx, layout = setup
+    thetas = sample_init(jax.random.PRNGKey(7), layout, 13)
+    ref = _ref_vals(ctx, layout, thetas)
+    fn = make_pallas_lnprob_sharded(ctx, layout, make_mesh(4, 2),
+                                    interpret=True)
+    got = np.asarray(fn(jnp.asarray(thetas, jnp.float32)))
+    assert got.shape == (13,)
+    fin = np.isfinite(ref)
+    np.testing.assert_allclose(got[fin], ref[fin], rtol=5e-4)
+
+
+def test_pallas_sharded_z_and_hier_models():
+    """The z and hierarchical kernels shard the same way."""
+    from lumfuncmcmc_tpu.models.hierarchical import (
+        ThetaLayoutH, make_lnprob_h)
+    from lumfuncmcmc_tpu.models.model import LumFuncModelH
+    from lumfuncmcmc_tpu.parallel.sharding import (
+        make_pallas_lnprob_sharded)
+    cfg = LFConfig(min_comp_frac=0.5, fix_comp=True, size_ln=31)
+    cat = apply_completeness_cut(make_catalog(cfg, n_target=250, seed=10),
+                                 cfg)
+    _, ctx = build_context(cfg, z=cat["z"], flux=cat["flux"],
+                           flux_e=cat["flux_e"], field_id=cat["field_id"])
+    mesh = make_mesh(4, 2)
+
+    layout_z = ThetaLayoutZ.from_config(cfg)
+    rng = np.random.default_rng(4)
+    thetas = jnp.asarray(np.column_stack(
+        [rng.uniform(41.8, 43.5, (16, 3)), rng.uniform(-4, -1.5, (16, 3)),
+         rng.uniform(-2, -0.8, (16, 1))]))
+    ref = np.asarray(jax.vmap(make_lnprob_z(ctx, layout_z))(thetas))
+    fn = make_pallas_lnprob_sharded(ctx, layout_z, mesh, model="z",
+                                    interpret=True)
+    got = np.asarray(fn(jnp.asarray(thetas, jnp.float32)))
+    fin = np.isfinite(ref)
+    np.testing.assert_array_equal(np.isfinite(got), fin)
+    np.testing.assert_allclose(got[fin], ref[fin], rtol=5e-4)
+
+    layout_h = ThetaLayoutH.from_config(cfg)
+    mh = LumFuncModelH(cfg, z=cat["z"], flux=cat["flux"],
+                       flux_e=cat["flux_e"], field_id=cat["field_id"])
+    th_h = jnp.asarray(mh._initial_positions(jax.random.PRNGKey(9))[:16])
+    ref_h = np.asarray(jax.vmap(make_lnprob_h(ctx, layout_h))(th_h))
+    fn_h = make_pallas_lnprob_sharded(ctx, layout_h, mesh, model="hier",
+                                      interpret=True)
+    got_h = np.asarray(fn_h(jnp.asarray(th_h, jnp.float32)))
+    fin_h = np.isfinite(ref_h)
+    np.testing.assert_array_equal(np.isfinite(got_h), fin_h)
+    np.testing.assert_allclose(got_h[fin_h], ref_h[fin_h], rtol=5e-4)
+
+
+def test_model_mesh_plus_pallas_composes(setup, monkeypatch):
+    """fit_model with mesh + use_pallas runs the NATIVE engine (the
+    round-2 silent XLA downgrade, models/model.py:195-200, is gone),
+    and the sampled chain stays finite."""
+    from lumfuncmcmc_tpu.models.model import LumFuncModel
+    cfg = LFConfig(min_comp_frac=0.5, size_ln=31, nwalkers=16, nsteps=6,
+                   use_pallas=True, pallas_interpret=True)
+    cat = apply_completeness_cut(make_catalog(cfg, n_target=200, seed=8),
+                                 cfg)
+    m = LumFuncModel(cfg, mesh=make_mesh(4, 2), z=cat["z"],
+                     flux=cat["flux"], flux_e=cat["flux_e"],
+                     field_id=cat["field_id"])
+    fn = m.lnprob_batch()
+    assert getattr(fn, "engine", None) == "pallas"
+    samples = m.fit_model()
+    assert np.all(np.isfinite(samples))
+
+    # auto mode on a TPU backend resolves to the native tier under a
+    # mesh too (no silent downgrade)
+    import lumfuncmcmc_tpu.models.model as mm
+    monkeypatch.setattr(mm.jax, "default_backend", lambda: "tpu")
+    m2 = LumFuncModel(cfg.replace(use_pallas=None), mesh=make_mesh(4, 2),
+                      z=cat["z"], flux=cat["flux"], flux_e=cat["flux_e"],
+                      field_id=cat["field_id"])
+    assert m2._resolve_use_pallas() is True
+
+
 def test_exact_bounds_sharded_matches_single_device(setup):
     """Regression: cfg.exact_bounds must survive the mesh path (it was
     silently dropped), including with a sharded source axis."""
