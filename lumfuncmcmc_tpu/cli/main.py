@@ -344,6 +344,12 @@ def cmd_fit(args):
                   if cfg.checkpoint_every else None)
             model.fit_model(checkpoint_path=ck,
                             resume=bool(ck and os.path.exists(ck)))
+    from lumfuncmcmc_tpu.parallel.distributed import is_primary
+    if not is_primary():
+        # every process holds the full gathered chain after fit_model;
+        # exactly one writes (shared filesystems would race otherwise)
+        print("Non-primary process: artifacts written by process 0")
+        return 0
     print("Finished fitting model and about to create outputs")
     _write_outputs(model, cfg, args, outdir, names)
     if getattr(args, "ppc", False):
@@ -417,6 +423,10 @@ def cmd_fitz(args):
         model.fit_model_nuts()
     else:
         model.fit_model()
+    from lumfuncmcmc_tpu.parallel.distributed import is_primary
+    if not is_primary():
+        print("Non-primary process: artifacts written by process 0")
+        return 0
     print("Finished fitting model and about to create outputs")
     _write_outputs(model, cfg, args, outdir, names, z_variant=True)
     return 0
@@ -451,6 +461,10 @@ def cmd_fith(args):
         model.fit_model_nuts()
     else:
         model.fit_model()
+    from lumfuncmcmc_tpu.parallel.distributed import is_primary
+    if not is_primary():
+        print("Non-primary process: artifacts written by process 0")
+        return 0
     print("Finished fitting model and about to create outputs")
     _write_outputs(model, cfg, args, outdir, names)
     return 0

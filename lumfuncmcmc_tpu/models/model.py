@@ -257,6 +257,8 @@ class _BaseModel:
         continues a previously-interrupted run from that file — the
         reference loses everything on a kill (SURVEY.md §5).
         """
+        from lumfuncmcmc_tpu.parallel.distributed import (
+            is_primary, to_host)
         cfg = self.cfg
         if key is None:
             key = jax.random.PRNGKey(cfg.seed)
@@ -266,6 +268,13 @@ class _BaseModel:
         ndim = pos0.shape[1]
         if self.mesh is not None:
             self.log.info("Device mesh: %s" % (dict(self.mesh.shape),))
+        if jax.process_count() > 1:
+            # multi-controller: hand jit HOST arrays (identical on every
+            # process, so jax treats them as replicated global inputs);
+            # a process-local committed device array would be rejected
+            # by the global-mesh computation
+            pos0 = np.asarray(pos0)
+            k_run = np.asarray(k_run)
 
         self.log.info(
             "Fitting Schechter model to true luminosity function using the "
@@ -341,15 +350,19 @@ class _BaseModel:
             while remaining > 0:
                 kk, k_blk = jax.random.split(kk)
                 nblk = min(every, remaining)
+                if jax.process_count() > 1:
+                    k_blk = np.asarray(k_blk)
                 state, ch, lp, ac = run_stretch(lnprob, state_pos, k_blk,
                                                 nblk, thin=thin,
                                                 move=cfg.move)
                 state_pos = state.pos
-                chains.append(np.asarray(ch))
-                lnps_parts.append(np.asarray(lp))
-                acc = acc + np.asarray(ac)
+                chains.append(to_host(ch))
+                lnps_parts.append(to_host(lp))
+                acc = acc + to_host(ac)
                 remaining -= nblk
-                if checkpoint_path:
+                if checkpoint_path and not is_primary():
+                    pass  # one writer; all processes hold the same data
+                elif checkpoint_path:
                     np.savez(checkpoint_path,
                              chain=np.concatenate(chains),
                              lnprobability=np.concatenate(lnps_parts),
@@ -363,8 +376,8 @@ class _BaseModel:
             state, chain, lnps, acc = run_stretch(lnprob, pos0, k_run,
                                                   nsteps_exec, thin=thin,
                                                   move=cfg.move)
-            chain, lnps, acc = (np.asarray(chain), np.asarray(lnps),
-                                np.asarray(acc))
+            chain, lnps, acc = (to_host(chain), to_host(lnps),
+                                to_host(acc))
         jax.block_until_ready(jnp.zeros(()))
         elapsed = time.time() - start
         self.log.info("Total time taken: %0.2f s" % elapsed)

@@ -69,6 +69,31 @@ def parse_distributed_spec(spec: str):
             f" got {spec!r}") from e
 
 
+def is_primary() -> bool:
+    """True on the process that should write artifacts (process 0)."""
+    import jax
+    return jax.process_index() == 0
+
+
+def to_host(x):
+    """Fetch a (possibly cross-process-sharded) array to host numpy.
+
+    Single-process arrays (and anything fully addressable) go through
+    ``np.asarray`` unchanged. Global arrays whose shards live on other
+    processes are allgathered first — a COLLECTIVE: every process in
+    the job must call this on the same array in the same order (true
+    for the sampler driver, which runs the identical program
+    everywhere)."""
+    import numpy as np
+    import jax
+
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        from jax.experimental import multihost_utils
+        return np.asarray(multihost_utils.process_allgather(x,
+                                                            tiled=True))
+    return np.asarray(x)
+
+
 def smoke_check() -> dict:
     """Cross-process sanity: all-gather the process ids and psum a
     walker-sharded vector over a global mesh. Returns a dict of facts
