@@ -368,6 +368,51 @@ def main():
         log(f"mega: {wall_m:.2f}s for 2000 x 1000 "
             f"({2e6 / wall_m:,.0f} evals/s, N={len(cat_m['z']):,})")
 
+        # mega free-completeness NUTS gradient A/B: the streaming
+        # value+grad kernel (one HBM pass per leapfrog) vs XLA
+        # forward+backward, 8 vmapped chains at the full catalog
+        if jax.default_backend() == "tpu":
+            from lumfuncmcmc_tpu.ops.pallas_lnlike import (
+                make_pallas_lnprob_and_grad)
+            cfg_fm = cfg_m.replace(fix_comp=False)
+            _, ctx_fm = build_context(cfg_fm, z=cat_m["z"],
+                                      flux=cat_m["flux"],
+                                      flux_e=cat_m["flux_e"],
+                                      field_id=cat_m["field_id"])
+            layout_fm = ThetaLayout.from_config(cfg_fm)
+            pal_vg = make_pallas_lnprob_and_grad(ctx_fm, layout_fm)
+            mid_m = 0.5 * (np.asarray(layout_fm.lo)
+                           + np.asarray(layout_fm.hi))
+            th8 = np.asarray(sample_init(jax.random.PRNGKey(5),
+                                         layout_fm, 8))
+            th8 = jnp.asarray(0.8 * mid_m[None, :] + 0.2 * th8,
+                              jnp.float32)
+            vg_walls = {}
+            reps = 20
+            for name, fn in (("pallas", pal_vg),
+                             ("xla", make_lnprob(ctx_fm, layout_fm))):
+                if fn is None:
+                    continue
+                vgf = jax.jit(jax.vmap(jax.value_and_grad(fn)))
+                jax.block_until_ready(vgf(th8)[0])
+                t0 = time.time()
+                for _ in range(reps):
+                    out_vg = vgf(th8)
+                jax.block_until_ready(out_vg[0])
+                vg_walls[name] = (time.time() - t0) / reps
+            if "pallas" in vg_walls:
+                mega_detail.update({
+                    "mega_vg_pallas_ms": round(
+                        1e3 * vg_walls["pallas"], 3),
+                    "mega_vg_xla_ms": round(1e3 * vg_walls["xla"], 3),
+                    "mega_vg_pallas_vs_xla": round(
+                        vg_walls["xla"] / vg_walls["pallas"], 3),
+                })
+                log(f"mega vg (8 chains, {len(cat_m['z']):,} srcs): "
+                    f"pallas {1e3 * vg_walls['pallas']:.2f} ms vs xla "
+                    f"{1e3 * vg_walls['xla']:.2f} ms "
+                    f"({vg_walls['xla'] / vg_walls['pallas']:.2f}x)")
+
     # speed-of-light context: the likelihood is pure VPU work (no
     # matmul structure); per element the kernel executes ~4
     # transcendentals (2 exp + log + rsqrt). The occupancy fraction is

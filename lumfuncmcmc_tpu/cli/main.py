@@ -97,6 +97,11 @@ def _add_common_flags(p):
                         "(the native tier; DEFAULT on TPU backends)")
     p.add_argument("--no-pallas", dest="use_pallas", action="store_false",
                    help="force the XLA likelihood path")
+    p.add_argument("--ensembles", type=int, default=None, metavar="C",
+                   help="run C independent replicated ensembles in one "
+                        "vmapped program and report the true "
+                        "cross-ensemble Gelman-Rubin R-hat (fills the "
+                        "chip at small walker counts)")
     p.add_argument("--distributed", type=str, default=None,
                    metavar="HOST:PORT,NPROC,PID",
                    help="multi-process jax.distributed init (run one "
@@ -319,12 +324,19 @@ def cmd_fit(args):
     inputs = _load_inputs(args, cfg)
     cfg = _align_fields(cfg, inputs["field_names"])
     print("Read Input File")
+    ens = int(getattr(args, "ensembles", None) or 0)
+    if ens > 1:
+        # replicated independent ensembles are a single-device batch
+        # program (vmapped); a device mesh would conflict
+        mesh = None
+    else:
+        mesh = _make_mesh_maybe(cfg)
     model = LumFuncModel(cfg, z=inputs["z"], flux=inputs["flux"],
                          flux_e=inputs["flux_e"], lum=inputs["lum"],
                          lum_e=inputs["lum_e"],
                          field_id=inputs["field_id"],
                          field_names=inputs["field_names"],
-                         mesh=_make_mesh_maybe(cfg))
+                         mesh=mesh)
     print("Initialized LumFuncModel")
     if _resume_if_done(model, cfg, args, outdir):
         return 0
@@ -337,6 +349,8 @@ def cmd_fit(args):
     with prof:
         if cfg.sampler == "nuts":
             model.fit_model_nuts()
+        elif (getattr(args, "ensembles", None) or 0) > 1:
+            model.fit_model_ensembles(int(args.ensembles))
         else:
             from lumfuncmcmc_tpu.utils.io import artifact_path
             ck = (artifact_path(outdir, "checkpoint",

@@ -465,6 +465,79 @@ class _BaseModel:
         self.samples = full[burn:].reshape(-1, ndim + 1)
         return self.samples
 
+    def fit_model_ensembles(self, nensembles: int, key=None):
+        """Run ``nensembles`` independent replicated ensembles in one
+        vmapped program (``run_stretch_ensembles``) and report the TRUE
+        multi-chain Gelman-Rubin across them (new capability — walkers
+        within one ensemble interact, so single-ensemble split-R-hat
+        understates disagreement between independent runs).
+
+        Replicated chains also fill the chip when one ensemble's batch
+        is small (docs/PERFORMANCE.md walker-scaling table). Produces
+        the same ``samples`` layout as :meth:`fit_model`, pooling the
+        post-burn samples of every ensemble.
+        """
+        from lumfuncmcmc_tpu.samplers.affine import run_stretch_ensembles
+        from lumfuncmcmc_tpu.samplers.diagnostics import (
+            gelman_rubin_ensembles)
+        cfg = self.cfg
+        if nensembles < 2:
+            raise ValueError("fit_model_ensembles needs >= 2 ensembles "
+                             "(use fit_model for one)")
+        if self.mesh is not None:
+            raise ValueError(
+                "--ensembles replicates independent chains on one "
+                "device; with a device mesh run one (sharded) ensemble "
+                "per mesh instead")
+        if key is None:
+            key = jax.random.PRNGKey(cfg.seed)
+        k_init, k_run = jax.random.split(key)
+        lnprob = self.lnprob_batch()
+        pos0 = jnp.stack([
+            self._initial_positions(k)
+            for k in jax.random.split(k_init, nensembles)])
+        ndim = pos0.shape[2]
+        thin = max(cfg.thin, 1)
+        nsteps_exec = cfg.nsteps - (cfg.nsteps % thin)
+        self.log.info(
+            "Fitting %d independent replicated ensembles x %d walkers"
+            % (nensembles, cfg.nwalkers))
+        start = time.time()
+        state, chains, lnps, acc = run_stretch_ensembles(
+            lnprob, pos0, k_run, nsteps_exec, thin=thin, move=cfg.move)
+        chains = np.asarray(chains)   # (C, nsteps, W, D)
+        lnps = np.asarray(lnps)
+        jax.block_until_ready(state.pos)
+        elapsed = time.time() - start
+        self.log.info("Total time taken: %0.2f s" % elapsed)
+
+        # burn-in from the pooled walker view (the reference rule on the
+        # recorded axis), applied uniformly to every ensemble
+        pooled = np.moveaxis(chains, 0, 1).reshape(
+            chains.shape[1], -1, ndim)              # (nsteps, C*W, D)
+        burn, tau = burnin_steps(pooled, pooled.shape[0])
+        self.acceptance_fraction = float(np.mean(np.asarray(acc))
+                                         / nsteps_exec)
+        rhat_ens = gelman_rubin_ensembles(chains[:, burn:])
+        ess = effective_sample_size(pooled[burn:])
+        self.log.info("Mean acceptance fraction: %0.2f" %
+                      self.acceptance_fraction)
+        self.log.info("AutoCorrelation Steps: %i, Number of Burn-in "
+                      "Steps: %i" % (round(tau), burn))
+        self.log.info("min ESS: %.0f; max cross-ensemble R-hat: %.4f "
+                      "(%d ensembles); ESS/sec: %.0f"
+                      % (ess.min(), rhat_ens.max(), nensembles,
+                         ess.min() / elapsed))
+        self.rhat_ensembles = rhat_ens
+        self.chain = pooled
+        full = np.concatenate(
+            [pooled, np.moveaxis(lnps, 0, 1).reshape(
+                lnps.shape[1], -1)[:, :, None]], axis=2)
+        self.samples = full[burn:].reshape(-1, ndim + 1)
+        self.log.info("Shape of self.samples")
+        self.log.info(str(self.samples.shape))
+        return self.samples
+
     def _nuts_gradient_post(self, scalar):
         """Select the NUTS posterior callable: the fused Pallas
         value+grad kernel where measured to win, else the XLA scalar.

@@ -874,6 +874,139 @@ def _kernel_free_stream(th_ref, g_logf, g_a, g_p, g_r, g_w,
         out_ref[i, 0] = out_ref[i, 0] + tot
 
 
+def _kernel_free_stream_vg(th_ref, g_logf, g_a, g_p, g_r, g_w,
+                           s_logf, s_a, s_p, s_r, s_lnom0, s_mask,
+                           out_ref, *, grid_rows, slab_starts, nfields,
+                           fcmin):
+    """Fused value + feature-gradient for catalogs past the VMEM gate:
+    the gradient-path analogue of :func:`_kernel_free_stream` (same
+    field-aligned HBM slab streaming, resident grids) with the
+    accumulator set of :func:`_kernel_free_vg`. This closes the last
+    mega-scale gap — free-completeness NUTS at 10^6 sources previously
+    fell back to XLA forward+backward, which reads every source array
+    from HBM twice per leapfrog and writes residuals between the
+    passes; the fused kernel streams them once.
+
+    Output columns as in ``_kernel_free_vg``. The slab's field index is
+    dynamic (program_id), so the per-field gradient columns are updated
+    through a static loop with a ``where(f == f_idx)`` mask — Mosaic
+    SMEM stores need static indices.
+    """
+    j = pl.program_id(1)
+    F = nfields
+    f_idx = jnp.int32(0)
+    for f in range(1, F):
+        f_idx = f_idx + jnp.where(j >= slab_starts[f], 1, 0)
+
+    def fc_terms(logf, r, ac, lf50, t2):
+        x = ac * (logf - lf50)
+        u = jax.lax.rsqrt(1.0 + x * x)
+        fc = jnp.maximum(0.5 + 0.5 * x * u, 1e-30)
+        lfc = jnp.log(fc)
+        dfx = 0.5 * u * u * u / fc
+        if not fcmin:
+            return lfc, dfx, jnp.zeros_like(lfc)
+        q = jnp.exp(-(r * t2))
+        inv_d = 1.0 / (1.0 - q)
+        return (lfc * inv_d, dfx * inv_d,
+                -lfc * (r * q) * inv_d * inv_d)
+
+    @pl.when(j == 0)
+    def _init():
+        # resident-grid integral: every accumulator initialized here
+        for i in range(th_ref.shape[0]):
+            c_g = th_ref[i, 0]
+            aA = th_ref[i, 2]
+            lA = th_ref[i, 3]
+            t1 = th_ref[i, 4]
+            ac = th_ref[i, 5]
+            lnl = jnp.float32(0.0)
+            d_cg = jnp.float32(0.0)
+            d_aA = jnp.float32(0.0)
+            d_lA = jnp.float32(0.0)
+            d_t1 = jnp.float32(0.0)
+            d_ac = jnp.float32(0.0)
+            for f in range(F):
+                lf50 = th_ref[i, 6 + f]
+                t2 = th_ref[i, 6 + F + f]
+                d_lf = jnp.float32(0.0)
+                d_t2 = jnp.float32(0.0)
+                go, gn = grid_rows[f]
+                for ro in range(0, gn, _CHUNK_ROWS):
+                    rn = min(_CHUNK_ROWS, gn - ro)
+                    lo = go + ro
+                    logf = g_logf[lo:lo + rn, :]
+                    lnfc, dfx, dft = fc_terms(logf, g_r[lo:lo + rn, :],
+                                              ac, lf50, t2)
+                    am = g_a[lo:lo + rn, :] - lA
+                    p = g_p[lo:lo + rn, :]
+                    e = (jnp.exp(c_g + aA * am - p * t1 + lnfc)
+                         * g_w[lo:lo + rn, :])
+                    s0 = jnp.sum(e)
+                    lnl = lnl - s0
+                    d_cg = d_cg - s0
+                    d_lA = d_lA + aA * s0
+                    d_aA = d_aA - jnp.sum(e * am)
+                    d_t1 = d_t1 + jnp.sum(e * p)
+                    d_ac = d_ac - jnp.sum(e * dfx * (logf - lf50))
+                    d_lf = d_lf + ac * jnp.sum(e * dfx)
+                    d_t2 = d_t2 - jnp.sum(e * dft)
+                out_ref[i, 7 + f] = d_lf
+                out_ref[i, 7 + F + f] = d_t2
+            out_ref[i, 0] = lnl
+            out_ref[i, 1] = d_cg
+            out_ref[i, 2] = jnp.float32(0.0)
+            out_ref[i, 3] = d_aA
+            out_ref[i, 4] = d_lA
+            out_ref[i, 5] = d_t1
+            out_ref[i, 6] = d_ac
+
+    for i in range(th_ref.shape[0]):
+        c_s = th_ref[i, 1]
+        aA = th_ref[i, 2]
+        lA = th_ref[i, 3]
+        t1 = th_ref[i, 4]
+        ac = th_ref[i, 5]
+        lf50 = th_ref[i, 6 + f_idx]
+        t2 = th_ref[i, 6 + F + f_idx]
+        lnl = jnp.float32(0.0)
+        d_cs = jnp.float32(0.0)
+        d_aA = jnp.float32(0.0)
+        d_t1 = jnp.float32(0.0)
+        d_ac = jnp.float32(0.0)
+        d_lf = jnp.float32(0.0)
+        d_t2 = jnp.float32(0.0)
+        for ro in range(0, _SLAB_ROWS, _CHUNK_ROWS):
+            rn = min(_CHUNK_ROWS, _SLAB_ROWS - ro)
+            m = s_mask[ro:ro + rn, :]
+            logf = s_logf[ro:ro + rn, :]
+            lnfc, dfx, dft = fc_terms(logf, s_r[ro:ro + rn, :],
+                                      ac, lf50, t2)
+            am = s_a[ro:ro + rn, :] - lA
+            p = s_p[ro:ro + rn, :]
+            contrib = (c_s + aA * am - p * t1
+                       + s_lnom0[ro:ro + rn, :] + lnfc)
+            lnl = lnl + jnp.sum(jnp.where(m > 0.0, contrib, 0.0))
+            d_cs = d_cs + jnp.sum(m)
+            d_aA = d_aA + jnp.sum(m * am)
+            d_t1 = d_t1 - jnp.sum(m * p)
+            d_ac = d_ac + jnp.sum(m * dfx * (logf - lf50))
+            d_lf = d_lf - ac * jnp.sum(m * dfx)
+            d_t2 = d_t2 + jnp.sum(m * dft)
+        out_ref[i, 0] = out_ref[i, 0] + lnl
+        out_ref[i, 2] = out_ref[i, 2] + d_cs
+        out_ref[i, 3] = out_ref[i, 3] + d_aA
+        out_ref[i, 4] = out_ref[i, 4] - aA * d_cs
+        out_ref[i, 5] = out_ref[i, 5] + d_t1
+        out_ref[i, 6] = out_ref[i, 6] + d_ac
+        for f in range(F):
+            sel = f_idx == f
+            out_ref[i, 7 + f] = (out_ref[i, 7 + f]
+                                 + jnp.where(sel, d_lf, 0.0))
+            out_ref[i, 7 + F + f] = (out_ref[i, 7 + F + f]
+                                     + jnp.where(sel, d_t2, 0.0))
+
+
 def _kernel_z_vg(th_ref, g_a2, g_p2, g_w2, zrow, z2row,
                  s_a, s_z, s_z2, s_lnom0, s_mask, out_ref, *,
                  grid_rows, lref_a):
@@ -1346,26 +1479,10 @@ def make_pallas_lnprob_h(ctx: LFContext, layout, interpret: bool = False,
     return batched
 
 
-def _build_vg_scalar(kern, arrays, feat_one, nfeat, interpret, mask_fn):
+def _vg_scalar_from_rows(vg_rows, feat_one, mask_fn):
     """custom_vjp plumbing shared by the gradient-path builders: the
     kernel emits [lnl, d lnl/d feats]; the fwd pass keeps the gradient
     columns as residuals so the bwd is one elementwise multiply."""
-    def vg_rows(feats):
-        wk = feats.shape[0]
-        const2 = lambda w: (0, 0)
-        return pl.pallas_call(
-            kern,
-            grid=(1,),
-            in_specs=[pl.BlockSpec((wk, nfeat), const2,
-                                   memory_space=pltpu.SMEM)]
-            + [pl.BlockSpec(a.shape, const2, memory_space=pltpu.VMEM)
-               for a in arrays],
-            out_specs=pl.BlockSpec((wk, 1 + nfeat), const2,
-                                   memory_space=pltpu.SMEM),
-            out_shape=jax.ShapeDtypeStruct((wk, 1 + nfeat), jnp.float32),
-            interpret=interpret,
-        )(feats, *arrays)
-
     @jax.custom_vjp
     def lnl_of_feats(feats):
         return vg_rows(feats)[:, 0]
@@ -1387,6 +1504,76 @@ def _build_vg_scalar(kern, arrays, feat_one, nfeat, interpret, mask_fn):
 
     scalar_lnprob.engine = "pallas"
     return scalar_lnprob
+
+
+def _build_vg_scalar(kern, arrays, feat_one, nfeat, interpret, mask_fn):
+    """Resident-array vg builder: everything in VMEM, one grid step."""
+    def vg_rows(feats):
+        wk = feats.shape[0]
+        const2 = lambda w: (0, 0)
+        return pl.pallas_call(
+            kern,
+            grid=(1,),
+            in_specs=[pl.BlockSpec((wk, nfeat), const2,
+                                   memory_space=pltpu.SMEM)]
+            + [pl.BlockSpec(a.shape, const2, memory_space=pltpu.VMEM)
+               for a in arrays],
+            out_specs=pl.BlockSpec((wk, 1 + nfeat), const2,
+                                   memory_space=pltpu.SMEM),
+            out_shape=jax.ShapeDtypeStruct((wk, 1 + nfeat), jnp.float32),
+            interpret=interpret,
+        )(feats, *arrays)
+
+    return _vg_scalar_from_rows(vg_rows, feat_one, mask_fn)
+
+
+def _make_stream_vg_scalar(ctx: LFContext, layout, interpret):
+    """Streaming value+grad scalar for over-VMEM free-completeness
+    catalogs (:func:`_kernel_free_stream_vg`): grids resident, source
+    slabs streamed per inner grid step, SMEM output accumulated across
+    the slab axis."""
+    data = prepare_pallas_data(ctx, fix_comp=False, flat=False,
+                               src_row_align=_SLAB_ROWS)
+    fcmin = float(layout.fcmin) if layout.fcmin else 0.0
+    n_slabs = data.s_a.shape[0] // _SLAB_ROWS
+    slab_starts = tuple(off // _SLAB_ROWS for off, _ in data.src_rows)
+    kern = partial(_kernel_free_stream_vg, grid_rows=data.grid_rows,
+                   slab_starts=slab_starts, nfields=data.nfields,
+                   fcmin=fcmin)
+    g_arrays = (data.g_logf, data.g_a, data.g_p, data.g_r, data.g_w)
+    s_arrays = (data.s_logf, data.s_a, data.s_p, data.s_r,
+                data.s_lnom0, data.s_mask)
+    nfeat = 6 + 2 * data.nfields
+
+    def vg_rows(feats):
+        wk = feats.shape[0]
+        return pl.pallas_call(
+            kern,
+            grid=(1, n_slabs),
+            in_specs=[pl.BlockSpec((wk, nfeat), lambda i, j: (0, 0),
+                                   memory_space=pltpu.SMEM)]
+            + [pl.BlockSpec(a.shape, lambda i, j: (0, 0),
+                            memory_space=pltpu.VMEM) for a in g_arrays]
+            + [pl.BlockSpec((_SLAB_ROWS, LANES), lambda i, j: (j, 0),
+                            memory_space=pltpu.VMEM) for a in s_arrays],
+            out_specs=pl.BlockSpec((wk, 1 + nfeat), lambda i, j: (0, 0),
+                                   memory_space=pltpu.SMEM),
+            out_shape=jax.ShapeDtypeStruct((wk, 1 + nfeat), jnp.float32),
+            interpret=interpret,
+        )(feats, *g_arrays, *s_arrays)
+
+    def feat_one(theta):
+        return _feat_free_one(_clamp_flim(theta, layout), layout,
+                              data.lref, fcmin)
+
+    lo = jnp.asarray(layout.lo, jnp.float32)
+    hi = jnp.asarray(layout.hi, jnp.float32)
+
+    def mask_fn(theta, lnl):
+        ok = jnp.all((theta >= lo) & (theta <= hi))
+        return jnp.where(ok, lnl, -jnp.inf)
+
+    return _vg_scalar_from_rows(vg_rows, feat_one, mask_fn)
 
 
 def make_pallas_lnprob_and_grad(ctx: LFContext, layout,
@@ -1457,7 +1644,14 @@ def make_pallas_lnprob_and_grad(ctx: LFContext, layout,
     fix_comp = bool(layout.fix_comp)
     n_g, n_s = (3, 0) if fix_comp else (5, 6)
     if (ncells * n_g + nsrc * n_s) * 4 > _VMEM_ARRAY_LIMIT:
-        return None
+        # mega catalogs: the fixed-comp ln-term is already collapsed
+        # (nothing to stream), but free-completeness NUTS gets the
+        # streaming value+grad kernel — the regime where the forward
+        # comparison showed the HBM-streaming layout winning 4.1x
+        # (docs/PERFORMANCE.md) previously fell back to XLA fwd+bwd
+        if fix_comp or ncells * n_g * 4 > _VMEM_ARRAY_LIMIT:
+            return None
+        return _make_stream_vg_scalar(ctx, layout, interpret)
     data = prepare_pallas_data(ctx, fix_comp, flat=False)
     fcmin = float(layout.fcmin) if layout.fcmin else 0.0
 

@@ -69,6 +69,32 @@ def gelman_rubin(chain):
     return np.sqrt(var_post / np.maximum(w, 1e-300))
 
 
+def gelman_rubin_ensembles(chains):
+    """True multi-chain split-R-hat across INDEPENDENT ensembles.
+
+    ``chains``: (C, nsteps, nwalkers, ndim). Walkers inside one
+    ensemble interact every step (the stretch proposal couples them),
+    so the honest independent-chain unit is the whole ensemble:
+    each ensemble is split in half along steps, all walker samples in a
+    half pooled, and B/W computed over the 2C groups. Requires C >= 2.
+    """
+    x = np.asarray(chains, dtype=np.float64)
+    if x.ndim != 4 or x.shape[0] < 2:
+        raise ValueError("need (C>=2, nsteps, nwalkers, ndim) chains")
+    c, n, w, d = x.shape
+    half = n // 2
+    groups = np.concatenate([x[:, :half], x[:, half:2 * half]],
+                            axis=0)                  # (2C, half, W, D)
+    flat = groups.reshape(2 * c, half * w, d)
+    means = flat.mean(axis=1)                        # (2C, D)
+    variances = flat.var(axis=1, ddof=1)             # (2C, D)
+    w_within = variances.mean(axis=0)
+    m = flat.shape[1]
+    b = m * means.var(axis=0, ddof=1)
+    var_post = (m - 1) / m * w_within + b / m
+    return np.sqrt(var_post / np.maximum(w_within, 1e-300))
+
+
 def burnin_steps(chain, nsteps: int):
     """Reference burn-in rule: min(3 * max tau, nsteps // 2)
     (``lumfuncmcmc.py:499-501``)."""

@@ -110,6 +110,40 @@ def test_vmax_mcf_scan(workdir):
     assert np.all(np.isfinite(tab["Lstar"]))
 
 
+def test_vmax_zbins_overlay(workdir, capsys):
+    """zEvolSteps analogue (``VmaxLumFunc.py:611-689``): per-z-bin
+    V_eff fits plus the z-evolution overlay plot — previously the only
+    untested cmd_vmax branch."""
+    assert main(["vmax", "--synthetic", "900", "-mcf", "0.5",
+                 "-nbins", "10", "-nboot", "20", "--zbins", "2",
+                 "-o", "zb.png"]) == 0
+    out = capsys.readouterr().out
+    assert "Wrote z-evolution overlay" in out
+    log_dir = workdir / "ImageFiles" / "Log"
+    for b in range(2):
+        dat = log_dir / f"zb_zbin{b}_log.dat"
+        assert dat.exists(), sorted(p.name for p in log_dir.iterdir())
+        tab = read_fixed_width_two_line(str(dat))
+        lf = np.asarray(tab["BinLF"], dtype=float)
+        assert np.all(np.isfinite(lf)) and (lf > 0).any()
+    assert (log_dir / "zb_zevol_log.png").exists()
+
+
+def test_fit_ensembles_cli(workdir, capsys):
+    """--ensembles C runs C replicated ensembles and reports the true
+    cross-ensemble R-hat (run_stretch_ensembles was library-only)."""
+    assert main(["fit", "--synthetic", "250", "-ns", "60", "-nw", "12",
+                 "-mcf", "0.5", "--size-ln", "21", "--ensembles", "3",
+                 "-o", "ens.dat"]) == 0
+    out = capsys.readouterr().out
+    base = "ens_nb50_nw12_ns60_mcf50"
+    tab = read_fixed_width_two_line(
+        str(workdir / "LFMCMCOut" / f"fitposterior_{base}.dat"))
+    # pooled post-burn samples from all three ensembles
+    assert len(tab["Ln Prob"]) > 3 * 12
+    assert np.all(np.isfinite(tab["Ln Prob"]))
+
+
 def test_vmax_no_cut_at_zero_mcf(workdir):
     """Regression: min_comp_frac=0 must mean NO flux cut (the reference's
     get_min_flux returns 0), not a hidden 1%-completeness floor."""

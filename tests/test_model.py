@@ -199,3 +199,41 @@ def test_get_params_natural_z_parameterization(small_inputs):
     vals = m.get_params()
     assert len(vals) == m.layout.ndim
     assert np.all(np.isfinite(vals))
+
+
+def test_gelman_rubin_ensembles_statistic():
+    from lumfuncmcmc_tpu.samplers.diagnostics import gelman_rubin_ensembles
+    rng = np.random.default_rng(0)
+    good = rng.normal(size=(4, 200, 8, 2))
+    r = gelman_rubin_ensembles(good)
+    assert r.shape == (2,)
+    assert np.all(r < 1.05)
+    bad = good.copy()
+    bad[0] += 5.0  # one ensemble stuck in a different mode
+    assert np.all(gelman_rubin_ensembles(bad) > 1.5)
+    with pytest.raises(ValueError, match="C>=2"):
+        gelman_rubin_ensembles(good[:1])
+
+
+def test_fit_model_ensembles(small_inputs):
+    cfg, cat = small_inputs
+    m = _model(cfg.replace(nwalkers=8, nsteps=60), cat)
+    s = m.fit_model_ensembles(3)
+    ndim = m.layout.ndim
+    assert s.shape[1] == ndim + 1
+    assert m.rhat_ensembles.shape == (ndim,)
+    assert np.all(np.isfinite(m.rhat_ensembles))
+    # pooled chain carries all 3 ensembles' walkers
+    assert m.chain.shape[1] == 3 * 8
+    with pytest.raises(ValueError, match=">= 2 ensembles"):
+        m.fit_model_ensembles(1)
+
+
+def test_fit_model_ensembles_rejects_mesh(small_inputs):
+    from lumfuncmcmc_tpu.parallel.mesh import make_mesh
+    cfg, cat = small_inputs
+    m = LumFuncModel(cfg, z=cat["z"], flux=cat["flux"],
+                     flux_e=cat["flux_e"], field_id=cat["field_id"],
+                     mesh=make_mesh(4, 2))
+    with pytest.raises(ValueError, match="one .sharded. ensemble"):
+        m.fit_model_ensembles(2)

@@ -217,6 +217,46 @@ def test_nuts_gate_exact_bounds_falls_back(monkeypatch):
         "pallas"
 
 
+def test_value_and_grad_streaming_parity(monkeypatch):
+    """The streaming value+grad kernel (mega free-completeness NUTS
+    path) matches f64 XLA autodiff AND the resident vg kernel, and the
+    VMEM gate routes over-budget catalogs to it instead of None."""
+    import lumfuncmcmc_tpu.ops.pallas_lnlike as pk
+    cfg, ctx, layout = _setup(size_ln=31, n_target=400)
+    ref = make_lnprob(ctx, layout)
+    stream = pk._make_stream_vg_scalar(ctx, layout, interpret=True)
+    resident = pk.make_pallas_lnprob_and_grad(ctx, layout,
+                                              interpret=True)
+    thetas = np.asarray(sample_init(jax.random.PRNGKey(0), layout, 6))
+    mid = 0.5 * (np.asarray(layout.lo) + np.asarray(layout.hi))
+    thetas = 0.7 * mid[None, :] + 0.3 * thetas
+    vref, gref = jax.vmap(jax.value_and_grad(ref))(
+        jnp.asarray(thetas, jnp.float64))
+    vs, gs = jax.vmap(jax.value_and_grad(stream))(
+        jnp.asarray(thetas, jnp.float32))
+    vr, gr = jax.vmap(jax.value_and_grad(resident))(
+        jnp.asarray(thetas, jnp.float32))
+    np.testing.assert_allclose(np.asarray(vs), np.asarray(vref),
+                               rtol=RTOL)
+    _grad_close(np.asarray(vs)[:, None], np.asarray(vr)[:, None],
+                rtol=1e-4)
+    _grad_close(np.asarray(gs), np.asarray(gref))
+    _grad_close(np.asarray(gs), np.asarray(gr), rtol=1e-3)
+    # gate: sources over budget, grids resident -> streaming vg (not
+    # None); grids over budget too -> None
+    nf = len(cfg.Flim)
+    ncell_bytes = int(np.prod(np.asarray(ctx.logL_grid).shape)) * 5 * 4
+    monkeypatch.setattr(pk, "_VMEM_ARRAY_LIMIT", ncell_bytes + 16)
+    gated = pk.make_pallas_lnprob_and_grad(ctx, layout, interpret=True)
+    assert gated is not None and gated.engine == "pallas"
+    vg, gg = jax.value_and_grad(gated)(jnp.asarray(thetas[0],
+                                                   jnp.float32))
+    np.testing.assert_allclose(float(vg), float(vs[0]), rtol=1e-5)
+    monkeypatch.setattr(pk, "_VMEM_ARRAY_LIMIT", 64)
+    assert pk.make_pallas_lnprob_and_grad(ctx, layout,
+                                          interpret=True) is None
+
+
 def test_value_and_grad_parity_z():
     """z-model gradient path vs jax.value_and_grad of the float64 XLA
     lnprob (quadratic pivot features, strict pivot prior)."""
