@@ -90,21 +90,28 @@ def numpy_stretch_chain(lnprob, pos0, nsteps, seed=0, a=2.0):
     pos = np.array(pos0, dtype=np.float64)
     nw, ndim = pos.shape
     nh = nw // 2
-    lnp = np.array([lnprob(p) for p in pos])
+    # out-of-bounds proposals legitimately produce -inf lnp (log of an
+    # underflowed density) and -inf - -inf = nan in the accept test —
+    # nan compares False, i.e. reject, which is the intended behavior
+    errstate = np.errstate(divide="ignore", invalid="ignore")
+    with errstate:
+        lnp = np.array([lnprob(p) for p in pos])
     chain = np.empty((nsteps, nw, ndim))
-    for t in range(nsteps):
-        for (s0, s1) in ((slice(0, nh), slice(nh, nw)),
-                         (slice(nh, nw), slice(0, nh))):
-            other = pos[s1]
-            z = ((a - 1.0) * rng.uniform(size=nh) + 1.0) ** 2 / a
-            j = rng.integers(0, nh, size=nh)
-            ln_u = np.log(rng.uniform(size=nh))
-            prop = other[j] + z[:, None] * (pos[s0] - other[j])
-            lnp_prop = np.array([lnprob(p) for p in prop])
-            acc = ln_u < (ndim - 1.0) * np.log(z) + lnp_prop - lnp[s0]
-            pos[s0][acc] = prop[acc]
-            lnp[s0][acc] = lnp_prop[acc]
-        chain[t] = pos
+    with errstate:
+        for t in range(nsteps):
+            for (s0, s1) in ((slice(0, nh), slice(nh, nw)),
+                             (slice(nh, nw), slice(0, nh))):
+                other = pos[s1]
+                z = ((a - 1.0) * rng.uniform(size=nh) + 1.0) ** 2 / a
+                j = rng.integers(0, nh, size=nh)
+                ln_u = np.log(rng.uniform(size=nh))
+                prop = other[j] + z[:, None] * (pos[s0] - other[j])
+                lnp_prop = np.array([lnprob(p) for p in prop])
+                acc = ln_u < ((ndim - 1.0) * np.log(z)
+                              + lnp_prop - lnp[s0])
+                pos[s0][acc] = prop[acc]
+                lnp[s0][acc] = lnp_prop[acc]
+            chain[t] = pos
     return chain
 
 

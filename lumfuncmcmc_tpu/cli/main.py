@@ -324,19 +324,12 @@ def cmd_fit(args):
     inputs = _load_inputs(args, cfg)
     cfg = _align_fields(cfg, inputs["field_names"])
     print("Read Input File")
-    ens = int(getattr(args, "ensembles", None) or 0)
-    if ens > 1:
-        # replicated independent ensembles are a single-device batch
-        # program (vmapped); a device mesh would conflict
-        mesh = None
-    else:
-        mesh = _make_mesh_maybe(cfg)
     model = LumFuncModel(cfg, z=inputs["z"], flux=inputs["flux"],
                          flux_e=inputs["flux_e"], lum=inputs["lum"],
                          lum_e=inputs["lum_e"],
                          field_id=inputs["field_id"],
                          field_names=inputs["field_names"],
-                         mesh=mesh)
+                         mesh=_make_mesh_maybe(cfg))
     print("Initialized LumFuncModel")
     if _resume_if_done(model, cfg, args, outdir):
         return 0

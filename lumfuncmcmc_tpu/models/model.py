@@ -223,29 +223,32 @@ class _BaseModel:
                     exact_bounds=(cfg.exact_bounds and not cfg.fix_comp
                                   and self.model_kind == "single"),
                     min_comp_frac=cfg.min_comp_frac, lh=cfg.Lh)
-            elif cfg.use_pallas and self.model_kind == "single":
-                # (exact_bounds + explicit use_pallas already raised in
-                # _resolve_use_pallas; auto mode resolves to XLA there)
-                from lumfuncmcmc_tpu.ops.pallas_lnlike import (
-                    make_pallas_lnprob)
-                self._lnprob_batch = make_pallas_lnprob(
-                    self.ctx, self.layout,
-                    interpret=cfg.pallas_interpret)
-            elif cfg.use_pallas and self.model_kind == "z":
-                from lumfuncmcmc_tpu.ops.pallas_lnlike import (
-                    make_pallas_lnprob_z)
-                self._lnprob_batch = make_pallas_lnprob_z(
-                    self.ctx, self.layout,
-                    interpret=cfg.pallas_interpret)
-            elif cfg.use_pallas and self.model_kind == "hier":
-                from lumfuncmcmc_tpu.ops.pallas_lnlike import (
-                    make_pallas_lnprob_h)
-                self._lnprob_batch = make_pallas_lnprob_h(
-                    self.ctx, self.layout,
-                    interpret=cfg.pallas_interpret)
             else:
-                self._lnprob_batch = jax.vmap(self._make_scalar_lnprob())
+                self._lnprob_batch = self._meshless_batch(cfg)
         return self._lnprob_batch
+
+    def _meshless_batch(self, cfg):
+        """Single-device (W, D) -> (W,) batch evaluator for the resolved
+        engine — also the per-device form the sharded-ensembles path
+        replicates."""
+        if cfg.use_pallas and self.model_kind == "single":
+            # (exact_bounds + explicit use_pallas already raised in
+            # _resolve_use_pallas; auto mode resolves to XLA there)
+            from lumfuncmcmc_tpu.ops.pallas_lnlike import (
+                make_pallas_lnprob)
+            return make_pallas_lnprob(self.ctx, self.layout,
+                                      interpret=cfg.pallas_interpret)
+        if cfg.use_pallas and self.model_kind == "z":
+            from lumfuncmcmc_tpu.ops.pallas_lnlike import (
+                make_pallas_lnprob_z)
+            return make_pallas_lnprob_z(self.ctx, self.layout,
+                                        interpret=cfg.pallas_interpret)
+        if cfg.use_pallas and self.model_kind == "hier":
+            from lumfuncmcmc_tpu.ops.pallas_lnlike import (
+                make_pallas_lnprob_h)
+            return make_pallas_lnprob_h(self.ctx, self.layout,
+                                        interpret=cfg.pallas_interpret)
+        return jax.vmap(self._make_scalar_lnprob())
 
     def fit_model(self, key=None, checkpoint_path: Optional[str] = None,
                   resume: bool = False):
@@ -477,6 +480,7 @@ class _BaseModel:
         the same ``samples`` layout as :meth:`fit_model`, pooling the
         post-burn samples of every ensemble.
         """
+        from lumfuncmcmc_tpu.parallel.distributed import to_host
         from lumfuncmcmc_tpu.samplers.affine import run_stretch_ensembles
         from lumfuncmcmc_tpu.samplers.diagnostics import (
             gelman_rubin_ensembles)
@@ -485,14 +489,19 @@ class _BaseModel:
             raise ValueError("fit_model_ensembles needs >= 2 ensembles "
                              "(use fit_model for one)")
         if self.mesh is not None:
-            raise ValueError(
-                "--ensembles replicates independent chains on one "
-                "device; with a device mesh run one (sharded) ensemble "
-                "per mesh instead")
+            # whole ensembles sharded over the mesh: each device runs
+            # its own independent chains with the per-device engine —
+            # zero hot-loop collectives
+            ndev = int(self.mesh.devices.size)
+            if nensembles % ndev:
+                new = -(-nensembles // ndev) * ndev
+                self.log.info(
+                    "Rounding nensembles %d -> %d (multiple of the "
+                    "%d-device mesh)" % (nensembles, new, ndev))
+                nensembles = new
         if key is None:
             key = jax.random.PRNGKey(cfg.seed)
         k_init, k_run = jax.random.split(key)
-        lnprob = self.lnprob_batch()
         pos0 = jnp.stack([
             self._initial_positions(k)
             for k in jax.random.split(k_init, nensembles)])
@@ -500,13 +509,30 @@ class _BaseModel:
         thin = max(cfg.thin, 1)
         nsteps_exec = cfg.nsteps - (cfg.nsteps % thin)
         self.log.info(
-            "Fitting %d independent replicated ensembles x %d walkers"
-            % (nensembles, cfg.nwalkers))
+            "Fitting %d independent replicated ensembles x %d walkers%s"
+            % (nensembles, cfg.nwalkers,
+               "" if self.mesh is None
+               else " (sharded over %d devices)" % self.mesh.devices.size))
         start = time.time()
-        state, chains, lnps, acc = run_stretch_ensembles(
-            lnprob, pos0, k_run, nsteps_exec, thin=thin, move=cfg.move)
-        chains = np.asarray(chains)   # (C, nsteps, W, D)
-        lnps = np.asarray(lnps)
+        if self.mesh is not None:
+            from lumfuncmcmc_tpu.parallel.sharding import (
+                run_stretch_ensembles_sharded)
+            lnprob = self._meshless_batch(
+                self.cfg.replace(use_pallas=self._resolve_use_pallas()))
+            if jax.process_count() > 1:
+                pos0 = np.asarray(pos0)
+                k_run = np.asarray(k_run)
+            state, chains, lnps, acc = run_stretch_ensembles_sharded(
+                lnprob, pos0, k_run, nsteps_exec, mesh=self.mesh,
+                thin=thin, move=cfg.move)
+        else:
+            lnprob = self.lnprob_batch()
+            state, chains, lnps, acc = run_stretch_ensembles(
+                lnprob, pos0, k_run, nsteps_exec, thin=thin,
+                move=cfg.move)
+        chains = to_host(chains)      # (C, nsteps, W, D)
+        lnps = to_host(lnps)
+        acc = to_host(acc)
         jax.block_until_ready(state.pos)
         elapsed = time.time() - start
         self.log.info("Total time taken: %0.2f s" % elapsed)

@@ -153,6 +153,52 @@ def make_lnprob_sharded(ctx: LFContext, layout, mesh, model="single",
     return batch
 
 
+def run_stretch_ensembles_sharded(lnprob_batch, pos0, key, nsteps,
+                                  mesh, a=2.0, thin=1, move="stretch",
+                                  de_prob=0.5):
+    """C independent replicated ensembles sharded over the device mesh
+    — one (or more) whole ensembles per device, the multi-chip
+    deployment for SMALL posteriors where sharding a single ensemble's
+    walker batch would leave devices underfed. Embarrassingly parallel:
+    zero collectives in the hot loop; the cross-ensemble Gelman-Rubin
+    happens on the gathered host chains.
+
+    ``pos0``: (C, nwalkers, ndim) with C a multiple of the mesh device
+    count. ``lnprob_batch`` must be a per-device batch form (vmap of
+    the scalar, or the Pallas batched kernel) — NOT a shard_map
+    construction. Key handling matches
+    :func:`~lumfuncmcmc_tpu.samplers.affine.run_stretch_ensembles`
+    (one split per ensemble), so the sharded run reproduces the
+    unsharded one exactly.
+
+    Returns the same tuple with a leading C axis on every output.
+    """
+    from lumfuncmcmc_tpu.samplers.affine import run_stretch
+
+    C = pos0.shape[0]
+    ndev = mesh.shape[AXIS_WALKERS] * mesh.shape[AXIS_SOURCES]
+    if C % ndev:
+        raise ValueError(
+            f"ensemble count {C} must be a multiple of the mesh device "
+            f"count {ndev} (whole ensembles per device)")
+    keys = jax.random.split(key, C)
+    axes = (AXIS_WALKERS, AXIS_SOURCES)
+
+    def local_run(pos_blk, keys_blk):
+        def one(p, k):
+            state, chain, lnps, acc = run_stretch(
+                lnprob_batch, p, k, nsteps, a, thin, move, de_prob)
+            return state.pos, state.lnp, chain, lnps, acc
+        return jax.vmap(one)(pos_blk, keys_blk)
+
+    fn = jax.shard_map(local_run, mesh=mesh,
+                       in_specs=(P(axes), P(axes)),
+                       out_specs=P(axes), check_vma=False)
+    last_pos, last_lnp, chain, lnps, acc = fn(pos0, keys)
+    from lumfuncmcmc_tpu.samplers.affine import EnsembleState
+    return EnsembleState(last_pos, last_lnp), chain, lnps, acc
+
+
 def make_pallas_lnprob_sharded(ctx: LFContext, layout, mesh,
                                model="single", interpret=False):
     """Compose the native tier with the device mesh: each device runs

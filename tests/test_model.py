@@ -229,11 +229,20 @@ def test_fit_model_ensembles(small_inputs):
         m.fit_model_ensembles(1)
 
 
-def test_fit_model_ensembles_rejects_mesh(small_inputs):
+def test_fit_model_ensembles_sharded_matches_unsharded(small_inputs):
+    """Ensembles x mesh composition: whole ensembles sharded over the
+    devices produce exactly the chains of the single-device vmapped
+    run (same per-ensemble keys), and a non-multiple count rounds up."""
     from lumfuncmcmc_tpu.parallel.mesh import make_mesh
     cfg, cat = small_inputs
-    m = LumFuncModel(cfg, z=cat["z"], flux=cat["flux"],
-                     flux_e=cat["flux_e"], field_id=cat["field_id"],
-                     mesh=make_mesh(4, 2))
-    with pytest.raises(ValueError, match="one .sharded. ensemble"):
-        m.fit_model_ensembles(2)
+    cfg = cfg.replace(nwalkers=8, nsteps=30)
+    m_plain = _model(cfg, cat)
+    m_plain.fit_model_ensembles(4)
+    m_mesh = LumFuncModel(cfg, z=cat["z"], flux=cat["flux"],
+                          flux_e=cat["flux_e"], field_id=cat["field_id"],
+                          mesh=make_mesh(4, 1))
+    m_mesh.fit_model_ensembles(3)   # rounds up to 4
+    assert m_mesh.chain.shape == m_plain.chain.shape
+    np.testing.assert_allclose(m_mesh.chain, m_plain.chain, rtol=1e-12)
+    np.testing.assert_allclose(m_mesh.rhat_ensembles,
+                               m_plain.rhat_ensembles, rtol=1e-9)
