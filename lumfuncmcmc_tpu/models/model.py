@@ -200,18 +200,45 @@ class _BaseModel:
         if self._lnprob_batch is None:
             cfg = self.cfg.replace(use_pallas=self._resolve_use_pallas())
             if self.mesh is not None:
+                from lumfuncmcmc_tpu.parallel.mesh import AXIS_SOURCES
                 from lumfuncmcmc_tpu.parallel.sharding import (
-                    make_lnprob_sharded, make_pallas_lnprob_sharded)
+                    make_lnprob_sharded, make_pallas_lnprob_sharded,
+                    make_pallas_lnprob_stream_sharded)
                 if cfg.use_pallas and not cfg.exact_bounds:
-                    fn = make_pallas_lnprob_sharded(
-                        self.ctx, self.layout, self.mesh,
-                        model=self.model_kind,
-                        interpret=cfg.pallas_interpret)
+                    fn = None
+                    if (self.model_kind == "single" and not cfg.fix_comp
+                            and self.mesh.shape[AXIS_SOURCES] > 1):
+                        # over-VMEM catalogs on a source-sharded mesh:
+                        # round-robin shard the slabs so per-device HBM
+                        # holds 1/ns of the catalog (capacity scaling);
+                        # smaller catalogs keep joint walker sharding
+                        from lumfuncmcmc_tpu.ops import (
+                            pallas_lnlike as _pk)
+                        ncells = int(np.prod(self.ctx.logL_grid.shape))
+                        nsrc = int(self.ctx.lum.shape[0])
+                        if (ncells * 5 + nsrc * 6) * 4 > \
+                                _pk._VMEM_ARRAY_LIMIT:
+                            fn = make_pallas_lnprob_stream_sharded(
+                                self.ctx, self.layout, self.mesh,
+                                interpret=cfg.pallas_interpret)
+                            if fn is not None:
+                                self.log.info(
+                                    "Engine: Pallas streaming kernels, "
+                                    "sources round-robin sharded over "
+                                    "%d devices x walkers over %d"
+                                    % (self.mesh.shape[AXIS_SOURCES],
+                                       self.mesh.shape["walkers"]))
+                    if fn is None:
+                        fn = make_pallas_lnprob_sharded(
+                            self.ctx, self.layout, self.mesh,
+                            model=self.model_kind,
+                            interpret=cfg.pallas_interpret)
+                        if fn is not None:
+                            self.log.info(
+                                "Engine: Pallas native kernels, walker"
+                                "-sharded over the %d-device mesh"
+                                % self.mesh.devices.size)
                     if fn is not None:
-                        self.log.info(
-                            "Engine: Pallas native kernels, walker"
-                            "-sharded over the %d-device mesh"
-                            % self.mesh.devices.size)
                         self._lnprob_batch = fn
                         return self._lnprob_batch
                     self.log.info(

@@ -322,6 +322,129 @@ def prepare_pallas_data(ctx: LFContext, fix_comp: bool,
     )
 
 
+def prepare_stream_shard_data(ctx: LFContext, nshards: int):
+    """Source-sharded streaming layout (free completeness): the grid
+    pack of :func:`prepare_pallas_data` with quadrature weights scaled
+    by ``1/nshards`` — each shard's kernel then computes
+    ``lnpart_shard - fullint/nshards``, so a ``psum`` over shards
+    yields exactly ``lnpart - fullint`` — plus ``nshards`` source
+    packs with a SHARED static row layout: each field's sources are
+    split round-robin and padded to the per-field ceiling, so
+    ``src_rows``/``slab_starts`` are identical on every device (the
+    kernel is SPMD; only the streamed slab DATA differs).
+
+    Returns ``(gpack, grid_rows, s_stacked, src_rows, lref, nfields)``
+    with ``s_stacked`` a dict name -> (nshards, SR, 128) array.
+    """
+    lref = float(ctx.lref)
+    logL = np.asarray(ctx.logL_grid, dtype=np.float64)
+    nf = logL.shape[0]
+    om0_f = np.asarray(ctx.omega0_f, dtype=np.float64) / SQARCSEC_PER_SR
+    w = (np.asarray(ctx.w_open, dtype=np.float64)
+         * om0_f[:, None, None] * LN10 / float(nshards))
+    logf = np.asarray(ctx.logf_grid, dtype=np.float64)
+    gcols = []
+    for f in range(nf):
+        ll, lf = logL[f].ravel(), logf[f].ravel()
+        gcols.append({
+            "logf": lf, "a": LN10 * ll,
+            "p": 10.0 ** np.clip(ll - lref, -30.0, 25.0),
+            "r": 10.0 ** np.clip(lf - _LOGF_REF, -30.0, 25.0),
+            "w": w[f].ravel(),
+        })
+    gfills = {"logf": -30.0, "a": 0.0, "p": _P_PAD, "r": 1.0, "w": 0.0}
+    gpack, grid_rows = _pack_rows(gcols, gfills)
+
+    fid = np.asarray(ctx.field_id)
+    lum = np.asarray(ctx.lum, dtype=np.float64)
+    logf_s = np.asarray(ctx.logf_src, dtype=np.float64)
+    om0_s = np.asarray(ctx.omega0_src, dtype=np.float64) / SQARCSEC_PER_SR
+    mask = np.asarray(ctx.src_mask, dtype=np.float64)
+    vals = {"logf": logf_s, "a": LN10 * lum,
+            "p": 10.0 ** np.clip(lum - lref, -30.0, 25.0),
+            "r": 10.0 ** np.clip(logf_s - _LOGF_REF, -30.0, 25.0),
+            "lnom0": np.log(np.maximum(om0_s, 1e-300)), "mask": mask}
+    sfills = {"logf": -30.0, "a": 0.0, "p": _P_PAD, "r": 1.0,
+              "lnom0": 0.0, "mask": 0.0}
+    sel_f = [np.nonzero(fid == f)[0] for f in range(nf)]
+    nmax_f = [max(1, -(-len(s) // nshards)) for s in sel_f]
+    blocks = {nm: [] for nm in sfills}
+    src_rows = None
+    for k in range(nshards):
+        scols = []
+        for f in range(nf):
+            idx = sel_f[f][k::nshards]
+            cols = {}
+            for nm, fill in sfills.items():
+                buf = np.full(nmax_f[f], fill, dtype=np.float64)
+                buf[:len(idx)] = vals[nm][idx]
+                cols[nm] = buf
+            scols.append(cols)
+        spack_k, rows_k = _pack_rows(scols, sfills,
+                                     row_align=_SLAB_ROWS)
+        if src_rows is None:
+            src_rows = rows_k
+        else:
+            assert rows_k == src_rows  # shared-layout invariant
+        for nm in sfills:
+            blocks[nm].append(spack_k[nm])
+    s_stacked = {nm: jnp.stack(b) for nm, b in blocks.items()}
+    return gpack, grid_rows, s_stacked, src_rows, lref, nf
+
+
+def make_stream_shard_batched(ctx: LFContext, layout, nshards: int,
+                              interpret: bool = False, blk=None):
+    """Per-device batched lnlike for the source-sharded streaming
+    layout. Returns ``(batched, s_stacked)``: ``batched(thetas,
+    s_local)`` evaluates the LOCAL shard's contribution
+    (``lnpart_local - fullint/nshards``) with ``s_local`` the tuple of
+    this device's (SR, 128) source blocks; the caller psums across the
+    source mesh axis (``parallel/sharding.py::
+    make_pallas_lnprob_stream_sharded``). Returns ``(None, None)``
+    when the resident grid arrays alone exceed the VMEM budget.
+    """
+    ncells = int(np.prod(np.asarray(ctx.logL_grid).shape))
+    if ncells * 5 * 4 > _VMEM_ARRAY_LIMIT:
+        return None, None
+    gpack, grid_rows, s_stacked, src_rows, lref, nf = \
+        prepare_stream_shard_data(ctx, nshards)
+    fcmin = float(layout.fcmin) if layout.fcmin else 0.0
+    sr = int(s_stacked["a"].shape[1])
+    n_slabs = sr // _SLAB_ROWS
+    slab_starts = tuple(off // _SLAB_ROWS for off, _ in src_rows)
+    kern = partial(_kernel_free_stream, grid_rows=grid_rows,
+                   slab_starts=slab_starts, nfields=nf, fcmin=fcmin)
+    g_arrays = (gpack["logf"], gpack["a"], gpack["p"], gpack["r"],
+                gpack["w"])
+    s_names = ("logf", "a", "p", "r", "lnom0", "mask")
+
+    def batched(thetas, s_local):
+        wk_in = thetas.shape[0]
+        b = _choose_blk(wk_in, blk, flat=False)
+        thetas = _pad_walkers(thetas, b)
+        feats = _features_free(thetas, layout, lref,
+                               fcmin).astype(jnp.float32)
+        nfeat = feats.shape[1]
+        out = pl.pallas_call(
+            kern,
+            grid=(thetas.shape[0] // b, n_slabs),
+            in_specs=[pl.BlockSpec((b, nfeat), lambda i, j: (i, 0),
+                                   memory_space=pltpu.SMEM)]
+            + [pl.BlockSpec(a.shape, lambda i, j: (0, 0),
+                            memory_space=pltpu.VMEM) for a in g_arrays]
+            + [pl.BlockSpec((_SLAB_ROWS, LANES), lambda i, j: (j, 0),
+                            memory_space=pltpu.VMEM) for _ in s_names],
+            out_specs=pl.BlockSpec((b, 1), lambda i, j: (i, 0),
+                                   memory_space=pltpu.SMEM),
+            out_shape=jax.ShapeDtypeStruct((thetas.shape[0], 1),
+                                           jnp.float32),
+            interpret=interpret,
+        )(feats, *g_arrays, *s_local)
+        return out[:wk_in, 0]
+
+    return batched, tuple(s_stacked[nm] for nm in s_names)
+
+
 @dataclass(frozen=True)
 class PallasZData:
     """Packed buffers for the z-evolving kernel (fixed completeness:

@@ -153,6 +153,64 @@ def make_lnprob_sharded(ctx: LFContext, layout, mesh, model="single",
     return batch
 
 
+def make_pallas_lnprob_stream_sharded(ctx: LFContext, layout, mesh,
+                                      interpret=False):
+    """TRUE 2-D native parallelism for free-completeness mega
+    catalogs: walkers sharded over the ``walkers`` mesh axis, sources
+    ROUND-ROBIN SHARDED over the ``sources`` axis, and every device
+    running the HBM-streaming Pallas kernel on its local slab stack.
+    One ``psum`` over the source axis per evaluation (the grid
+    integral is pre-scaled 1/nshards so the psum reconstructs
+    ``lnpart - fullint`` exactly — see ``prepare_stream_shard_data``).
+
+    This is the native-tier counterpart of the XLA sharded path's
+    source axis: per-device HBM holds 1/nshards of the catalog, so
+    capacity scales with the mesh. Returns ``None`` when the model is
+    not free-completeness single-epoch or the resident grids exceed
+    VMEM (those configurations keep the other paths).
+    """
+    from lumfuncmcmc_tpu.ops.pallas_lnlike import (
+        _clamp_flim, make_stream_shard_batched)
+
+    if bool(layout.fix_comp):
+        return None
+    ns_shards = mesh.shape[AXIS_SOURCES]
+    nw_shards = mesh.shape[AXIS_WALKERS]
+    batched, s_stacked = make_stream_shard_batched(
+        ctx, layout, ns_shards, interpret=interpret)
+    if batched is None:
+        return None
+    lo = jnp.asarray(layout.lo, jnp.float32)
+    hi = jnp.asarray(layout.hi, jnp.float32)
+
+    def local(thetas_blk, s_blk):
+        thetas_blk = thetas_blk.astype(jnp.float32)
+        s_local = tuple(a[0] for a in s_blk)   # (1, SR, 128) -> (SR, 128)
+        lnl = batched(_clamp_flim(thetas_blk, layout), s_local)
+        lnl = jax.lax.psum(lnl, AXIS_SOURCES)
+        ok = jnp.all((thetas_blk >= lo) & (thetas_blk <= hi), axis=1)
+        return jnp.where(ok, lnl, -jnp.inf)
+
+    sharded_fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(AXIS_WALKERS),
+                  tuple(P(AXIS_SOURCES) for _ in s_stacked)),
+        out_specs=P(AXIS_WALKERS), check_vma=False)
+
+    def batch(thetas):
+        w = thetas.shape[0]
+        wpad = -(-w // nw_shards) * nw_shards
+        if wpad != w:
+            thetas = jnp.concatenate(
+                [thetas,
+                 jnp.broadcast_to(thetas[:1],
+                                  (wpad - w,) + thetas.shape[1:])])
+        return sharded_fn(thetas, s_stacked)[:w]
+
+    batch.engine = "pallas"
+    return batch
+
+
 def run_stretch_ensembles_sharded(lnprob_batch, pos0, key, nsteps,
                                   mesh, a=2.0, thin=1, move="stretch",
                                   de_prob=0.5):

@@ -197,6 +197,64 @@ def test_pallas_sharded_z_and_hier_models():
     np.testing.assert_allclose(got_h[fin_h], ref_h[fin_h], rtol=5e-4)
 
 
+@pytest.mark.parametrize("mesh_shape", [(2, 4), (1, 8)])
+def test_pallas_stream_sharded_matches_unsharded(setup, mesh_shape):
+    """2-D native parallelism: round-robin source shards streamed by
+    the Pallas kernel per device + one psum reconstruct the unsharded
+    lnprob (the grid integral is pre-scaled 1/nshards)."""
+    from lumfuncmcmc_tpu.parallel.sharding import (
+        make_pallas_lnprob_stream_sharded)
+    cfg, ctx, layout = setup
+    thetas = sample_init(jax.random.PRNGKey(11), layout, 16)
+    ref = _ref_vals(ctx, layout, thetas)
+    mesh = make_mesh(*mesh_shape)
+    fn = make_pallas_lnprob_stream_sharded(ctx, layout, mesh,
+                                           interpret=True)
+    assert fn is not None and fn.engine == "pallas"
+    got = np.asarray(jax.jit(fn)(jnp.asarray(thetas, jnp.float32)))
+    fin = np.isfinite(ref)
+    np.testing.assert_array_equal(np.isfinite(got), fin)
+    np.testing.assert_allclose(got[fin], ref[fin], rtol=5e-4)
+
+
+def test_pallas_stream_sharded_gates(setup, monkeypatch):
+    """fix_comp has no streamed source term (collapsed ln-term) and
+    over-VMEM grids cannot stay resident: both return None. The model
+    engine selection routes over-VMEM free-comp catalogs on a
+    source-sharded mesh to the streaming path."""
+    import lumfuncmcmc_tpu.ops.pallas_lnlike as pk
+    from lumfuncmcmc_tpu.models.likelihood import ThetaLayout as TL
+    from lumfuncmcmc_tpu.models.model import LumFuncModel
+    from lumfuncmcmc_tpu.parallel.sharding import (
+        make_pallas_lnprob_stream_sharded)
+    cfg, ctx, layout = setup
+    mesh = make_mesh(2, 4)
+    layout_fixed = TL.from_config(cfg.replace(fix_comp=True))
+    assert make_pallas_lnprob_stream_sharded(
+        ctx, layout_fixed, mesh, interpret=True) is None
+    monkeypatch.setattr(pk, "_VMEM_ARRAY_LIMIT", 64)
+    assert make_pallas_lnprob_stream_sharded(
+        ctx, layout, mesh, interpret=True) is None
+
+    # model-level routing: source arrays over budget, grids resident
+    ncells = int(np.prod(np.asarray(ctx.logL_grid).shape))
+    monkeypatch.setattr(pk, "_VMEM_ARRAY_LIMIT", ncells * 5 * 4 + 16)
+    cfg2 = cfg.replace(use_pallas=True, pallas_interpret=True,
+                       nwalkers=16, nsteps=4)
+    cat = apply_completeness_cut(make_catalog(cfg2, n_target=300,
+                                              seed=9), cfg2)
+    m = LumFuncModel(cfg2, z=cat["z"], flux=cat["flux"],
+                     flux_e=cat["flux_e"], field_id=cat["field_id"],
+                     mesh=mesh)
+    fn = m.lnprob_batch()
+    assert getattr(fn, "engine", None) == "pallas"
+    thetas = sample_init(jax.random.PRNGKey(12), layout, 8)
+    ref = _ref_vals(m.ctx, m.layout, thetas)
+    got = np.asarray(fn(jnp.asarray(thetas, jnp.float32)))
+    finm = np.isfinite(ref)
+    np.testing.assert_allclose(got[finm], ref[finm], rtol=5e-4)
+
+
 def test_model_mesh_plus_pallas_composes(setup, monkeypatch):
     """fit_model with mesh + use_pallas runs the NATIVE engine (the
     round-2 silent XLA downgrade, models/model.py:195-200, is gone),
