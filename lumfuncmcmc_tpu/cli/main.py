@@ -428,6 +428,8 @@ def cmd_fitz(args):
     print("Labels:", names)
     if cfg.sampler == "nuts":
         model.fit_model_nuts()
+    elif (getattr(args, "ensembles", None) or 0) > 1:
+        model.fit_model_ensembles(int(args.ensembles))
     else:
         model.fit_model()
     from lumfuncmcmc_tpu.parallel.distributed import is_primary
@@ -466,6 +468,8 @@ def cmd_fith(args):
     print("Labels:", names)
     if cfg.sampler == "nuts":
         model.fit_model_nuts()
+    elif (getattr(args, "ensembles", None) or 0) > 1:
+        model.fit_model_ensembles(int(args.ensembles))
     else:
         model.fit_model()
     from lumfuncmcmc_tpu.parallel.distributed import is_primary

@@ -450,6 +450,7 @@ class _BaseModel:
         target or after ``max_blocks``. Produces the same ``samples``
         layout as :meth:`fit_model`.
         """
+        from lumfuncmcmc_tpu.parallel.distributed import to_host
         cfg = self.cfg
         block_steps = int(block_steps or cfg.nsteps)
         if key is None:
@@ -458,6 +459,8 @@ class _BaseModel:
         lnprob = self.lnprob_batch()
         pos = self._initial_positions(k_init)
         ndim = pos.shape[1]
+        if jax.process_count() > 1:
+            pos = np.asarray(pos)
 
         chains, lnps_parts = [], []
         acc = 0.0
@@ -466,13 +469,15 @@ class _BaseModel:
         nblocks = 0
         for nblocks in range(1, max_blocks + 1):
             kk, k_blk = jax.random.split(kk)
+            if jax.process_count() > 1:
+                k_blk = np.asarray(k_blk)
             state, ch, lp, ac = run_stretch(lnprob, pos, k_blk,
                                             block_steps,
                                             move=self.cfg.move)
             pos = state.pos
-            chains.append(np.asarray(ch))
-            lnps_parts.append(np.asarray(lp))
-            acc = acc + np.asarray(ac)
+            chains.append(to_host(ch))
+            lnps_parts.append(to_host(lp))
+            acc = acc + to_host(ac)
             chain = np.concatenate(chains)
             burn, tau = burnin_steps(chain, chain.shape[0])
             post = chain[burn:]
