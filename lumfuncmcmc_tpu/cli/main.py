@@ -339,11 +339,19 @@ def cmd_fit(args):
     import jax
     prof = (jax.profiler.trace(args.profile) if args.profile
             else contextlib.nullcontext())
+    ens = int(getattr(args, "ensembles", None) or 0)
     with prof:
         if cfg.sampler == "nuts":
+            if ens > 1:
+                print("WARNING: --ensembles applies to the ensemble "
+                      "sampler; ignored under --sampler nuts")
             model.fit_model_nuts()
-        elif (getattr(args, "ensembles", None) or 0) > 1:
-            model.fit_model_ensembles(int(args.ensembles))
+        elif ens > 1:
+            if cfg.checkpoint_every:
+                print("WARNING: mid-run checkpointing is not "
+                      "implemented for --ensembles; running without "
+                      "checkpoints")
+            model.fit_model_ensembles(ens)
         else:
             from lumfuncmcmc_tpu.utils.io import artifact_path
             ck = (artifact_path(outdir, "checkpoint",
@@ -426,10 +434,14 @@ def cmd_fitz(args):
         return 0
     names = model.get_param_names()
     print("Labels:", names)
+    ens = int(getattr(args, "ensembles", None) or 0)
     if cfg.sampler == "nuts":
+        if ens > 1:
+            print("WARNING: --ensembles applies to the ensemble "
+                  "sampler; ignored under --sampler nuts")
         model.fit_model_nuts()
-    elif (getattr(args, "ensembles", None) or 0) > 1:
-        model.fit_model_ensembles(int(args.ensembles))
+    elif ens > 1:
+        model.fit_model_ensembles(ens)
     else:
         model.fit_model()
     from lumfuncmcmc_tpu.parallel.distributed import is_primary
@@ -466,10 +478,14 @@ def cmd_fith(args):
         return 0
     names = model.get_param_names()
     print("Labels:", names)
+    ens = int(getattr(args, "ensembles", None) or 0)
     if cfg.sampler == "nuts":
+        if ens > 1:
+            print("WARNING: --ensembles applies to the ensemble "
+                  "sampler; ignored under --sampler nuts")
         model.fit_model_nuts()
-    elif (getattr(args, "ensembles", None) or 0) > 1:
-        model.fit_model_ensembles(int(args.ensembles))
+    elif ens > 1:
+        model.fit_model_ensembles(ens)
     else:
         model.fit_model()
     from lumfuncmcmc_tpu.parallel.distributed import is_primary

@@ -150,7 +150,7 @@ class _BaseModel:
         self.nfreeparams = len(vals)
         return vals
 
-    def _resolve_use_pallas(self):
+    def _resolve_use_pallas(self, per_dev_walkers=None):
         """cfg.use_pallas=None means auto: the native tier is the default
         engine on TPU backends (it beats XLA fusion on every measured
         grid at production walker counts — docs/PERFORMANCE.md); off
@@ -170,9 +170,11 @@ class _BaseModel:
             if jax.default_backend() != "tpu" or cfg.exact_bounds:
                 return False
             # the XLA-wins exception below is a per-device ensemble-size
-            # effect: under a mesh each device sees nwalkers/ndev
-            walkers_per_dev = cfg.nwalkers
-            if self.mesh is not None:
+            # effect: under a mesh each device sees nwalkers/ndev —
+            # EXCEPT the whole-ensembles-per-device path, whose callers
+            # pass the full per-device batch via per_dev_walkers
+            walkers_per_dev = per_dev_walkers or cfg.nwalkers
+            if per_dev_walkers is None and self.mesh is not None:
                 walkers_per_dev = max(1, cfg.nwalkers
                                       // self.mesh.devices.size)
             if (cfg.fix_comp and self.model_kind == "single"
@@ -212,12 +214,9 @@ class _BaseModel:
                         # round-robin shard the slabs so per-device HBM
                         # holds 1/ns of the catalog (capacity scaling);
                         # smaller catalogs keep joint walker sharding
-                        from lumfuncmcmc_tpu.ops import (
-                            pallas_lnlike as _pk)
-                        ncells = int(np.prod(self.ctx.logL_grid.shape))
-                        nsrc = int(self.ctx.lum.shape[0])
-                        if (ncells * 5 + nsrc * 6) * 4 > \
-                                _pk._VMEM_ARRAY_LIMIT:
+                        from lumfuncmcmc_tpu.ops.pallas_lnlike import (
+                            free_comp_over_vmem)
+                        if free_comp_over_vmem(self.ctx):
                             fn = make_pallas_lnprob_stream_sharded(
                                 self.ctx, self.layout, self.mesh,
                                 interpret=cfg.pallas_interpret)
@@ -336,8 +335,30 @@ class _BaseModel:
             chains, lnps_parts, acc = [], [], 0.0
             state_pos = pos0
             remaining, kk = nsteps_exec, k_run
-            if resume and checkpoint_path and \
-                    os.path.exists(checkpoint_path):
+            have_ck = bool(resume and checkpoint_path
+                           and os.path.exists(checkpoint_path))
+            if jax.process_count() > 1:
+                # the resume decision must be COLLECTIVE: process 0 is
+                # the only checkpoint writer, so on a non-shared
+                # filesystem the others would see no file, run a
+                # different program, and wedge the first collective.
+                # Verify every process sees the same resume state and
+                # fail with an actionable message instead of hanging.
+                from jax.experimental import multihost_utils
+                done_local = 0
+                if have_ck:
+                    done_local = int(np.load(checkpoint_path)
+                                     ["chain"].shape[0]) * thin
+                dones = np.asarray(multihost_utils.process_allgather(
+                    jnp.asarray([done_local]))).ravel()
+                if not np.all(dones == dones[0]):
+                    raise RuntimeError(
+                        "checkpoint resume in a multi-process run "
+                        "requires the checkpoint on a SHARED filesystem:"
+                        f" processes see resume steps {dones.tolist()} "
+                        "— copy the checkpoint to every host (or place "
+                        "it on shared storage) and rerun")
+            if have_ck:
                 ck = np.load(checkpoint_path)
                 if "fingerprint" in ck:
                     # nsteps is deliberately NOT fingerprinted:
@@ -549,8 +570,11 @@ class _BaseModel:
         if self.mesh is not None:
             from lumfuncmcmc_tpu.parallel.sharding import (
                 run_stretch_ensembles_sharded)
+            # each device runs FULL nwalkers-sized ensemble batches —
+            # resolve the engine for that batch size, not nwalkers/ndev
             lnprob = self._meshless_batch(
-                self.cfg.replace(use_pallas=self._resolve_use_pallas()))
+                self.cfg.replace(use_pallas=self._resolve_use_pallas(
+                    per_dev_walkers=cfg.nwalkers)))
             if jax.process_count() > 1:
                 pos0 = np.asarray(pos0)
                 k_run = np.asarray(k_run)
@@ -576,7 +600,13 @@ class _BaseModel:
         burn, tau = burnin_steps(pooled, pooled.shape[0])
         self.acceptance_fraction = float(np.mean(np.asarray(acc))
                                          / nsteps_exec)
-        rhat_ens = gelman_rubin_ensembles(chains[:, burn:])
+        if chains.shape[1] - burn >= 2:
+            rhat_ens = gelman_rubin_ensembles(chains[:, burn:])
+        else:
+            self.log.warning(
+                "post-burn-in chain has <2 recorded steps — "
+                "cross-ensemble R-hat undefined (run longer)")
+            rhat_ens = np.full(ndim, np.nan)
         ess = effective_sample_size(pooled[burn:])
         self.log.info("Mean acceptance fraction: %0.2f" %
                       self.acceptance_fraction)

@@ -254,18 +254,26 @@ def _pack_flat(per_field_cols, fills):
     return packed, tuple(cells)
 
 
-def prepare_pallas_data(ctx: LFContext, fix_comp: bool,
-                        flat: bool = True,
-                        src_row_align: int = 1) -> PallasGridData:
-    """Flatten/pad the context grids into the kernel layout.
+_GFILLS = {"logf": -30.0, "a": 0.0, "p": _P_PAD, "r": 1.0, "w": 0.0}
+
+
+def free_comp_over_vmem(ctx: LFContext) -> bool:
+    """True when the free-completeness resident layout (5 grid + 6
+    source arrays, f32) exceeds the VMEM budget — the boundary between
+    the resident kernels and the streaming/source-sharded tiers.
+    Reads ``_VMEM_ARRAY_LIMIT`` dynamically (tests monkeypatch it)."""
+    ncells = int(np.prod(np.asarray(ctx.logL_grid).shape))
+    nsrc = int(np.asarray(ctx.lum).shape[0])
+    return (ncells * 5 + nsrc * 6) * 4 > _VMEM_ARRAY_LIMIT
+
+
+def _grid_cols(ctx: LFContext, fix_comp: bool, lref: float):
+    """Per-field grid feature dicts shared by every grid pack.
 
     Free completeness folds the per-field area fraction and the ln10
     Schechter prefactor into the weights; fixed completeness uses the
     frozen ``w_fixed`` (area and Omega already inside) times ln10.
-    ``src_row_align`` pads each field's source rows to that multiple
-    (the streaming kernel needs fields aligned to whole slabs).
     """
-    lref = float(ctx.lref)
     logL = np.asarray(ctx.logL_grid, dtype=np.float64)
     nf = logL.shape[0]
     if fix_comp:
@@ -276,7 +284,6 @@ def prepare_pallas_data(ctx: LFContext, fix_comp: bool,
         w = (np.asarray(ctx.w_open, dtype=np.float64)
              * om0_f[:, None, None] * LN10)
         logf = np.asarray(ctx.logf_grid, dtype=np.float64)
-
     gcols = []
     for f in range(nf):
         ll, lf = logL[f].ravel(), logf[f].ravel()
@@ -286,7 +293,21 @@ def prepare_pallas_data(ctx: LFContext, fix_comp: bool,
             "r": 10.0 ** np.clip(lf - _LOGF_REF, -30.0, 25.0),
             "w": w[f].ravel(),
         })
-    gfills = {"logf": -30.0, "a": 0.0, "p": _P_PAD, "r": 1.0, "w": 0.0}
+    return gcols
+
+
+def prepare_pallas_data(ctx: LFContext, fix_comp: bool,
+                        flat: bool = True,
+                        src_row_align: int = 1) -> PallasGridData:
+    """Flatten/pad the context grids into the kernel layout.
+
+    ``src_row_align`` pads each field's source rows to that multiple
+    (the streaming kernel needs fields aligned to whole slabs).
+    """
+    lref = float(ctx.lref)
+    nf = int(np.asarray(ctx.logL_grid).shape[0])
+    gcols = _grid_cols(ctx, fix_comp, lref)
+    gfills = _GFILLS
     gpack, grid_rows = (_pack_flat(gcols, gfills) if flat
                         else _pack_rows(gcols, gfills))
 
@@ -337,23 +358,11 @@ def prepare_stream_shard_data(ctx: LFContext, nshards: int):
     with ``s_stacked`` a dict name -> (nshards, SR, 128) array.
     """
     lref = float(ctx.lref)
-    logL = np.asarray(ctx.logL_grid, dtype=np.float64)
-    nf = logL.shape[0]
-    om0_f = np.asarray(ctx.omega0_f, dtype=np.float64) / SQARCSEC_PER_SR
-    w = (np.asarray(ctx.w_open, dtype=np.float64)
-         * om0_f[:, None, None] * LN10 / float(nshards))
-    logf = np.asarray(ctx.logf_grid, dtype=np.float64)
-    gcols = []
-    for f in range(nf):
-        ll, lf = logL[f].ravel(), logf[f].ravel()
-        gcols.append({
-            "logf": lf, "a": LN10 * ll,
-            "p": 10.0 ** np.clip(ll - lref, -30.0, 25.0),
-            "r": 10.0 ** np.clip(lf - _LOGF_REF, -30.0, 25.0),
-            "w": w[f].ravel(),
-        })
-    gfills = {"logf": -30.0, "a": 0.0, "p": _P_PAD, "r": 1.0, "w": 0.0}
-    gpack, grid_rows = _pack_rows(gcols, gfills)
+    nf = int(np.asarray(ctx.logL_grid).shape[0])
+    gcols = _grid_cols(ctx, fix_comp=False, lref=lref)
+    for cols in gcols:
+        cols["w"] = cols["w"] / float(nshards)
+    gpack, grid_rows = _pack_rows(gcols, _GFILLS)
 
     fid = np.asarray(ctx.field_id)
     lum = np.asarray(ctx.lum, dtype=np.float64)

@@ -82,6 +82,10 @@ def gelman_rubin_ensembles(chains):
     if x.ndim != 4 or x.shape[0] < 2:
         raise ValueError("need (C>=2, nsteps, nwalkers, ndim) chains")
     c, n, w, d = x.shape
+    if n < 2:
+        # half = 0 would variance-reduce over an empty axis -> NaN
+        raise ValueError(
+            f"need >= 2 recorded post-burn-in steps to split, got {n}")
     half = n // 2
     groups = np.concatenate([x[:, :half], x[:, half:2 * half]],
                             axis=0)                  # (2C, half, W, D)
