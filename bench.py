@@ -130,6 +130,10 @@ def main():
     ap.add_argument("--mega", action="store_true",
                     help="also run the 1e6-source x 1000-walker "
                          "mega-catalog configuration (BASELINE.json)")
+    ap.add_argument("--stream-vg-nsrc", type=int, default=600_000,
+                    help="catalog size for the default streaming "
+                         "value+grad A/B (must exceed the VMEM gate; "
+                         "0 disables)")
     args = ap.parse_args()
 
     import jax
@@ -351,6 +355,54 @@ def main():
             f"length: {jtau:.1f}); MEASURED matched-ESS ratio "
             f"{measured_ratio:,.0f}x")
 
+    # streaming value+grad A/B (default-on, compact): free-completeness
+    # NUTS gradients past the VMEM gate — one HBM pass per leapfrog vs
+    # XLA's forward+backward two
+    stream_vg_detail = {}
+    if args.stream_vg_nsrc > 0 and jax.default_backend() == "tpu":
+        from lumfuncmcmc_tpu.ops.pallas_lnlike import (
+            free_comp_over_vmem, make_pallas_lnprob_and_grad)
+        cfg_s = cfg.replace(quadrature="gauss")
+        cat_s = apply_completeness_cut(
+            make_catalog(cfg_s, n_target=args.stream_vg_nsrc, seed=7,
+                         lum_err_dex=0.0), cfg_s)
+        _, ctx_s = build_context(cfg_s, z=cat_s["z"], flux=cat_s["flux"],
+                                 flux_e=cat_s["flux_e"],
+                                 field_id=cat_s["field_id"])
+        if not free_comp_over_vmem(ctx_s):
+            log(f"stream-vg: {len(cat_s['z'])} sources fit in VMEM — "
+                "skipping (raise --stream-vg-nsrc)")
+        else:
+            pal_vg = make_pallas_lnprob_and_grad(ctx_s, layout)
+            mid_s = 0.5 * (np.asarray(layout.lo)
+                           + np.asarray(layout.hi))
+            th8 = np.asarray(sample_init(jax.random.PRNGKey(5),
+                                         layout, 8))
+            th8 = jnp.asarray(0.8 * mid_s[None, :] + 0.2 * th8,
+                              jnp.float32)
+            vg_walls = {}
+            for name, fn in (("pallas", pal_vg),
+                             ("xla", make_lnprob(ctx_s, layout))):
+                vgf = jax.jit(jax.vmap(jax.value_and_grad(fn)))
+                jax.block_until_ready(vgf(th8)[0])
+                t0 = time.time()
+                for _ in range(10):
+                    out_vg = vgf(th8)
+                jax.block_until_ready(out_vg[0])
+                vg_walls[name] = (time.time() - t0) / 10
+            stream_vg_detail = {
+                "stream_vg_sources": len(cat_s["z"]),
+                "stream_vg_pallas_ms": round(
+                    1e3 * vg_walls["pallas"], 3),
+                "stream_vg_xla_ms": round(1e3 * vg_walls["xla"], 3),
+                "stream_vg_pallas_vs_xla": round(
+                    vg_walls["xla"] / vg_walls["pallas"], 3),
+            }
+            log(f"stream-vg (8 chains, {len(cat_s['z']):,} srcs): "
+                f"pallas {1e3 * vg_walls['pallas']:.2f} ms vs xla "
+                f"{1e3 * vg_walls['xla']:.2f} ms "
+                f"({vg_walls['xla'] / vg_walls['pallas']:.2f}x)")
+
     mega_detail = {}
     if args.mega:
         log("mega-catalog configuration (collapsed fixed-comp ln-term)")
@@ -475,6 +527,7 @@ def main():
             **vpu_detail,
             **base_tau_detail,
             **mix_detail,
+            **stream_vg_detail,
             **mega_detail,
         },
     }

@@ -62,6 +62,13 @@ def main():
     for i, name in enumerate(["logL*", "logphi*", "alpha"]):
         print(f"  NUTS     {name:8s} = {np.median(samples_n[:, i]):7.3f}")
 
+    # --- independent replicated ensembles + true multi-chain R-hat ---
+    # (on a multi-device mesh, pass mesh= to the model and the replicas
+    # run one-per-device: model = LumFuncModel(cfg, mesh=make_mesh(...)))
+    model.fit_model_ensembles(4)
+    print("  cross-ensemble R-hat:",
+          np.round(model.rhat_ensembles, 4))
+
     # --- 1/V_eff cross-check + chi^2 Schechter fit to the binned LF ---
     lavg, lfbin, var = model.veff_lf()
     good = lfbin > 0
