@@ -93,11 +93,10 @@ def numpy_stretch_chain(lnprob, pos0, nsteps, seed=0, a=2.0):
     # out-of-bounds proposals legitimately produce -inf lnp (log of an
     # underflowed density) and -inf - -inf = nan in the accept test —
     # nan compares False, i.e. reject, which is the intended behavior
-    errstate = np.errstate(divide="ignore", invalid="ignore")
-    with errstate:
+    with np.errstate(divide="ignore", invalid="ignore"):
         lnp = np.array([lnprob(p) for p in pos])
     chain = np.empty((nsteps, nw, ndim))
-    with errstate:
+    with np.errstate(divide="ignore", invalid="ignore"):
         for t in range(nsteps):
             for (s0, s1) in ((slice(0, nh), slice(nh, nw)),
                              (slice(nh, nw), slice(0, nh))):
