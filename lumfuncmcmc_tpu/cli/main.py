@@ -97,6 +97,12 @@ def _add_common_flags(p):
                         "(the native tier; DEFAULT on TPU backends)")
     p.add_argument("--no-pallas", dest="use_pallas", action="store_false",
                    help="force the XLA likelihood path")
+    p.add_argument("--min-ess", dest="min_ess", type=float, default=None,
+                   metavar="N",
+                   help="run until every parameter reaches N effective "
+                        "samples (convergence-controlled stopping; "
+                        "repeats nsteps-sized blocks, max 50) instead "
+                        "of a fixed step count")
     p.add_argument("--ensembles", type=int, default=None, metavar="C",
                    help="run C independent replicated ensembles in one "
                         "vmapped program and report the true "
@@ -352,6 +358,8 @@ def cmd_fit(args):
                       "implemented for --ensembles; running without "
                       "checkpoints")
             model.fit_model_ensembles(ens)
+        elif getattr(args, "min_ess", None):
+            model.fit_model_until(float(args.min_ess))
         else:
             from lumfuncmcmc_tpu.utils.io import artifact_path
             ck = (artifact_path(outdir, "checkpoint",

@@ -186,3 +186,16 @@ def test_output_dict_toggles_via_config(workdir, tmp_path):
     assert not (out / f"VeffLF_{base}.dat").exists()
     assert not (out / f"triangle_{base}.png").exists()
     assert not (out / "t.dat.args").exists()
+
+
+def test_fit_min_ess_cli(workdir, capsys):
+    """--min-ess runs blocks until the ESS target (fit_model_until was
+    library-only)."""
+    assert main(["fit", "--synthetic", "250", "-ns", "40", "-nw", "16",
+                 "-mcf", "0.5", "--size-ln", "21", "--min-ess", "300",
+                 "-o", "me.dat"]) == 0
+    base = "me_nb50_nw16_ns40_mcf50"
+    tab = read_fixed_width_two_line(
+        str(workdir / "LFMCMCOut" / f"fitposterior_{base}.dat"))
+    assert len(tab["Ln Prob"]) > 16
+    assert np.all(np.isfinite(tab["Ln Prob"]))
