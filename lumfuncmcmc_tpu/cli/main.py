@@ -58,6 +58,11 @@ def _add_common_flags(p):
                         "differential evolution, or a 50/50 per-step "
                         "mix (better-mixing option for correlated "
                         "posteriors)")
+    p.add_argument("--de-prob", dest="de_prob", type=float, default=None,
+                   help="--move mix: fraction of DE steps "
+                        "(deterministic schedule; default 0.5 = "
+                        "emcee-style equal weighting, flagship optimum "
+                        "~0.7)")
     p.add_argument("--size-ln", dest="size_ln", type=int, default=None)
     p.add_argument("--thin", type=int, default=None,
                    help="record every thin-th sampler step")
@@ -353,11 +358,13 @@ def cmd_fit(args):
                       "sampler; ignored under --sampler nuts")
             model.fit_model_nuts()
         elif ens > 1:
-            if cfg.checkpoint_every:
-                print("WARNING: mid-run checkpointing is not "
-                      "implemented for --ensembles; running without "
-                      "checkpoints")
-            model.fit_model_ensembles(ens)
+            from lumfuncmcmc_tpu.utils.io import artifact_path
+            ck = (artifact_path(outdir, "checkpoint",
+                                args.output_filename, cfg, ext="npz")
+                  if cfg.checkpoint_every else None)
+            model.fit_model_ensembles(
+                ens, checkpoint_path=ck,
+                resume=bool(ck and os.path.exists(ck)))
         elif getattr(args, "min_ess", None):
             model.fit_model_until(float(args.min_ess))
         else:

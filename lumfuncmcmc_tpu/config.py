@@ -116,6 +116,13 @@ class LFConfig:
                                            #   semantics) | "de"
                                            #   (differential evolution)
                                            #   | "mix" (50/50 per step)
+    de_prob: float = 0.5                   # move="mix": fraction of DE
+                                           #   steps (deterministic
+                                           #   Bresenham schedule); the
+                                           #   flagship optimum sits
+                                           #   near 0.7 (PERFORMANCE.md
+                                           #   sweep); 0.5 = emcee-style
+                                           #   equal weighting
     use_x64: Optional[bool] = None         # None = auto (x64 on CPU, f32 on TPU)
     size_ln: Optional[int] = None          # likelihood grid size; None = reference
                                            #   rule (101 free-comp / 201 fixed-comp,

@@ -368,17 +368,19 @@ class _BaseModel:
                     # checkpoint with --move mix would splice segments
                     # from different proposals.
                     move_id = _MOVE_IDS.get(cfg.move, -1)
+                    dp = int(round(1e4 * cfg.de_prob))
                     want = np.asarray([cfg.nwalkers, thin, every,
-                                       cfg.seed, move_id])
+                                       cfg.seed, move_id, dp])
                     saved = np.asarray(ck["fingerprint"])
                     if saved.shape[0] == 4:
-                        # pre-move checkpoint: the proposal wasn't
-                        # recorded, so it can't be verified — trust it
-                        saved = np.concatenate([saved, [move_id]])
+                        # pre-move checkpoint: proposal knobs weren't
+                        # recorded, so they can't be verified — trust it
+                        saved = np.concatenate([saved, [move_id, dp]])
                     if not np.array_equal(saved, want):
                         raise ValueError(
                             "checkpoint config mismatch: saved "
-                            f"(nwalkers, thin, every, seed, move) = "
+                            f"(nwalkers, thin, every, seed, move, "
+                            f"de_prob*1e4) = "
                             f"{tuple(saved)}, current = "
                             f"{tuple(want)} (move ids {_MOVE_IDS}) — "
                             "resuming with changed settings would "
@@ -405,7 +407,8 @@ class _BaseModel:
                     k_blk = np.asarray(k_blk)
                 state, ch, lp, ac = run_stretch(lnprob, state_pos, k_blk,
                                                 nblk, thin=thin,
-                                                move=cfg.move)
+                                                move=cfg.move,
+                                                de_prob=cfg.de_prob)
                 state_pos = state.pos
                 chains.append(to_host(ch))
                 lnps_parts.append(to_host(lp))
@@ -420,13 +423,15 @@ class _BaseModel:
                              acc=np.asarray(acc),
                              fingerprint=np.asarray(
                                  [cfg.nwalkers, thin, every, cfg.seed,
-                                  _MOVE_IDS.get(cfg.move, -1)]))
+                                  _MOVE_IDS.get(cfg.move, -1),
+                                  int(round(1e4 * cfg.de_prob))]))
             chain = np.concatenate(chains)
             lnps = np.concatenate(lnps_parts)
         else:
             state, chain, lnps, acc = run_stretch(lnprob, pos0, k_run,
                                                   nsteps_exec, thin=thin,
-                                                  move=cfg.move)
+                                                  move=cfg.move,
+                                                  de_prob=cfg.de_prob)
             chain, lnps, acc = (to_host(chain), to_host(lnps),
                                 to_host(acc))
         jax.block_until_ready(jnp.zeros(()))
@@ -494,7 +499,8 @@ class _BaseModel:
                 k_blk = np.asarray(k_blk)
             state, ch, lp, ac = run_stretch(lnprob, pos, k_blk,
                                             block_steps,
-                                            move=self.cfg.move)
+                                            move=self.cfg.move,
+                                            de_prob=self.cfg.de_prob)
             pos = state.pos
             chains.append(to_host(ch))
             lnps_parts.append(to_host(lp))
@@ -521,7 +527,9 @@ class _BaseModel:
         self.samples = full[burn:].reshape(-1, ndim + 1)
         return self.samples
 
-    def fit_model_ensembles(self, nensembles: int, key=None):
+    def fit_model_ensembles(self, nensembles: int, key=None,
+                            checkpoint_path: Optional[str] = None,
+                            resume: bool = False):
         """Run ``nensembles`` independent replicated ensembles in one
         vmapped program (``run_stretch_ensembles``) and report the TRUE
         multi-chain Gelman-Rubin across them (new capability — walkers
@@ -531,9 +539,13 @@ class _BaseModel:
         Replicated chains also fill the chip when one ensemble's batch
         is small (docs/PERFORMANCE.md walker-scaling table). Produces
         the same ``samples`` layout as :meth:`fit_model`, pooling the
-        post-burn samples of every ensemble.
+        post-burn samples of every ensemble. ``checkpoint_every`` /
+        ``checkpoint_path`` / ``resume`` work as in :meth:`fit_model`
+        (the chain npz carries a leading ensemble axis and the
+        fingerprint additionally pins ``nensembles``).
         """
-        from lumfuncmcmc_tpu.parallel.distributed import to_host
+        from lumfuncmcmc_tpu.parallel.distributed import (
+            is_primary, to_host)
         from lumfuncmcmc_tpu.samplers.affine import run_stretch_ensembles
         from lumfuncmcmc_tpu.samplers.diagnostics import (
             gelman_rubin_ensembles)
@@ -577,19 +589,103 @@ class _BaseModel:
                     per_dev_walkers=cfg.nwalkers)))
             if jax.process_count() > 1:
                 pos0 = np.asarray(pos0)
-                k_run = np.asarray(k_run)
-            state, chains, lnps, acc = run_stretch_ensembles_sharded(
-                lnprob, pos0, k_run, nsteps_exec, mesh=self.mesh,
-                thin=thin, move=cfg.move)
+
+            def runner(p, k, n):
+                if jax.process_count() > 1:
+                    k = np.asarray(k)
+                return run_stretch_ensembles_sharded(
+                    lnprob, p, k, n, mesh=self.mesh, thin=thin,
+                    move=cfg.move, de_prob=cfg.de_prob)
         else:
             lnprob = self.lnprob_batch()
-            state, chains, lnps, acc = run_stretch_ensembles(
-                lnprob, pos0, k_run, nsteps_exec, thin=thin,
-                move=cfg.move)
-        chains = to_host(chains)      # (C, nsteps, W, D)
-        lnps = to_host(lnps)
-        acc = to_host(acc)
-        jax.block_until_ready(state.pos)
+
+            def runner(p, k, n):
+                return run_stretch_ensembles(lnprob, p, k, n,
+                                             thin=thin, move=cfg.move,
+                                             de_prob=cfg.de_prob)
+
+        every = cfg.checkpoint_every or 0
+        if checkpoint_path and not checkpoint_path.endswith(".npz"):
+            checkpoint_path += ".npz"
+        if every and 0 < every < nsteps_exec:
+            if every % thin:
+                every = max(thin, every - (every % thin))
+                self.log.warning(
+                    "checkpoint_every rounded down to %d (a multiple of "
+                    "thin=%d)" % (every, thin))
+            ch_parts, lp_parts, acc = [], [], 0.0
+            pos = pos0
+            remaining, kk = nsteps_exec, k_run
+            have_ck = bool(resume and checkpoint_path
+                           and os.path.exists(checkpoint_path))
+            if jax.process_count() > 1:
+                # collective resume check — see fit_model
+                from jax.experimental import multihost_utils
+                done_local = 0
+                if have_ck:
+                    done_local = int(np.load(checkpoint_path)
+                                     ["chain"].shape[1]) * thin
+                dones = np.asarray(multihost_utils.process_allgather(
+                    jnp.asarray([done_local]))).ravel()
+                if not np.all(dones == dones[0]):
+                    raise RuntimeError(
+                        "checkpoint resume in a multi-process run "
+                        "requires the checkpoint on a SHARED "
+                        f"filesystem: processes see {dones.tolist()}")
+            if have_ck:
+                ck = np.load(checkpoint_path)
+                if "fingerprint" in ck:
+                    want = np.asarray([cfg.nwalkers, thin, every,
+                                       cfg.seed,
+                                       _MOVE_IDS.get(cfg.move, -1),
+                                       int(round(1e4 * cfg.de_prob)),
+                                       nensembles])
+                    if not np.array_equal(np.asarray(ck["fingerprint"]),
+                                          want):
+                        raise ValueError(
+                            "ensemble-checkpoint config mismatch: saved "
+                            f"{tuple(ck['fingerprint'])}, current "
+                            f"{tuple(want)} ((nwalkers, thin, every, "
+                            "seed, move, de_prob*1e4, nensembles))")
+                done = ck["chain"].shape[1] * thin   # (C, rows, W, D)
+                ch_parts = [ck["chain"]]
+                lp_parts = [ck["lnprobability"]]
+                acc = ck["acc"]
+                pos = jnp.asarray(ck["chain"][:, -1])
+                remaining = nsteps_exec - done
+                for _ in range(-(-done // every)):
+                    kk, _ = jax.random.split(kk)
+                self.log.info("Resumed ensembles from checkpoint at "
+                              "step %d" % done)
+            while remaining > 0:
+                kk, k_blk = jax.random.split(kk)
+                nblk = min(every, remaining)
+                state, ch, lp, ac = runner(pos, k_blk, nblk)
+                pos = state.pos
+                ch_parts.append(to_host(ch))
+                lp_parts.append(to_host(lp))
+                acc = acc + to_host(ac)
+                remaining -= nblk
+                if checkpoint_path and is_primary():
+                    np.savez(checkpoint_path,
+                             chain=np.concatenate(ch_parts, axis=1),
+                             lnprobability=np.concatenate(lp_parts,
+                                                          axis=1),
+                             acc=np.asarray(acc),
+                             fingerprint=np.asarray(
+                                 [cfg.nwalkers, thin, every, cfg.seed,
+                                  _MOVE_IDS.get(cfg.move, -1),
+                                  int(round(1e4 * cfg.de_prob)),
+                                  nensembles]))
+            chains = np.concatenate(ch_parts, axis=1)
+            lnps = np.concatenate(lp_parts, axis=1)
+            acc = np.asarray(acc)
+        else:
+            state, chains, lnps, acc = runner(pos0, k_run, nsteps_exec)
+            chains = to_host(chains)      # (C, nsteps, W, D)
+            lnps = to_host(lnps)
+            acc = to_host(acc)
+        jax.block_until_ready(jnp.zeros(()))
         elapsed = time.time() - start
         self.log.info("Total time taken: %0.2f s" % elapsed)
 

@@ -246,3 +246,30 @@ def test_fit_model_ensembles_sharded_matches_unsharded(small_inputs):
     np.testing.assert_allclose(m_mesh.chain, m_plain.chain, rtol=1e-12)
     np.testing.assert_allclose(m_mesh.rhat_ensembles,
                                m_plain.rhat_ensembles, rtol=1e-9)
+
+
+def test_fit_model_ensembles_checkpoint_resume(small_inputs, tmp_path):
+    """Ensembles checkpointing mirrors fit_model: a truncated
+    checkpoint resumes via key-stream replay to the identical pooled
+    chain, and a changed ensemble count is rejected."""
+    cfg, cat = small_inputs
+    cfg = cfg.replace(nwalkers=8, nsteps=40, checkpoint_every=10)
+    ck = str(tmp_path / "ens.npz")
+
+    m1 = _model(cfg, cat)
+    m1.fit_model_ensembles(3, checkpoint_path=ck)
+    full_chain = m1.chain.copy()
+
+    saved = np.load(ck)
+    assert saved["chain"].shape[0] == 3          # leading ensemble axis
+    np.savez(ck, chain=saved["chain"][:, :20],
+             lnprobability=saved["lnprobability"][:, :20],
+             acc=saved["acc"], fingerprint=saved["fingerprint"])
+
+    m2 = _model(cfg, cat)
+    m2.fit_model_ensembles(3, checkpoint_path=ck, resume=True)
+    np.testing.assert_allclose(m2.chain, full_chain, rtol=1e-12)
+
+    m3 = _model(cfg, cat)
+    with pytest.raises(ValueError, match="ensemble-checkpoint"):
+        m3.fit_model_ensembles(4, checkpoint_path=ck, resume=True)
