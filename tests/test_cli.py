@@ -199,3 +199,30 @@ def test_fit_min_ess_cli(workdir, capsys):
         str(workdir / "LFMCMCOut" / f"fitposterior_{base}.dat"))
     assert len(tab["Ln Prob"]) > 16
     assert np.all(np.isfinite(tab["Ln Prob"]))
+
+
+def test_vmax_linear_integ_correct_low(workdir):
+    """The remaining cmd_vmax branches: --linear (combineSteps path,
+    linear luminosities), --integ (integral-amplitude Schechter), and
+    --correct-low (partial-bin completeness correction); --linear +
+    --correct-low is refused (the reference applies the correction in
+    getBootErrLog only)."""
+    base = ["vmax", "--synthetic", "500", "-mcf", "0.5", "-nbins", "10",
+            "-nboot", "20"]
+    assert main(base + ["--linear", "-o", "lin.png"]) == 0
+    lin = workdir / "ImageFiles" / "Lin" / "lin.dat"
+    assert lin.exists()
+    tab = read_fixed_width_two_line(str(lin))
+    lum = np.asarray(tab["Luminosity"], dtype=float)
+    assert np.all(lum > 1e38)          # LINEAR erg/s, not log10
+
+    assert main(base + ["--integ", "-o", "ig.png"]) == 0
+    assert (workdir / "ImageFiles" / "Log" / "ig_log.dat").exists()
+
+    assert main(base + ["--correct-low", "-o", "cl.png"]) == 0
+    cl = read_fixed_width_two_line(
+        str(workdir / "ImageFiles" / "Log" / "cl_log.dat"))
+    assert np.all(np.isfinite(np.asarray(cl["BinLF"], dtype=float)))
+
+    with pytest.raises(SystemExit, match="log-binning feature"):
+        main(base + ["--linear", "--correct-low", "-o", "bad.png"])
