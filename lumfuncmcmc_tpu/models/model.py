@@ -740,8 +740,7 @@ class _BaseModel:
         free_single = (self.model_kind == "single"
                        and not self.cfg.fix_comp
                        and not self.cfg.exact_bounds)
-        if not (free_single and self.mesh is None
-                and self._resolve_use_pallas()):
+        if not (free_single and self._resolve_use_pallas()):
             return scalar
         from lumfuncmcmc_tpu.ops.pallas_lnlike import (
             make_pallas_lnprob_and_grad)
@@ -774,9 +773,28 @@ class _BaseModel:
         lo, hi = self.layout.bounds_arrays()
         lnp_y, to_theta, to_y = make_unconstrained(post, lo, hi)
 
+        # with a mesh AND the native gradient kernel, chains run as
+        # per-device NUTS replicas under shard_map (XLA cannot
+        # partition a pallas_call); the XLA-gradient mesh path keeps
+        # jit auto-partitioning with globally-pooled adaptation
+        native_mesh = (self.mesh is not None
+                       and getattr(post, "engine", None) == "pallas")
         pos = self._initial_positions(k_init)
         nchains = min(nchains, pos.shape[0])
-        if self.mesh is not None:
+        if native_mesh:
+            ndev = int(self.mesh.devices.size)
+            if ndev > pos.shape[0]:
+                raise ValueError(
+                    f"mesh has {ndev} devices but only {pos.shape[0]} "
+                    "walkers are available to seed NUTS chains; raise "
+                    "nwalkers or shrink the mesh")
+            if nchains % ndev:
+                new = max(ndev, nchains - nchains % ndev)
+                self.log.info("Rounding nchains %d -> %d (multiple of "
+                              "the %d-device mesh)"
+                              % (nchains, new, ndev))
+                nchains = new
+        elif self.mesh is not None:
             # chains are embarrassingly parallel: shard them over the
             # mesh walker axis and let SPMD partitioning do the rest
             # (the source axis is unused by NUTS — its devices replicate)
@@ -799,7 +817,11 @@ class _BaseModel:
         mid = (lo + hi) / 2.0
         start = 0.8 * mid[None, :] + 0.2 * start
         y0 = jax.vmap(to_y)(start)
-        if self.mesh is not None:
+        if native_mesh:
+            self.log.info("NUTS: per-device replicas over the %d-device"
+                          " mesh, native Pallas value+grad per device"
+                          % self.mesh.devices.size)
+        elif self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
             from lumfuncmcmc_tpu.parallel.mesh import AXIS_WALKERS
             y0 = jax.device_put(
@@ -811,10 +833,25 @@ class _BaseModel:
         self.log.info("Fitting with NUTS (%d chains, %d warmup, %d "
                       "samples)" % (nchains, num_warmup, cfg.nsteps))
         t0 = time.time()
-        samples_y, lnps_y, alphas, eps, div_frac = run_nuts(
-            lnp_y, y0, k_run, num_warmup=int(num_warmup),
-            num_samples=int(cfg.nsteps))
-        jax.block_until_ready(lnps_y)
+        if native_mesh:
+            from lumfuncmcmc_tpu.parallel.distributed import to_host
+            from lumfuncmcmc_tpu.parallel.sharding import run_nuts_sharded
+            if jax.process_count() > 1:
+                y0 = np.asarray(y0)
+                k_run = np.asarray(k_run)
+            samples_y, lnps_y, alphas, eps, div_frac = run_nuts_sharded(
+                lnp_y, y0, k_run, self.mesh,
+                num_warmup=int(num_warmup), num_samples=int(cfg.nsteps))
+            jax.block_until_ready(lnps_y)
+            samples_y = jnp.asarray(to_host(samples_y))
+            alphas = to_host(alphas)
+            eps = to_host(eps)              # per-replica adapted eps
+            div_frac = float(np.mean(to_host(div_frac)))
+        else:
+            samples_y, lnps_y, alphas, eps, div_frac = run_nuts(
+                lnp_y, y0, k_run, num_warmup=int(num_warmup),
+                num_samples=int(cfg.nsteps))
+            jax.block_until_ready(lnps_y)
         elapsed = time.time() - t0
         chain_dev = jax.vmap(jax.vmap(to_theta))(samples_y)
         chain = np.asarray(chain_dev)
@@ -822,9 +859,14 @@ class _BaseModel:
         # logit-transform Jacobian, which would contaminate lnprobcut
         # selection and the fitposterior "Ln Prob" column)
         lnps = np.asarray(jax.vmap(jax.vmap(scalar))(chain_dev))
-        self.log.info("Total time taken: %0.2f s; step size %.4g; mean "
+        eps_arr = np.atleast_1d(np.asarray(eps, dtype=np.float64))
+        self.log.info("Total time taken: %0.2f s; step size %s; mean "
                       "accept-stat %.2f; divergent transitions %.2f%%"
-                      % (elapsed, float(eps), float(np.mean(alphas)),
+                      % (elapsed,
+                         ("%.4g" % eps_arr[0] if eps_arr.size == 1 else
+                          "%.4g..%.4g (per replica)"
+                          % (eps_arr.min(), eps_arr.max())),
+                         float(np.mean(alphas)),
                          100.0 * float(div_frac)))
         if float(div_frac) > 0.01:
             self.log.warning(

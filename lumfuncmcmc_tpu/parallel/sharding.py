@@ -153,6 +153,49 @@ def make_lnprob_sharded(ctx: LFContext, layout, mesh, model="single",
     return batch
 
 
+def run_nuts_sharded(lnp_y, y0, key, mesh, num_warmup, num_samples,
+                     **kw):
+    """Per-device NUTS replicas: chains split over ALL mesh devices,
+    each device running the full ``run_nuts`` (warmup, dual-averaging,
+    mass adaptation) on its local chain block with the NATIVE
+    per-device gradient callable — a composition jit auto-partitioning
+    cannot express (XLA cannot partition a ``pallas_call``).
+
+    Step-size/mass adaptation pools only the LOCAL chains, so each
+    device is an independent NUTS replica with its own adapted eps
+    (numpyro's parallel ``chain_method`` has the same semantics; the
+    meshless/auto-partitioned path pools all chains). Returns
+    ``(samples (S, C, D), lnps (S, C), alphas (S, C), eps (ndev,),
+    div_frac (ndev,))``.
+    """
+    from lumfuncmcmc_tpu.samplers.nuts import run_nuts
+
+    C = y0.shape[0]
+    ns = mesh.shape[AXIS_SOURCES]
+    ndev = mesh.shape[AXIS_WALKERS] * ns
+    if C % ndev:
+        raise ValueError(
+            f"chain count {C} must be a multiple of the mesh device "
+            f"count {ndev} (whole chain blocks per device)")
+    axes = (AXIS_WALKERS, AXIS_SOURCES)
+
+    def local(y0_blk):
+        i = (jax.lax.axis_index(AXIS_WALKERS) * ns
+             + jax.lax.axis_index(AXIS_SOURCES))
+        k_local = jax.random.fold_in(key, i)
+        s, lp, al, eps, dv = run_nuts(lnp_y, y0_blk, k_local,
+                                      num_warmup=num_warmup,
+                                      num_samples=num_samples, **kw)
+        return s, lp, al, eps[None], dv[None]
+
+    fn = jax.shard_map(
+        local, mesh=mesh, in_specs=(P(axes),),
+        out_specs=(P(None, axes), P(None, axes), P(None, axes),
+                   P(axes), P(axes)),
+        check_vma=False)
+    return fn(y0)
+
+
 def make_pallas_lnprob_stream_sharded(ctx: LFContext, layout, mesh,
                                       interpret=False):
     """TRUE 2-D native parallelism for free-completeness mega

@@ -282,6 +282,38 @@ def test_model_mesh_plus_pallas_composes(setup, monkeypatch):
     assert m2._resolve_use_pallas() is True
 
 
+def test_nuts_native_mesh_replicas():
+    """NUTS with a mesh AND the native gradient kernel runs per-device
+    replicas under shard_map (jit auto-partitioning cannot partition a
+    pallas_call) — each device adapts its own step size; the pooled
+    posterior agrees with the meshless XLA-gradient run."""
+    from lumfuncmcmc_tpu.models.model import LumFuncModel
+    cfg = LFConfig(min_comp_frac=0.5, fix_comp=False, size_ln=21,
+                   nwalkers=16, nsteps=40, use_pallas=True,
+                   pallas_interpret=True)
+    cat = apply_completeness_cut(make_catalog(cfg, n_target=200, seed=8),
+                                 cfg)
+    kw = dict(z=cat["z"], flux=cat["flux"], flux_e=cat["flux_e"],
+              field_id=cat["field_id"])
+    m = LumFuncModel(cfg, mesh=make_mesh(4, 2), **kw)
+    # route check: the gradient post is the native kernel, so the
+    # replica path (not auto-partitioning) must be selected
+    post = m._nuts_gradient_post(m._make_scalar_lnprob())
+    assert getattr(post, "engine", None) == "pallas"
+    s_mesh = m.fit_model_nuts(num_warmup=60, nchains=8)
+    assert np.all(np.isfinite(s_mesh))
+    assert s_mesh.shape == (8 * 40, m.layout.ndim + 1)
+
+    m_plain = LumFuncModel(cfg.replace(use_pallas=None), **kw)
+    s_plain = m_plain.fit_model_nuts(num_warmup=60, nchains=8)
+    # independent RNG streams and per-replica adaptation: agreement is
+    # statistical, not bitwise — medians of the well-constrained
+    # Schechter parameters within a posterior-width-scale tolerance
+    med_m = np.median(s_mesh[:, :3], axis=0)
+    med_p = np.median(s_plain[:, :3], axis=0)
+    np.testing.assert_allclose(med_m, med_p, atol=0.5)
+
+
 def test_exact_bounds_sharded_matches_single_device(setup):
     """Regression: cfg.exact_bounds must survive the mesh path (it was
     silently dropped), including with a sharded source axis."""
