@@ -351,22 +351,37 @@ def cmd_fit(args):
     prof = (jax.profiler.trace(args.profile) if args.profile
             else contextlib.nullcontext())
     ens = int(getattr(args, "ensembles", None) or 0)
+    min_ess = getattr(args, "min_ess", None)
     with prof:
         if cfg.sampler == "nuts":
             if ens > 1:
                 print("WARNING: --ensembles applies to the ensemble "
                       "sampler; ignored under --sampler nuts")
+            if min_ess:
+                print("WARNING: --min-ess applies to the ensemble "
+                      "sampler; ignored under --sampler nuts")
             model.fit_model_nuts()
         elif ens > 1:
             from lumfuncmcmc_tpu.utils.io import artifact_path
-            ck = (artifact_path(outdir, "checkpoint",
+            # a DISTINCT artifact kind: the plain-fit checkpoint of the
+            # same output name has an incompatible layout/fingerprint
+            ck = (artifact_path(outdir, "checkpoint_ens",
                                 args.output_filename, cfg, ext="npz")
                   if cfg.checkpoint_every else None)
+            if min_ess:
+                print("WARNING: --min-ess is not implemented for "
+                      "--ensembles; running the fixed step count")
             model.fit_model_ensembles(
                 ens, checkpoint_path=ck,
                 resume=bool(ck and os.path.exists(ck)))
-        elif getattr(args, "min_ess", None):
-            model.fit_model_until(float(args.min_ess))
+        elif min_ess:
+            if cfg.checkpoint_every:
+                print("WARNING: mid-run checkpointing is not "
+                      "implemented for --min-ess; running without "
+                      "checkpoints")
+            if cfg.thin > 1:
+                print("WARNING: --thin is ignored under --min-ess")
+            model.fit_model_until(float(min_ess))
         else:
             from lumfuncmcmc_tpu.utils.io import artifact_path
             ck = (artifact_path(outdir, "checkpoint",
@@ -450,13 +465,22 @@ def cmd_fitz(args):
     names = model.get_param_names()
     print("Labels:", names)
     ens = int(getattr(args, "ensembles", None) or 0)
+    min_ess = getattr(args, "min_ess", None)
     if cfg.sampler == "nuts":
         if ens > 1:
             print("WARNING: --ensembles applies to the ensemble "
                   "sampler; ignored under --sampler nuts")
+        if min_ess:
+            print("WARNING: --min-ess applies to the ensemble "
+                  "sampler; ignored under --sampler nuts")
         model.fit_model_nuts()
     elif ens > 1:
+        if min_ess:
+            print("WARNING: --min-ess is not implemented for "
+                  "--ensembles; running the fixed step count")
         model.fit_model_ensembles(ens)
+    elif min_ess:
+        model.fit_model_until(float(min_ess))
     else:
         model.fit_model()
     from lumfuncmcmc_tpu.parallel.distributed import is_primary
@@ -494,13 +518,22 @@ def cmd_fith(args):
     names = model.get_param_names()
     print("Labels:", names)
     ens = int(getattr(args, "ensembles", None) or 0)
+    min_ess = getattr(args, "min_ess", None)
     if cfg.sampler == "nuts":
         if ens > 1:
             print("WARNING: --ensembles applies to the ensemble "
                   "sampler; ignored under --sampler nuts")
+        if min_ess:
+            print("WARNING: --min-ess applies to the ensemble "
+                  "sampler; ignored under --sampler nuts")
         model.fit_model_nuts()
     elif ens > 1:
+        if min_ess:
+            print("WARNING: --min-ess is not implemented for "
+                  "--ensembles; running the fixed step count")
         model.fit_model_ensembles(ens)
+    elif min_ess:
+        model.fit_model_until(float(min_ess))
     else:
         model.fit_model()
     from lumfuncmcmc_tpu.parallel.distributed import is_primary

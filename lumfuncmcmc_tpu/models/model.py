@@ -34,7 +34,7 @@ from lumfuncmcmc_tpu.models.veff import (
     veff_weights, binned_lf_bootstrap, log_bin_edges)
 from lumfuncmcmc_tpu.ops.completeness import fleming_root_logf_np
 from lumfuncmcmc_tpu.ops.schechter import true_lum_func, schechter_z
-from lumfuncmcmc_tpu.samplers.affine import run_stretch
+from lumfuncmcmc_tpu.samplers.affine import de_schedule, run_stretch
 from lumfuncmcmc_tpu.samplers.diagnostics import (
     burnin_steps, effective_sample_size, gelman_rubin)
 from lumfuncmcmc_tpu.utils.logging import setup_logging
@@ -376,6 +376,9 @@ class _BaseModel:
                         # pre-move checkpoint: proposal knobs weren't
                         # recorded, so they can't be verified — trust it
                         saved = np.concatenate([saved, [move_id, dp]])
+                    elif saved.shape[0] == 5:
+                        # move recorded but not de_prob — trust de_prob
+                        saved = np.concatenate([saved, [dp]])
                     if not np.array_equal(saved, want):
                         raise ValueError(
                             "checkpoint config mismatch: saved "
@@ -394,7 +397,7 @@ class _BaseModel:
                     # legacy checkpoint without per-walker counts: the
                     # fraction can only cover the resumed tail
                     acc_steps = max(nsteps_exec - done, 1)
-                state_pos = jnp.asarray(ck["chain"][-1])
+                state_pos = np.asarray(ck["chain"][-1])
                 remaining = nsteps_exec - done
                 # replay the key stream so the continued run matches
                 for _ in range(-(-done // every)):
@@ -405,10 +408,16 @@ class _BaseModel:
                 nblk = min(every, remaining)
                 if jax.process_count() > 1:
                     k_blk = np.asarray(k_blk)
+                # mix: slice the GLOBAL Bresenham schedule so block
+                # boundaries don't restart it (de_schedule docstring)
+                sel = (de_schedule(nblk, cfg.de_prob,
+                                   offset=nsteps_exec - remaining)
+                       if cfg.move == "mix" else None)
                 state, ch, lp, ac = run_stretch(lnprob, state_pos, k_blk,
                                                 nblk, thin=thin,
                                                 move=cfg.move,
-                                                de_prob=cfg.de_prob)
+                                                de_prob=cfg.de_prob,
+                                                de_sel=sel)
                 state_pos = state.pos
                 chains.append(to_host(ch))
                 lnps_parts.append(to_host(lp))
@@ -497,10 +506,14 @@ class _BaseModel:
             kk, k_blk = jax.random.split(kk)
             if jax.process_count() > 1:
                 k_blk = np.asarray(k_blk)
+            sel = (de_schedule(block_steps, self.cfg.de_prob,
+                               offset=(nblocks - 1) * block_steps)
+                   if self.cfg.move == "mix" else None)
             state, ch, lp, ac = run_stretch(lnprob, pos, k_blk,
                                             block_steps,
                                             move=self.cfg.move,
-                                            de_prob=self.cfg.de_prob)
+                                            de_prob=self.cfg.de_prob,
+                                            de_sel=sel)
             pos = state.pos
             chains.append(to_host(ch))
             lnps_parts.append(to_host(lp))
@@ -590,19 +603,20 @@ class _BaseModel:
             if jax.process_count() > 1:
                 pos0 = np.asarray(pos0)
 
-            def runner(p, k, n):
+            def runner(p, k, n, sel=None):
                 if jax.process_count() > 1:
                     k = np.asarray(k)
                 return run_stretch_ensembles_sharded(
                     lnprob, p, k, n, mesh=self.mesh, thin=thin,
-                    move=cfg.move, de_prob=cfg.de_prob)
+                    move=cfg.move, de_prob=cfg.de_prob, de_sel=sel)
         else:
             lnprob = self.lnprob_batch()
 
-            def runner(p, k, n):
+            def runner(p, k, n, sel=None):
                 return run_stretch_ensembles(lnprob, p, k, n,
                                              thin=thin, move=cfg.move,
-                                             de_prob=cfg.de_prob)
+                                             de_prob=cfg.de_prob,
+                                             de_sel=sel)
 
         every = cfg.checkpoint_every or 0
         if checkpoint_path and not checkpoint_path.endswith(".npz"):
@@ -651,7 +665,9 @@ class _BaseModel:
                 ch_parts = [ck["chain"]]
                 lp_parts = [ck["lnprobability"]]
                 acc = ck["acc"]
-                pos = jnp.asarray(ck["chain"][:, -1])
+                # HOST numpy: a process-local device array would be
+                # rejected by the global-mesh computation on resume
+                pos = np.asarray(ck["chain"][:, -1])
                 remaining = nsteps_exec - done
                 for _ in range(-(-done // every)):
                     kk, _ = jax.random.split(kk)
@@ -660,7 +676,10 @@ class _BaseModel:
             while remaining > 0:
                 kk, k_blk = jax.random.split(kk)
                 nblk = min(every, remaining)
-                state, ch, lp, ac = runner(pos, k_blk, nblk)
+                sel = (de_schedule(nblk, cfg.de_prob,
+                                   offset=nsteps_exec - remaining)
+                       if cfg.move == "mix" else None)
+                state, ch, lp, ac = runner(pos, k_blk, nblk, sel)
                 pos = state.pos
                 ch_parts.append(to_host(ch))
                 lp_parts.append(to_host(lp))

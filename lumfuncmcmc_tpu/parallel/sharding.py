@@ -256,7 +256,7 @@ def make_pallas_lnprob_stream_sharded(ctx: LFContext, layout, mesh,
 
 def run_stretch_ensembles_sharded(lnprob_batch, pos0, key, nsteps,
                                   mesh, a=2.0, thin=1, move="stretch",
-                                  de_prob=0.5):
+                                  de_prob=0.5, de_sel=None):
     """C independent replicated ensembles sharded over the device mesh
     — one (or more) whole ensembles per device, the multi-chip
     deployment for SMALL posteriors where sharding a single ensemble's
@@ -288,7 +288,8 @@ def run_stretch_ensembles_sharded(lnprob_batch, pos0, key, nsteps,
     def local_run(pos_blk, keys_blk):
         def one(p, k):
             state, chain, lnps, acc = run_stretch(
-                lnprob_batch, p, k, nsteps, a, thin, move, de_prob)
+                lnprob_batch, p, k, nsteps, a, thin, move, de_prob,
+                de_sel)
             return state.pos, state.lnp, chain, lnps, acc
         return jax.vmap(one)(pos_blk, keys_blk)
 

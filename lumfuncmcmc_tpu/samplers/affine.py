@@ -146,11 +146,21 @@ def step(key, state: EnsembleState, lnprob_batch: Callable, a: float = 2.0):
     return _step_pre((u_z, j, ln_u), state, lnprob_batch, a)
 
 
+def de_schedule(nsteps: int, de_prob: float, offset: int = 0):
+    """Deterministic Bresenham DE-step selector for global steps
+    ``[offset, offset + nsteps)`` — blocked (checkpointed) runs pass
+    consecutive slices so the realized DE fraction matches the
+    unblocked schedule instead of restarting (and quantizing, or for
+    ``de_prob < 1/block`` silently zeroing) per block."""
+    t = _np.arange(offset, offset + nsteps, dtype=_np.float64)
+    return _np.floor((t + 1) * de_prob) - _np.floor(t * de_prob) >= 1.0
+
+
 @partial(jax.jit, static_argnames=("lnprob_batch", "nsteps", "a", "thin",
                                    "move", "de_prob"))
 def run_stretch(lnprob_batch: Callable, pos0, key, nsteps: int,
                 a: float = 2.0, thin: int = 1, move: str = "stretch",
-                de_prob: float = 0.5):
+                de_prob: float = 0.5, de_sel=None):
     """Run the ensemble for ``nsteps`` full steps.
 
     Parameters
@@ -225,14 +235,19 @@ def run_stretch(lnprob_batch: Callable, pos0, key, nsteps: int,
         k_s, k_d = jax.random.split(key)
         # DETERMINISTIC Bresenham schedule of DE steps (a fixed
         # composition of invariant kernels is valid MCMC): the selector
-        # is a host constant, so under vmap (run_stretch_ensembles) the
-        # per-step lax.cond predicate stays unbatched and only ONE
-        # branch executes — a random per-ensemble selector would batch
-        # the predicate, lower cond to select, and silently evaluate
-        # BOTH moves' lnprob every step
-        t = _np.arange(nsteps, dtype=_np.float64)
-        sel = jnp.asarray(_np.floor((t + 1) * de_prob)
-                          - _np.floor(t * de_prob) >= 1.0)
+        # is a host constant (or an UNBATCHED traced input), so under
+        # vmap (run_stretch_ensembles) the per-step lax.cond predicate
+        # stays unbatched and only ONE branch executes — a random
+        # per-ensemble selector would batch the predicate, lower cond
+        # to select, and silently evaluate BOTH moves' lnprob every
+        # step. Blocked runs pass de_sel (a slice of the GLOBAL
+        # schedule from :func:`de_schedule`) as a traced input so
+        # block boundaries don't restart the schedule — and so
+        # different slices don't force per-block recompiles.
+        if de_sel is None:
+            sel = jnp.asarray(de_schedule(nsteps, de_prob))
+        else:
+            sel = jnp.asarray(de_sel)
         rands = (sel, stretch_rands(k_s),
                  _de_rands(k_d, nsteps, nh, ndim, pos0.dtype))
 
@@ -270,7 +285,8 @@ def run_stretch(lnprob_batch: Callable, pos0, key, nsteps: int,
 
 def run_stretch_ensembles(lnprob_batch: Callable, pos0, key, nsteps: int,
                           a: float = 2.0, thin: int = 1,
-                          move: str = "stretch", de_prob: float = 0.5):
+                          move: str = "stretch", de_prob: float = 0.5,
+                          de_sel=None):
     """Run C independent ensembles in parallel (vmapped).
 
     ``pos0``: (C, nwalkers, ndim). Independent replicated chains saturate
@@ -285,7 +301,9 @@ def run_stretch_ensembles(lnprob_batch: Callable, pos0, key, nsteps: int,
     keys = jax.random.split(key, pos0.shape[0])
 
     def one(p, k):
+        # de_sel closes over: an unbatched tracer under vmap, so the
+        # mix-schedule cond predicate stays scalar
         return run_stretch(lnprob_batch, p, k, nsteps, a, thin, move,
-                           de_prob)
+                           de_prob, de_sel)
 
     return jax.vmap(one)(pos0, keys)

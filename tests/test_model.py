@@ -273,3 +273,25 @@ def test_fit_model_ensembles_checkpoint_resume(small_inputs, tmp_path):
     m3 = _model(cfg, cat)
     with pytest.raises(ValueError, match="ensemble-checkpoint"):
         m3.fit_model_ensembles(4, checkpoint_path=ck, resume=True)
+
+
+def test_checkpoint_resume_mix_move(small_inputs, tmp_path):
+    """Mix-move checkpoint resume: the global DE schedule and the key
+    replay keep the resumed chain identical, and the de_prob
+    fingerprint rejects a changed mixing fraction."""
+    cfg, cat = small_inputs
+    cfg = cfg.replace(checkpoint_every=10, move="mix", de_prob=0.3)
+    ck = str(tmp_path / "mix.npz")
+    m1 = _model(cfg, cat)
+    m1.fit_model(checkpoint_path=ck)
+    full_chain = m1.chain.copy()
+    saved = np.load(ck)
+    np.savez(ck, chain=saved["chain"][:20],
+             lnprobability=saved["lnprobability"][:20],
+             acc=saved["acc"], fingerprint=saved["fingerprint"])
+    m2 = _model(cfg, cat)
+    m2.fit_model(checkpoint_path=ck, resume=True)
+    np.testing.assert_allclose(m2.chain, full_chain, rtol=1e-12)
+    m3 = _model(cfg.replace(de_prob=0.7), cat)
+    with pytest.raises(ValueError, match="checkpoint config mismatch"):
+        m3.fit_model(checkpoint_path=ck, resume=True)

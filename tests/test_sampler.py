@@ -155,3 +155,32 @@ def test_multi_ensemble_runner():
     # cross-ensemble R-hat on the stacked walkers is healthy
     stacked = c[:, 400:].transpose(1, 0, 2, 3).reshape(400, 64, 2)
     assert np.all(gelman_rubin(stacked) < 1.2)
+
+
+def test_de_schedule_block_continuity():
+    """Blocked (checkpointed) runs slice the GLOBAL Bresenham schedule:
+    concatenated slices equal the unblocked schedule, and the realized
+    DE fraction is exact — a per-block restart would quantize it (and
+    silently zero it whenever de_prob < 1/block)."""
+    from lumfuncmcmc_tpu.samplers.affine import de_schedule
+    full = de_schedule(400, 0.05)
+    parts = np.concatenate([de_schedule(10, 0.05, offset=o)
+                            for o in range(0, 400, 10)])
+    np.testing.assert_array_equal(parts, full)
+    assert full.sum() == 20                       # exactly 5% of 400
+    restart = np.concatenate([de_schedule(10, 0.05, offset=0)] * 40)
+    assert restart.sum() == 0                     # the bug this fixes
+
+
+def test_run_stretch_de_sel_matches_host_schedule():
+    """Passing de_sel as a traced input reproduces the host-constant
+    schedule exactly (same chain bit-for-bit)."""
+    from lumfuncmcmc_tpu.samplers.affine import de_schedule, run_stretch
+    lnprob = _gauss_lnprob(jnp.zeros(2), jnp.eye(2))
+    pos0 = jax.random.normal(jax.random.PRNGKey(21), (16, 2))
+    a = run_stretch(lnprob, pos0, jax.random.PRNGKey(22), 60,
+                    move="mix", de_prob=0.3)
+    b = run_stretch(lnprob, pos0, jax.random.PRNGKey(22), 60,
+                    move="mix", de_prob=0.3,
+                    de_sel=de_schedule(60, 0.3))
+    np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
