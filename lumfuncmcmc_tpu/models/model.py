@@ -335,6 +335,9 @@ class _BaseModel:
             chains, lnps_parts, acc = [], [], 0.0
             state_pos = pos0
             remaining, kk = nsteps_exec, k_run
+            # NOTE: fit_model_ensembles carries a sibling copy of this
+            # resume protocol (leading ensemble axis, +nensembles in the
+            # fingerprint) — keep the two in lockstep
             have_ck = bool(resume and checkpoint_path
                            and os.path.exists(checkpoint_path))
             if jax.process_count() > 1:
@@ -630,6 +633,8 @@ class _BaseModel:
             ch_parts, lp_parts, acc = [], [], 0.0
             pos = pos0
             remaining, kk = nsteps_exec, k_run
+            # NOTE: sibling of fit_model's resume protocol (step axis 1,
+            # +nensembles fingerprint) — keep the two in lockstep
             have_ck = bool(resume and checkpoint_path
                            and os.path.exists(checkpoint_path))
             if jax.process_count() > 1:
