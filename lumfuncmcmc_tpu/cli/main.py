@@ -102,6 +102,10 @@ def _add_common_flags(p):
                         "(the native tier; DEFAULT on TPU backends)")
     p.add_argument("--no-pallas", dest="use_pallas", action="store_false",
                    help="force the XLA likelihood path")
+    p.add_argument("--nchains", type=int, default=None, metavar="C",
+                   help="--sampler nuts: number of NUTS chains "
+                        "(default 8; rounded to the mesh device count "
+                        "on the native-kernel replica path)")
     p.add_argument("--min-ess", dest="min_ess", type=float, default=None,
                    metavar="N",
                    help="run until every parameter reaches N effective "
@@ -360,7 +364,7 @@ def cmd_fit(args):
             if min_ess:
                 print("WARNING: --min-ess applies to the ensemble "
                       "sampler; ignored under --sampler nuts")
-            model.fit_model_nuts()
+            model.fit_model_nuts(nchains=int(getattr(args, 'nchains', None) or 8))
         elif ens > 1:
             from lumfuncmcmc_tpu.utils.io import artifact_path
             # a DISTINCT artifact kind: the plain-fit checkpoint of the
@@ -473,7 +477,7 @@ def cmd_fitz(args):
         if min_ess:
             print("WARNING: --min-ess applies to the ensemble "
                   "sampler; ignored under --sampler nuts")
-        model.fit_model_nuts()
+        model.fit_model_nuts(nchains=int(getattr(args, 'nchains', None) or 8))
     elif ens > 1:
         if min_ess:
             print("WARNING: --min-ess is not implemented for "
@@ -526,7 +530,7 @@ def cmd_fith(args):
         if min_ess:
             print("WARNING: --min-ess applies to the ensemble "
                   "sampler; ignored under --sampler nuts")
-        model.fit_model_nuts()
+        model.fit_model_nuts(nchains=int(getattr(args, 'nchains', None) or 8))
     elif ens > 1:
         if min_ess:
             print("WARNING: --min-ess is not implemented for "

@@ -226,3 +226,14 @@ def test_vmax_linear_integ_correct_low(workdir):
 
     with pytest.raises(SystemExit, match="log-binning feature"):
         main(base + ["--linear", "--correct-low", "-o", "bad.png"])
+
+
+def test_fit_profile_writes_trace(workdir):
+    """--profile DIR wraps the fit in a jax.profiler trace and leaves
+    the trace artifacts on disk."""
+    prof = workdir / "prof"
+    assert main(["fit", "--synthetic", "150", "-ns", "20", "-nw", "8",
+                 "-mcf", "0.5", "--size-ln", "21", "--profile",
+                 str(prof), "-o", "pr.dat"]) == 0
+    files = [p for p in prof.rglob("*") if p.is_file()]
+    assert files, "profiler trace directory is empty"
