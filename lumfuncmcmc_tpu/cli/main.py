@@ -104,8 +104,9 @@ def _add_common_flags(p):
                    help="force the XLA likelihood path")
     p.add_argument("--nchains", type=int, default=None, metavar="C",
                    help="--sampler nuts: number of NUTS chains "
-                        "(default 8; rounded to the mesh device count "
-                        "on the native-kernel replica path)")
+                        "(default 8, must be >= 1; with a device mesh "
+                        "the count is rounded to the device/axis "
+                        "multiple of the selected path)")
     p.add_argument("--min-ess", dest="min_ess", type=float, default=None,
                    metavar="N",
                    help="run until every parameter reaches N effective "
@@ -329,6 +330,81 @@ def _resume_if_done(model, cfg, args, outdir):
     return True
 
 
+def _dispatch_sampler(model, cfg, args, outdir):
+    """Shared sampler dispatch for fit/fitz/fith: nuts / replicated
+    ensembles / convergence-controlled / plain checkpointed fit, with
+    loud warnings for silently-ignored flag combinations and the
+    jax.profiler trace wrapper (--profile)."""
+    import contextlib
+    import jax
+    from lumfuncmcmc_tpu.utils.io import artifact_path
+
+    ens = int(getattr(args, "ensembles", None) or 0)
+    min_ess = getattr(args, "min_ess", None)
+    nchains = getattr(args, "nchains", None)
+    nchains = 8 if nchains is None else int(nchains)
+    if nchains < 1:
+        raise SystemExit(f"--nchains must be >= 1, got {nchains}")
+    prof = (jax.profiler.trace(args.profile)
+            if getattr(args, "profile", None)
+            else contextlib.nullcontext())
+    with prof:
+        if cfg.sampler == "nuts":
+            if ens > 1:
+                print("WARNING: --ensembles applies to the ensemble "
+                      "sampler; ignored under --sampler nuts")
+            if min_ess:
+                print("WARNING: --min-ess applies to the ensemble "
+                      "sampler; ignored under --sampler nuts")
+            model.fit_model_nuts(nchains=nchains)
+        elif ens > 1:
+            if min_ess:
+                print("WARNING: --min-ess is not implemented for "
+                      "--ensembles; running the fixed step count")
+            ck = None
+            if cfg.checkpoint_every:
+                # a DISTINCT artifact kind: the plain-fit checkpoint of
+                # the same output name has an incompatible
+                # layout/fingerprint
+                ck = artifact_path(outdir, "checkpoint_ens",
+                                   args.output_filename, cfg, ext="npz")
+                if not os.path.exists(ck):
+                    # pre-rename ensembles checkpoints used the plain
+                    # kind; a 7-wide fingerprint identifies them — keep
+                    # in-flight runs resumable
+                    legacy = artifact_path(outdir, "checkpoint",
+                                           args.output_filename, cfg,
+                                           ext="npz")
+                    if os.path.exists(legacy):
+                        try:
+                            nfp = np.load(legacy)["fingerprint"].shape[0]
+                        except Exception:
+                            nfp = 0
+                        if nfp == 7:
+                            print("WARNING: resuming from a legacy "
+                                  "ensembles checkpoint name "
+                                  "(checkpoint_...); new runs write "
+                                  "checkpoint_ens_...")
+                            ck = legacy
+            model.fit_model_ensembles(
+                ens, checkpoint_path=ck,
+                resume=bool(ck and os.path.exists(ck)))
+        elif min_ess:
+            if cfg.checkpoint_every:
+                print("WARNING: mid-run checkpointing is not "
+                      "implemented for --min-ess; running without "
+                      "checkpoints")
+            if cfg.thin > 1:
+                print("WARNING: --thin is ignored under --min-ess")
+            model.fit_model_until(float(min_ess))
+        else:
+            ck = (artifact_path(outdir, "checkpoint",
+                                args.output_filename, cfg, ext="npz")
+                  if cfg.checkpoint_every else None)
+            model.fit_model(checkpoint_path=ck,
+                            resume=bool(ck and os.path.exists(ck)))
+
+
 def cmd_fit(args):
     args.output_filename = args.output_filename or "test.dat"
     from lumfuncmcmc_tpu.models.model import LumFuncModel
@@ -350,49 +426,7 @@ def cmd_fit(args):
         return 0
     names = model.get_param_names()
     print("Labels:", names)
-    import contextlib
-    import jax
-    prof = (jax.profiler.trace(args.profile) if args.profile
-            else contextlib.nullcontext())
-    ens = int(getattr(args, "ensembles", None) or 0)
-    min_ess = getattr(args, "min_ess", None)
-    with prof:
-        if cfg.sampler == "nuts":
-            if ens > 1:
-                print("WARNING: --ensembles applies to the ensemble "
-                      "sampler; ignored under --sampler nuts")
-            if min_ess:
-                print("WARNING: --min-ess applies to the ensemble "
-                      "sampler; ignored under --sampler nuts")
-            model.fit_model_nuts(nchains=int(getattr(args, 'nchains', None) or 8))
-        elif ens > 1:
-            from lumfuncmcmc_tpu.utils.io import artifact_path
-            # a DISTINCT artifact kind: the plain-fit checkpoint of the
-            # same output name has an incompatible layout/fingerprint
-            ck = (artifact_path(outdir, "checkpoint_ens",
-                                args.output_filename, cfg, ext="npz")
-                  if cfg.checkpoint_every else None)
-            if min_ess:
-                print("WARNING: --min-ess is not implemented for "
-                      "--ensembles; running the fixed step count")
-            model.fit_model_ensembles(
-                ens, checkpoint_path=ck,
-                resume=bool(ck and os.path.exists(ck)))
-        elif min_ess:
-            if cfg.checkpoint_every:
-                print("WARNING: mid-run checkpointing is not "
-                      "implemented for --min-ess; running without "
-                      "checkpoints")
-            if cfg.thin > 1:
-                print("WARNING: --thin is ignored under --min-ess")
-            model.fit_model_until(float(min_ess))
-        else:
-            from lumfuncmcmc_tpu.utils.io import artifact_path
-            ck = (artifact_path(outdir, "checkpoint",
-                                args.output_filename, cfg, ext="npz")
-                  if cfg.checkpoint_every else None)
-            model.fit_model(checkpoint_path=ck,
-                            resume=bool(ck and os.path.exists(ck)))
+    _dispatch_sampler(model, cfg, args, outdir)
     from lumfuncmcmc_tpu.parallel.distributed import is_primary
     if not is_primary():
         # every process holds the full gathered chain after fit_model;
@@ -468,25 +502,7 @@ def cmd_fitz(args):
         return 0
     names = model.get_param_names()
     print("Labels:", names)
-    ens = int(getattr(args, "ensembles", None) or 0)
-    min_ess = getattr(args, "min_ess", None)
-    if cfg.sampler == "nuts":
-        if ens > 1:
-            print("WARNING: --ensembles applies to the ensemble "
-                  "sampler; ignored under --sampler nuts")
-        if min_ess:
-            print("WARNING: --min-ess applies to the ensemble "
-                  "sampler; ignored under --sampler nuts")
-        model.fit_model_nuts(nchains=int(getattr(args, 'nchains', None) or 8))
-    elif ens > 1:
-        if min_ess:
-            print("WARNING: --min-ess is not implemented for "
-                  "--ensembles; running the fixed step count")
-        model.fit_model_ensembles(ens)
-    elif min_ess:
-        model.fit_model_until(float(min_ess))
-    else:
-        model.fit_model()
+    _dispatch_sampler(model, cfg, args, outdir)
     from lumfuncmcmc_tpu.parallel.distributed import is_primary
     if not is_primary():
         print("Non-primary process: artifacts written by process 0")
@@ -521,25 +537,7 @@ def cmd_fith(args):
         return 0
     names = model.get_param_names()
     print("Labels:", names)
-    ens = int(getattr(args, "ensembles", None) or 0)
-    min_ess = getattr(args, "min_ess", None)
-    if cfg.sampler == "nuts":
-        if ens > 1:
-            print("WARNING: --ensembles applies to the ensemble "
-                  "sampler; ignored under --sampler nuts")
-        if min_ess:
-            print("WARNING: --min-ess applies to the ensemble "
-                  "sampler; ignored under --sampler nuts")
-        model.fit_model_nuts(nchains=int(getattr(args, 'nchains', None) or 8))
-    elif ens > 1:
-        if min_ess:
-            print("WARNING: --min-ess is not implemented for "
-                  "--ensembles; running the fixed step count")
-        model.fit_model_ensembles(ens)
-    elif min_ess:
-        model.fit_model_until(float(min_ess))
-    else:
-        model.fit_model()
+    _dispatch_sampler(model, cfg, args, outdir)
     from lumfuncmcmc_tpu.parallel.distributed import is_primary
     if not is_primary():
         print("Non-primary process: artifacts written by process 0")
