@@ -237,3 +237,21 @@ def test_fit_profile_writes_trace(workdir):
                  str(prof), "-o", "pr.dat"]) == 0
     files = [p for p in prof.rglob("*") if p.is_file()]
     assert files, "profiler trace directory is empty"
+
+
+def test_ensembles_legacy_checkpoint_fallback(workdir, capsys):
+    """Pre-rename --ensembles checkpoints (plain 'checkpoint_' name,
+    7-wide fingerprint) stay resumable with a warning."""
+    base_args = ["fit", "--synthetic", "200", "-ns", "40", "-nw", "8",
+                 "-mcf", "0.5", "--size-ln", "21", "--ensembles", "2",
+                 "--checkpoint-every", "10", "-o", "lg.dat"]
+    assert main(base_args) == 0
+    out = workdir / "LFMCMCOut"
+    new = out / "checkpoint_ens_lg_nb50_nw8_ns40_mcf50.npz"
+    assert new.exists()
+    legacy = out / "checkpoint_lg_nb50_nw8_ns40_mcf50.npz"
+    new.rename(legacy)                      # simulate a pre-rename run
+    (out / "fitposterior_lg_nb50_nw8_ns40_mcf50.dat").unlink()
+    capsys.readouterr()
+    assert main(base_args) == 0
+    assert "legacy ensembles checkpoint" in capsys.readouterr().out
