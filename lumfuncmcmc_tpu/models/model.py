@@ -276,6 +276,134 @@ class _BaseModel:
                                         interpret=cfg.pallas_interpret)
         return jax.vmap(self._make_scalar_lnprob())
 
+    def _run_checkpointed(self, runner, pos0, k_run, nsteps_exec, thin,
+                          every, checkpoint_path, resume, label,
+                          fingerprint_extra=(), step_axis=0):
+        """Block loop + checkpoint/resume protocol shared by
+        :meth:`fit_model` (``step_axis=0``) and
+        :meth:`fit_model_ensembles` (``step_axis=1``, fingerprint
+        extended with ``nensembles``).
+
+        ``runner(pos, key, nblk, sel) -> (state, chain, lnp, acc)``
+        runs one block; ``sel`` is the global mix-schedule slice. The
+        resume path replays the per-block key stream, verifies the
+        config fingerprint, and — in multi-process runs — checks
+        COLLECTIVELY that every process sees the same checkpoint state
+        (process 0 is the only writer; divergent views on a non-shared
+        filesystem would wedge the first collective).
+
+        Returns ``(chains, lnps, acc, acc_steps)`` as host arrays
+        concatenated on ``step_axis``; ``acc_steps`` covers legacy
+        checkpoints whose accept counts span only the resumed tail.
+        """
+        from lumfuncmcmc_tpu.parallel.distributed import (
+            is_primary, to_host)
+        cfg = self.cfg
+        if checkpoint_path and not checkpoint_path.endswith(".npz"):
+            # np.savez appends .npz to bare paths; the resume check
+            # would then miss the file and silently restart from 0
+            checkpoint_path += ".npz"
+        if every % thin:
+            every = max(thin, every - (every % thin))
+            self.log.warning(
+                "checkpoint_every rounded down to %d (a multiple of "
+                "thin=%d)" % (every, thin))
+        # nsteps is deliberately NOT fingerprinted: extending a
+        # finished run is safe (the key-stream replay depends only on
+        # these). move/de_prob ARE chain-affecting knobs — resuming a
+        # stretch checkpoint with --move mix would splice segments
+        # from different proposals.
+        move_id = _MOVE_IDS.get(cfg.move, -1)
+        dp = int(round(1e4 * cfg.de_prob))
+        want = np.asarray([cfg.nwalkers, thin, every, cfg.seed,
+                           move_id, dp, *fingerprint_extra])
+        fields = ("nwalkers, thin, every, seed, move, de_prob*1e4"
+                  + (", nensembles" if fingerprint_extra else ""))
+        parts_c, parts_l, acc = [], [], 0.0
+        pos = pos0
+        remaining, kk = nsteps_exec, k_run
+        acc_steps = nsteps_exec
+        have_ck = bool(resume and checkpoint_path
+                       and os.path.exists(checkpoint_path))
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            done_local = 0
+            if have_ck:
+                done_local = int(np.load(checkpoint_path)
+                                 ["chain"].shape[step_axis]) * thin
+            dones = np.asarray(multihost_utils.process_allgather(
+                jnp.asarray([done_local]))).ravel()
+            if not np.all(dones == dones[0]):
+                raise RuntimeError(
+                    "checkpoint resume in a multi-process run "
+                    "requires the checkpoint on a SHARED filesystem:"
+                    f" processes see resume steps {dones.tolist()} "
+                    "— copy the checkpoint to every host (or place "
+                    "it on shared storage) and rerun")
+        if have_ck:
+            ck = np.load(checkpoint_path)
+            if "fingerprint" in ck:
+                saved = np.asarray(ck["fingerprint"])
+                if not fingerprint_extra:
+                    if saved.shape[0] == 4:
+                        # pre-move checkpoint: proposal knobs weren't
+                        # recorded, can't be verified — trust them
+                        saved = np.concatenate([saved, [move_id, dp]])
+                    elif saved.shape[0] == 5:
+                        # move recorded but not de_prob — trust it
+                        saved = np.concatenate([saved, [dp]])
+                if not np.array_equal(saved, want):
+                    raise ValueError(
+                        f"{label} config mismatch: saved ({fields}) = "
+                        f"{tuple(saved)}, current = {tuple(want)} "
+                        f"(move ids {_MOVE_IDS}) — resuming with "
+                        "changed settings would corrupt the chain and "
+                        "the RNG replay")
+            done = ck["chain"].shape[step_axis] * thin  # thinned rows
+            parts_c = [ck["chain"]]
+            parts_l = [ck["lnprobability"]]
+            if "acc" in ck:
+                acc = ck["acc"]
+            else:
+                # legacy checkpoint without per-walker counts: the
+                # fraction can only cover the resumed tail
+                acc_steps = max(nsteps_exec - done, 1)
+            # HOST numpy: a process-local device array would be
+            # rejected by the global-mesh computation on resume
+            pos = np.asarray(ck["chain"][-1] if step_axis == 0
+                             else ck["chain"][:, -1])
+            remaining = nsteps_exec - done
+            # replay the key stream so the continued run matches
+            for _ in range(-(-done // every)):
+                kk, _ = jax.random.split(kk)
+            self.log.info("Resumed from checkpoint at step %d" % done)
+        while remaining > 0:
+            kk, k_blk = jax.random.split(kk)
+            nblk = min(every, remaining)
+            if jax.process_count() > 1:
+                k_blk = np.asarray(k_blk)
+            # mix: slice the GLOBAL Bresenham schedule so block
+            # boundaries don't restart it (de_schedule docstring)
+            sel = (de_schedule(nblk, cfg.de_prob,
+                               offset=nsteps_exec - remaining)
+                   if cfg.move == "mix" else None)
+            state, ch, lp, ac = runner(pos, k_blk, nblk, sel)
+            pos = state.pos
+            parts_c.append(to_host(ch))
+            parts_l.append(to_host(lp))
+            acc = acc + to_host(ac)
+            remaining -= nblk
+            if checkpoint_path and is_primary():
+                # one writer; all processes hold the same data
+                np.savez(checkpoint_path,
+                         chain=np.concatenate(parts_c, axis=step_axis),
+                         lnprobability=np.concatenate(parts_l,
+                                                      axis=step_axis),
+                         acc=np.asarray(acc), fingerprint=want)
+        return (np.concatenate(parts_c, axis=step_axis),
+                np.concatenate(parts_l, axis=step_axis),
+                np.asarray(acc), acc_steps)
+
     def fit_model(self, key=None, checkpoint_path: Optional[str] = None,
                   resume: bool = False):
         """Run the ensemble sampler; mirrors the logging and burn-in
@@ -322,123 +450,14 @@ class _BaseModel:
                 "nsteps=%d is not a multiple of thin=%d; running %d steps"
                 % (cfg.nsteps, thin, nsteps_exec))
         acc_steps = nsteps_exec  # steps the acceptance counter covers
-        if checkpoint_path and not checkpoint_path.endswith(".npz"):
-            # np.savez appends .npz to bare paths; the resume check
-            # would then miss the file and silently restart from 0
-            checkpoint_path += ".npz"
         if every and 0 < every < nsteps_exec:
-            if every % thin:
-                every = max(thin, every - (every % thin))
-                self.log.warning(
-                    "checkpoint_every rounded down to %d (a multiple of "
-                    "thin=%d)" % (every, thin))
-            chains, lnps_parts, acc = [], [], 0.0
-            state_pos = pos0
-            remaining, kk = nsteps_exec, k_run
-            # NOTE: fit_model_ensembles carries a sibling copy of this
-            # resume protocol (leading ensemble axis, +nensembles in the
-            # fingerprint) — keep the two in lockstep
-            have_ck = bool(resume and checkpoint_path
-                           and os.path.exists(checkpoint_path))
-            if jax.process_count() > 1:
-                # the resume decision must be COLLECTIVE: process 0 is
-                # the only checkpoint writer, so on a non-shared
-                # filesystem the others would see no file, run a
-                # different program, and wedge the first collective.
-                # Verify every process sees the same resume state and
-                # fail with an actionable message instead of hanging.
-                from jax.experimental import multihost_utils
-                done_local = 0
-                if have_ck:
-                    done_local = int(np.load(checkpoint_path)
-                                     ["chain"].shape[0]) * thin
-                dones = np.asarray(multihost_utils.process_allgather(
-                    jnp.asarray([done_local]))).ravel()
-                if not np.all(dones == dones[0]):
-                    raise RuntimeError(
-                        "checkpoint resume in a multi-process run "
-                        "requires the checkpoint on a SHARED filesystem:"
-                        f" processes see resume steps {dones.tolist()} "
-                        "— copy the checkpoint to every host (or place "
-                        "it on shared storage) and rerun")
-            if have_ck:
-                ck = np.load(checkpoint_path)
-                if "fingerprint" in ck:
-                    # nsteps is deliberately NOT fingerprinted:
-                    # extending a finished run is safe (the key-stream
-                    # replay depends only on these five). move IS a
-                    # chain-affecting knob — resuming a stretch
-                    # checkpoint with --move mix would splice segments
-                    # from different proposals.
-                    move_id = _MOVE_IDS.get(cfg.move, -1)
-                    dp = int(round(1e4 * cfg.de_prob))
-                    want = np.asarray([cfg.nwalkers, thin, every,
-                                       cfg.seed, move_id, dp])
-                    saved = np.asarray(ck["fingerprint"])
-                    if saved.shape[0] == 4:
-                        # pre-move checkpoint: proposal knobs weren't
-                        # recorded, so they can't be verified — trust it
-                        saved = np.concatenate([saved, [move_id, dp]])
-                    elif saved.shape[0] == 5:
-                        # move recorded but not de_prob — trust de_prob
-                        saved = np.concatenate([saved, [dp]])
-                    if not np.array_equal(saved, want):
-                        raise ValueError(
-                            "checkpoint config mismatch: saved "
-                            f"(nwalkers, thin, every, seed, move, "
-                            f"de_prob*1e4) = "
-                            f"{tuple(saved)}, current = "
-                            f"{tuple(want)} (move ids {_MOVE_IDS}) — "
-                            "resuming with changed settings would "
-                            "corrupt the chain and the RNG replay")
-                done = ck["chain"].shape[0] * thin  # rows are thinned
-                chains = [ck["chain"]]
-                lnps_parts = [ck["lnprobability"]]
-                if "acc" in ck:
-                    acc = ck["acc"]
-                else:
-                    # legacy checkpoint without per-walker counts: the
-                    # fraction can only cover the resumed tail
-                    acc_steps = max(nsteps_exec - done, 1)
-                state_pos = np.asarray(ck["chain"][-1])
-                remaining = nsteps_exec - done
-                # replay the key stream so the continued run matches
-                for _ in range(-(-done // every)):
-                    kk, _ = jax.random.split(kk)
-                self.log.info("Resumed from checkpoint at step %d" % done)
-            while remaining > 0:
-                kk, k_blk = jax.random.split(kk)
-                nblk = min(every, remaining)
-                if jax.process_count() > 1:
-                    k_blk = np.asarray(k_blk)
-                # mix: slice the GLOBAL Bresenham schedule so block
-                # boundaries don't restart it (de_schedule docstring)
-                sel = (de_schedule(nblk, cfg.de_prob,
-                                   offset=nsteps_exec - remaining)
-                       if cfg.move == "mix" else None)
-                state, ch, lp, ac = run_stretch(lnprob, state_pos, k_blk,
-                                                nblk, thin=thin,
-                                                move=cfg.move,
-                                                de_prob=cfg.de_prob,
-                                                de_sel=sel)
-                state_pos = state.pos
-                chains.append(to_host(ch))
-                lnps_parts.append(to_host(lp))
-                acc = acc + to_host(ac)
-                remaining -= nblk
-                if checkpoint_path and not is_primary():
-                    pass  # one writer; all processes hold the same data
-                elif checkpoint_path:
-                    np.savez(checkpoint_path,
-                             chain=np.concatenate(chains),
-                             lnprobability=np.concatenate(lnps_parts),
-                             acc=np.asarray(acc),
-                             fingerprint=np.asarray(
-                                 [cfg.nwalkers, thin, every, cfg.seed,
-                                  _MOVE_IDS.get(cfg.move, -1),
-                                  int(round(1e4 * cfg.de_prob))]))
-            chain = np.concatenate(chains)
-            lnps = np.concatenate(lnps_parts)
+            def runner(p, k, n, sel):
+                return run_stretch(lnprob, p, k, n, thin=thin,
+                                   move=cfg.move, de_prob=cfg.de_prob,
+                                   de_sel=sel)
+            chain, lnps, acc, acc_steps = self._run_checkpointed(
+                runner, pos0, k_run, nsteps_exec, thin, every,
+                checkpoint_path, resume, "checkpoint")
         else:
             state, chain, lnps, acc = run_stretch(lnprob, pos0, k_run,
                                                   nsteps_exec, thin=thin,
@@ -622,88 +641,11 @@ class _BaseModel:
                                              de_sel=sel)
 
         every = cfg.checkpoint_every or 0
-        if checkpoint_path and not checkpoint_path.endswith(".npz"):
-            checkpoint_path += ".npz"
         if every and 0 < every < nsteps_exec:
-            if every % thin:
-                every = max(thin, every - (every % thin))
-                self.log.warning(
-                    "checkpoint_every rounded down to %d (a multiple of "
-                    "thin=%d)" % (every, thin))
-            ch_parts, lp_parts, acc = [], [], 0.0
-            pos = pos0
-            remaining, kk = nsteps_exec, k_run
-            # NOTE: sibling of fit_model's resume protocol (step axis 1,
-            # +nensembles fingerprint) — keep the two in lockstep
-            have_ck = bool(resume and checkpoint_path
-                           and os.path.exists(checkpoint_path))
-            if jax.process_count() > 1:
-                # collective resume check — see fit_model
-                from jax.experimental import multihost_utils
-                done_local = 0
-                if have_ck:
-                    done_local = int(np.load(checkpoint_path)
-                                     ["chain"].shape[1]) * thin
-                dones = np.asarray(multihost_utils.process_allgather(
-                    jnp.asarray([done_local]))).ravel()
-                if not np.all(dones == dones[0]):
-                    raise RuntimeError(
-                        "checkpoint resume in a multi-process run "
-                        "requires the checkpoint on a SHARED "
-                        f"filesystem: processes see {dones.tolist()}")
-            if have_ck:
-                ck = np.load(checkpoint_path)
-                if "fingerprint" in ck:
-                    want = np.asarray([cfg.nwalkers, thin, every,
-                                       cfg.seed,
-                                       _MOVE_IDS.get(cfg.move, -1),
-                                       int(round(1e4 * cfg.de_prob)),
-                                       nensembles])
-                    if not np.array_equal(np.asarray(ck["fingerprint"]),
-                                          want):
-                        raise ValueError(
-                            "ensemble-checkpoint config mismatch: saved "
-                            f"{tuple(ck['fingerprint'])}, current "
-                            f"{tuple(want)} ((nwalkers, thin, every, "
-                            "seed, move, de_prob*1e4, nensembles))")
-                done = ck["chain"].shape[1] * thin   # (C, rows, W, D)
-                ch_parts = [ck["chain"]]
-                lp_parts = [ck["lnprobability"]]
-                acc = ck["acc"]
-                # HOST numpy: a process-local device array would be
-                # rejected by the global-mesh computation on resume
-                pos = np.asarray(ck["chain"][:, -1])
-                remaining = nsteps_exec - done
-                for _ in range(-(-done // every)):
-                    kk, _ = jax.random.split(kk)
-                self.log.info("Resumed ensembles from checkpoint at "
-                              "step %d" % done)
-            while remaining > 0:
-                kk, k_blk = jax.random.split(kk)
-                nblk = min(every, remaining)
-                sel = (de_schedule(nblk, cfg.de_prob,
-                                   offset=nsteps_exec - remaining)
-                       if cfg.move == "mix" else None)
-                state, ch, lp, ac = runner(pos, k_blk, nblk, sel)
-                pos = state.pos
-                ch_parts.append(to_host(ch))
-                lp_parts.append(to_host(lp))
-                acc = acc + to_host(ac)
-                remaining -= nblk
-                if checkpoint_path and is_primary():
-                    np.savez(checkpoint_path,
-                             chain=np.concatenate(ch_parts, axis=1),
-                             lnprobability=np.concatenate(lp_parts,
-                                                          axis=1),
-                             acc=np.asarray(acc),
-                             fingerprint=np.asarray(
-                                 [cfg.nwalkers, thin, every, cfg.seed,
-                                  _MOVE_IDS.get(cfg.move, -1),
-                                  int(round(1e4 * cfg.de_prob)),
-                                  nensembles]))
-            chains = np.concatenate(ch_parts, axis=1)
-            lnps = np.concatenate(lp_parts, axis=1)
-            acc = np.asarray(acc)
+            chains, lnps, acc, _ = self._run_checkpointed(
+                runner, pos0, k_run, nsteps_exec, thin, every,
+                checkpoint_path, resume, "ensemble-checkpoint",
+                fingerprint_extra=(nensembles,), step_axis=1)
         else:
             state, chains, lnps, acc = runner(pos0, k_run, nsteps_exec)
             chains = to_host(chains)      # (C, nsteps, W, D)
