@@ -814,9 +814,16 @@ class _BaseModel:
             eps = to_host(eps)              # per-replica adapted eps
             div_frac = float(np.mean(to_host(div_frac)))
         else:
-            samples_y, lnps_y, alphas, eps, div_frac = run_nuts(
+            # AOT-compile so "Total time taken" is pure sampling: the
+            # one-time jit (~20 s) otherwise lands inside the timer and
+            # dwarfs the run for short chains (a compile-included A/B
+            # once mismeasured the engine margin as a tie)
+            compiled = run_nuts.lower(
                 lnp_y, y0, k_run, num_warmup=int(num_warmup),
-                num_samples=int(cfg.nsteps))
+                num_samples=int(cfg.nsteps)).compile()
+            self.log.info("NUTS jit compile: %.1f s" % (time.time() - t0))
+            t0 = time.time()
+            samples_y, lnps_y, alphas, eps, div_frac = compiled(y0, k_run)
             jax.block_until_ready(lnps_y)
         elapsed = time.time() - t0
         chain_dev = jax.vmap(jax.vmap(to_theta))(samples_y)
