@@ -688,26 +688,47 @@ class _BaseModel:
         self.log.info(str(self.samples.shape))
         return self.samples
 
-    def _nuts_gradient_post(self, scalar):
+    def _nuts_gradient_post(self, scalar, nchains=None):
         """Select the NUTS posterior callable: the fused Pallas
         value+grad kernel where measured to win, else the XLA scalar.
 
         The fused kernel only wins where the per-element gradient work
         is transcendental-heavy — the free-completeness model (Fleming
-        + decay per cell): 1.9x raw value_and_grad, 2.5-2.8x NUTS
-        end-to-end on v5e. The fixed/z/hier gradients are one cheap
-        exp per element, which XLA's fused forward+backward already
-        saturates (ties at 201-grids, 1.2-1.3x losses at 32-grids), so
-        those keep XLA autodiff. exact_bounds likewise stays on the XLA
-        scalar (the kernel has no exact-bounds path; short-circuiting
-        before _resolve_use_pallas also avoids its explicit-use_pallas
-        + exact_bounds error, which is an ensemble-path contract).
+        + decay per cell): 1.9x raw value_and_grad, 1.7-1.8x NUTS
+        end-to-end on v5e at default chain counts. The fixed/z/hier
+        gradients are one cheap exp per element, which XLA's fused
+        forward+backward already saturates (ties at 201-grids, 1.2-1.3x
+        losses at 32-grids), so those keep XLA autodiff. exact_bounds
+        likewise stays on the XLA scalar (the kernel has no
+        exact-bounds path; short-circuiting before _resolve_use_pallas
+        also avoids its explicit-use_pallas + exact_bounds error, which
+        is an ensemble-path contract).
+
+        ``nchains``: per-run chain count for the batch-aware exception
+        (the NUTS twin of _resolve_use_pallas's forward rule): at large
+        per-device chain batches on a SMALL grid, XLA's fused
+        forward+backward becomes throughput-bound and wins — measured
+        on gauss-32 (5,120 cells): Pallas 1.2x ahead at 64 chains, XLA
+        1.5x ahead at 128, 1.6x at 256. Big grids stay Pallas at every
+        measured batch (trapz-101/51k cells: 1.5x ahead at 128 AND 256
+        chains), so the exception gates on both batch and grid size.
         """
         free_single = (self.model_kind == "single"
                        and not self.cfg.fix_comp
                        and not self.cfg.exact_bounds)
         if not (free_single and self._resolve_use_pallas()):
             return scalar
+        if nchains is not None and self.cfg.use_pallas is None:
+            ndev = (self.mesh.devices.size if self.mesh is not None
+                    else 1)
+            per_dev = max(1, int(nchains) // int(ndev))
+            ncells = int(np.prod(self.ctx.logL_grid.shape))
+            if per_dev >= 96 and ncells <= 16384:
+                self.log.info(
+                    "NUTS gradient path: XLA autodiff (%d chains/device"
+                    " on a %d-cell grid is the measured XLA-wins "
+                    "regime)" % (per_dev, ncells))
+                return scalar
         from lumfuncmcmc_tpu.ops.pallas_lnlike import (
             make_pallas_lnprob_and_grad)
         pal = make_pallas_lnprob_and_grad(
@@ -735,7 +756,9 @@ class _BaseModel:
                 "--move %s is an ensemble-proposal option; it is "
                 "ignored under --sampler nuts" % cfg.move)
         scalar = self._make_scalar_lnprob()
-        post = self._nuts_gradient_post(scalar)
+        pos = self._initial_positions(k_init)
+        nchains = min(nchains, pos.shape[0])
+        post = self._nuts_gradient_post(scalar, nchains=nchains)
         lo, hi = self.layout.bounds_arrays()
         lnp_y, to_theta, to_y = make_unconstrained(post, lo, hi)
 
@@ -745,8 +768,6 @@ class _BaseModel:
         # jit auto-partitioning with globally-pooled adaptation
         native_mesh = (self.mesh is not None
                        and getattr(post, "engine", None) == "pallas")
-        pos = self._initial_positions(k_init)
-        nchains = min(nchains, pos.shape[0])
         if native_mesh:
             ndev = int(self.mesh.devices.size)
             if ndev > pos.shape[0]:

@@ -295,3 +295,32 @@ def test_checkpoint_resume_mix_move(small_inputs, tmp_path):
     m3 = _model(cfg.replace(de_prob=0.7), cat)
     with pytest.raises(ValueError, match="checkpoint config mismatch"):
         m3.fit_model(checkpoint_path=ck, resume=True)
+
+
+def test_nuts_engine_batch_aware(small_inputs, monkeypatch):
+    """Auto NUTS engine is batch-aware: the fused Pallas value+grad
+    kernel at default chain counts, XLA autodiff once the per-device
+    chain batch is large ON A SMALL GRID (measured XLA-wins regime:
+    gauss-32 loses 1.5-1.6x at >=128 chains), and Pallas at any batch
+    on big grids (trapz-101 wins 1.5x at 256 chains)."""
+    import lumfuncmcmc_tpu.models.model as mm
+    _, cat = small_inputs
+    monkeypatch.setattr(mm.jax, "default_backend", lambda: "tpu")
+    cfg = LFConfig(min_comp_frac=0.5, fix_comp=False, size_ln=31,
+                   quadrature="gauss", nwalkers=16, nsteps=6,
+                   pallas_interpret=True)
+    m = _model(cfg, cat)
+    scalar = m._make_scalar_lnprob()
+    assert getattr(m._nuts_gradient_post(scalar, nchains=8),
+                   "engine", None) == "pallas"
+    assert m._nuts_gradient_post(scalar, nchains=128) is scalar
+    # explicit use_pallas overrides the batch rule
+    m_exp = _model(cfg.replace(use_pallas=True), cat)
+    assert getattr(m_exp._nuts_gradient_post(m_exp._make_scalar_lnprob(),
+                                             nchains=128),
+                   "engine", None) == "pallas"
+    # big grid keeps the native kernel at large batches
+    m_big = _model(cfg.replace(quadrature="trapz", size_ln=101), cat)
+    assert getattr(m_big._nuts_gradient_post(m_big._make_scalar_lnprob(),
+                                             nchains=256),
+                   "engine", None) == "pallas"
