@@ -133,6 +133,9 @@ def main():
                     help="catalog size for the default streaming "
                          "value+grad A/B (must exceed the VMEM gate; "
                          "0 disables)")
+    ap.add_argument("--nuts-chains", type=int, default=256,
+                    help="chain count for the NUTS throughput "
+                         "measurement (0 disables)")
     args = ap.parse_args()
 
     import jax
@@ -402,6 +405,53 @@ def main():
                 f"{1e3 * vg_walls['xla']:.2f} ms "
                 f"({vg_walls['xla'] / vg_walls['pallas']:.2f}x)")
 
+    # NUTS throughput (iterative while_loop transitions): large-batch
+    # gradient-based sampling on the production gauss grid. At 256
+    # chains the XLA-autodiff engine is the measured winner for this
+    # small grid (docs/PERFORMANCE.md) and ESS/s matches the stretch
+    # ensemble with far better per-sample mixing.
+    nuts_detail = {}
+    if args.nuts_chains > 0 and jax.default_backend() == "tpu":
+        from lumfuncmcmc_tpu.samplers.nuts import (
+            make_unconstrained, run_nuts)
+        lnp_scalar_g = make_lnprob(ctx_g, layout)
+        lo_a = jnp.asarray(layout.lo)
+        hi_a = jnp.asarray(layout.hi)
+        lnp_y, to_theta, to_y = make_unconstrained(lnp_scalar_g, lo_a,
+                                                   hi_a)
+        mid_n = 0.5 * (np.asarray(layout.lo) + np.asarray(layout.hi))
+        thN = np.asarray(sample_init(jax.random.PRNGKey(9), layout,
+                                     args.nuts_chains))
+        y0 = jax.vmap(to_y)(jnp.asarray(
+            0.8 * mid_n[None, :] + 0.2 * thN))
+        NW, NS = 100, 150
+        t0 = time.time()
+        compiled = run_nuts.lower(lnp_y, y0, jax.random.PRNGKey(10),
+                                  num_warmup=NW,
+                                  num_samples=NS).compile()
+        log(f"NUTS compile: {time.time() - t0:.1f}s")
+        out_n = compiled(y0, jax.random.PRNGKey(10))
+        jax.block_until_ready(out_n[0])
+        t0 = time.time()
+        s_n, _, al_n, eps_n, dv_n = compiled(y0, jax.random.PRNGKey(10))
+        jax.block_until_ready(s_n)
+        wall_n = time.time() - t0
+        ess_n = float(effective_sample_size(np.asarray(s_n)).min())
+        nuts_detail = {
+            "nuts_chains": args.nuts_chains,
+            "nuts_samples": NS,
+            "nuts_wall_s": round(wall_n, 3),
+            "nuts_min_ess": round(ess_n, 1),
+            "nuts_ess_per_sec": round(ess_n / wall_n, 1),
+            "nuts_accept_stat": round(
+                float(np.mean(np.asarray(al_n))), 3),
+            "nuts_div_frac": round(float(dv_n), 5),
+        }
+        log(f"NUTS ({args.nuts_chains} chains, {NW}+{NS}, gauss-32): "
+            f"{wall_n:.2f}s minESS={ess_n:.0f} "
+            f"({ess_n / wall_n:,.0f}/s) acc="
+            f"{float(np.mean(np.asarray(al_n))):.2f}")
+
     mega_detail = {}
     if args.mega:
         log("mega-catalog configuration (collapsed fixed-comp ln-term)")
@@ -527,6 +577,7 @@ def main():
             **base_tau_detail,
             **mix_detail,
             **stream_vg_detail,
+            **nuts_detail,
             **mega_detail,
         },
     }
