@@ -107,6 +107,13 @@ def _add_common_flags(p):
                         "(default 8, must be >= 1; with a device mesh "
                         "the count is rounded to the device/axis "
                         "multiple of the selected path)")
+    p.add_argument("--nuts-pooled", dest="nuts_pooled",
+                   action="store_true",
+                   help="--sampler nuts on a mesh with the native "
+                        "gradient kernel: pmean-pool step-size/mass "
+                        "adaptation across devices (one shared eps "
+                        "from the global chain population) instead of "
+                        "independent per-device replicas")
     p.add_argument("--min-ess", dest="min_ess", type=float, default=None,
                    metavar="N",
                    help="run until every parameter reaches N effective "
@@ -356,7 +363,10 @@ def _dispatch_sampler(model, cfg, args, outdir):
             if min_ess:
                 print("WARNING: --min-ess applies to the ensemble "
                       "sampler; ignored under --sampler nuts")
-            model.fit_model_nuts(nchains=nchains)
+            model.fit_model_nuts(
+                nchains=nchains,
+                pooled=(True if getattr(args, "nuts_pooled", False)
+                        else None))
         elif ens > 1:
             if min_ess:
                 print("WARNING: --min-ess is not implemented for "

@@ -740,10 +740,38 @@ class _BaseModel:
                       "kernel")
         return pal
 
-    def fit_model_nuts(self, key=None, num_warmup=None, nchains=8):
+    def _nuts_stream_mesh_route(self):
+        """True when NUTS should take the source-sharded streaming
+        value+grad route (``run_nuts_stream_sharded``): a mesh with a
+        real source axis, the free-completeness single-epoch model past
+        the resident-VMEM gate (the catalog no longer fits per device,
+        so replicating it for per-device NUTS replicas wastes the source
+        axis), the native tier resolved on, and grids small enough to
+        stay resident (``make_stream_shard_vg``'s own gate — mirrored
+        here so the route is decided before any data packing)."""
+        from lumfuncmcmc_tpu.ops import pallas_lnlike as pk
+        from lumfuncmcmc_tpu.parallel.mesh import AXIS_SOURCES
+        cfg = self.cfg
+        if (self.mesh is None or self.mesh.shape[AXIS_SOURCES] <= 1
+                or self.model_kind != "single" or cfg.fix_comp
+                or cfg.exact_bounds
+                or not pk.free_comp_over_vmem(self.ctx)
+                or not self._resolve_use_pallas()):
+            return False
+        ncells = int(np.prod(np.asarray(self.ctx.logL_grid).shape))
+        return ncells * 5 * 4 <= pk._VMEM_ARRAY_LIMIT
+
+    def fit_model_nuts(self, key=None, num_warmup=None, nchains=8,
+                       pooled=None):
         """Gradient-based NUTS fit of the same posterior (new capability;
         the reference likelihood is not differentiable). Produces the
-        same ``self.samples`` layout as :meth:`fit_model`."""
+        same ``self.samples`` layout as :meth:`fit_model`.
+
+        ``pooled``: cross-device step-size/mass adaptation pooling for
+        the shard_map NUTS routes (``None`` = each route's default:
+        per-device replicas for ``run_nuts_sharded``, pooled for the
+        source-sharded stream route). The XLA-gradient mesh path is
+        always globally pooled (jit auto-partitioning)."""
         from lumfuncmcmc_tpu.samplers.nuts import (
             make_unconstrained, run_nuts)
         cfg = self.cfg
@@ -758,7 +786,12 @@ class _BaseModel:
         scalar = self._make_scalar_lnprob()
         pos = self._initial_positions(k_init)
         nchains = min(nchains, pos.shape[0])
-        post = self._nuts_gradient_post(scalar, nchains=nchains)
+        stream_mesh = self._nuts_stream_mesh_route()
+        # the stream route builds its gradient surface inside shard_map
+        # (psum of per-shard vg rows); lnp_y below is only used by the
+        # other routes
+        post = (scalar if stream_mesh
+                else self._nuts_gradient_post(scalar, nchains=nchains))
         lo, hi = self.layout.bounds_arrays()
         lnp_y, to_theta, to_y = make_unconstrained(post, lo, hi)
 
@@ -766,9 +799,23 @@ class _BaseModel:
         # per-device NUTS replicas under shard_map (XLA cannot
         # partition a pallas_call); the XLA-gradient mesh path keeps
         # jit auto-partitioning with globally-pooled adaptation
-        native_mesh = (self.mesh is not None
+        native_mesh = (not stream_mesh and self.mesh is not None
                        and getattr(post, "engine", None) == "pallas")
-        if native_mesh:
+        if stream_mesh:
+            from lumfuncmcmc_tpu.parallel.mesh import AXIS_WALKERS
+            nshard = self.mesh.shape[AXIS_WALKERS]
+            if nshard > pos.shape[0]:
+                raise ValueError(
+                    f"mesh walker axis has {nshard} devices but only "
+                    f"{pos.shape[0]} walkers are available to seed NUTS "
+                    "chains; raise nwalkers or shrink the mesh")
+            if nchains % nshard:
+                new = max(nshard, nchains - nchains % nshard)
+                self.log.info("Rounding nchains %d -> %d (multiple of "
+                              "the %d-device mesh walker axis)"
+                              % (nchains, new, nshard))
+                nchains = new
+        elif native_mesh:
             ndev = int(self.mesh.devices.size)
             if ndev > pos.shape[0]:
                 raise ValueError(
@@ -804,7 +851,16 @@ class _BaseModel:
         mid = (lo + hi) / 2.0
         start = 0.8 * mid[None, :] + 0.2 * start
         y0 = jax.vmap(to_y)(start)
-        if native_mesh:
+        if stream_mesh:
+            from lumfuncmcmc_tpu.parallel.mesh import (
+                AXIS_SOURCES, AXIS_WALKERS)
+            self.log.info(
+                "NUTS: source-sharded streaming value+grad — catalog "
+                "split over %d '%s' devices (psum per leapfrog), chains "
+                "over %d '%s' devices, pooled step-size adaptation"
+                % (self.mesh.shape[AXIS_SOURCES], AXIS_SOURCES,
+                   self.mesh.shape[AXIS_WALKERS], AXIS_WALKERS))
+        elif native_mesh:
             self.log.info("NUTS: per-device replicas over the %d-device"
                           " mesh, native Pallas value+grad per device"
                           % self.mesh.devices.size)
@@ -820,7 +876,26 @@ class _BaseModel:
         self.log.info("Fitting with NUTS (%d chains, %d warmup, %d "
                       "samples)" % (nchains, num_warmup, cfg.nsteps))
         t0 = time.time()
-        if native_mesh:
+        if stream_mesh:
+            from lumfuncmcmc_tpu.parallel.distributed import to_host
+            from lumfuncmcmc_tpu.parallel.sharding import (
+                run_nuts_stream_sharded)
+            if jax.process_count() > 1:
+                y0 = np.asarray(y0)
+                k_run = np.asarray(k_run)
+            out = run_nuts_stream_sharded(
+                self.ctx, self.layout, self.mesh, y0, k_run,
+                num_warmup=int(num_warmup), num_samples=int(cfg.nsteps),
+                pooled=(True if pooled is None else bool(pooled)),
+                interpret=cfg.pallas_interpret)
+            assert out is not None  # _nuts_stream_mesh_route gate
+            samples_y, lnps_y, alphas, eps, div_frac = out
+            jax.block_until_ready(lnps_y)
+            samples_y = jnp.asarray(to_host(samples_y))
+            alphas = to_host(alphas)
+            eps = to_host(eps)              # pooled: all rows equal
+            div_frac = float(np.mean(to_host(div_frac)))
+        elif native_mesh:
             from lumfuncmcmc_tpu.parallel.distributed import to_host
             from lumfuncmcmc_tpu.parallel.sharding import run_nuts_sharded
             if jax.process_count() > 1:
@@ -828,7 +903,8 @@ class _BaseModel:
                 k_run = np.asarray(k_run)
             samples_y, lnps_y, alphas, eps, div_frac = run_nuts_sharded(
                 lnp_y, y0, k_run, self.mesh,
-                num_warmup=int(num_warmup), num_samples=int(cfg.nsteps))
+                num_warmup=int(num_warmup), num_samples=int(cfg.nsteps),
+                pooled=bool(pooled))
             jax.block_until_ready(lnps_y)
             samples_y = jnp.asarray(to_host(samples_y))
             alphas = to_host(alphas)

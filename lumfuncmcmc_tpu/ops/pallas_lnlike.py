@@ -1708,6 +1708,66 @@ def _make_stream_vg_scalar(ctx: LFContext, layout, interpret):
     return _vg_scalar_from_rows(vg_rows, feat_one, mask_fn)
 
 
+def make_stream_shard_vg(ctx: LFContext, layout, nshards: int,
+                         interpret: bool = False):
+    """Per-shard streaming value+grad rows for the source-sharded
+    mesh composition: the gradient-path twin of
+    :func:`make_stream_shard_batched`, built on the SAME
+    :func:`prepare_stream_shard_data` layout (quadrature weights
+    pre-scaled ``1/nshards``, round-robin field-aligned source packs
+    with a shared static row layout).
+
+    Every output column — the lnlike AND each ``d lnl/d feature`` — is
+    a sum of per-cell terms, so one ``psum`` of the full ``(wk,
+    1+nfeat)`` row over the source mesh axis reconstructs the exact
+    global value+gradient (grid terms appear once per shard at weight
+    ``1/nshards``; source terms are disjoint). The caller wires that
+    psum and the ``custom_vjp`` plumbing
+    (``parallel/sharding.py::run_nuts_stream_sharded``).
+
+    Returns ``(vg_rows(feats, s_local), s_stacked, feat_one)`` or
+    ``None`` when the resident grids alone exceed the VMEM budget.
+    """
+    ncells = int(np.prod(np.asarray(ctx.logL_grid).shape))
+    if bool(layout.fix_comp) or ncells * 5 * 4 > _VMEM_ARRAY_LIMIT:
+        return None
+    gpack, grid_rows, s_stacked, src_rows, lref, nf = \
+        prepare_stream_shard_data(ctx, nshards)
+    fcmin = float(layout.fcmin) if layout.fcmin else 0.0
+    sr = int(s_stacked["a"].shape[1])
+    n_slabs = sr // _SLAB_ROWS
+    slab_starts = tuple(off // _SLAB_ROWS for off, _ in src_rows)
+    kern = partial(_kernel_free_stream_vg, grid_rows=grid_rows,
+                   slab_starts=slab_starts, nfields=nf, fcmin=fcmin)
+    g_arrays = (gpack["logf"], gpack["a"], gpack["p"], gpack["r"],
+                gpack["w"])
+    s_names = ("logf", "a", "p", "r", "lnom0", "mask")
+    nfeat = 6 + 2 * nf
+
+    def vg_rows(feats, s_local):
+        wk = feats.shape[0]
+        return pl.pallas_call(
+            kern,
+            grid=(1, n_slabs),
+            in_specs=[pl.BlockSpec((wk, nfeat), lambda i, j: (0, 0),
+                                   memory_space=pltpu.SMEM)]
+            + [pl.BlockSpec(a.shape, lambda i, j: (0, 0),
+                            memory_space=pltpu.VMEM) for a in g_arrays]
+            + [pl.BlockSpec((_SLAB_ROWS, LANES), lambda i, j: (j, 0),
+                            memory_space=pltpu.VMEM) for _ in s_names],
+            out_specs=pl.BlockSpec((wk, 1 + nfeat), lambda i, j: (0, 0),
+                                   memory_space=pltpu.SMEM),
+            out_shape=jax.ShapeDtypeStruct((wk, 1 + nfeat), jnp.float32),
+            interpret=interpret,
+        )(feats, *g_arrays, *s_local)
+
+    def feat_one(theta):
+        return _feat_free_one(_clamp_flim(theta, layout), layout, lref,
+                              fcmin)
+
+    return vg_rows, tuple(s_stacked[nm] for nm in s_names), feat_one
+
+
 def make_pallas_lnprob_and_grad(ctx: LFContext, layout,
                                 interpret: bool = False,
                                 model: str = "single"):

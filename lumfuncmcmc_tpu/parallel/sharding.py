@@ -154,19 +154,23 @@ def make_lnprob_sharded(ctx: LFContext, layout, mesh, model="single",
 
 
 def run_nuts_sharded(lnp_y, y0, key, mesh, num_warmup, num_samples,
-                     **kw):
+                     pooled=False, **kw):
     """Per-device NUTS replicas: chains split over ALL mesh devices,
     each device running the full ``run_nuts`` (warmup, dual-averaging,
     mass adaptation) on its local chain block with the NATIVE
     per-device gradient callable — a composition jit auto-partitioning
     cannot express (XLA cannot partition a ``pallas_call``).
 
-    Step-size/mass adaptation pools only the LOCAL chains, so each
-    device is an independent NUTS replica with its own adapted eps
-    (numpyro's parallel ``chain_method`` has the same semantics; the
-    meshless/auto-partitioned path pools all chains). Returns
-    ``(samples (S, C, D), lnps (S, C), alphas (S, C), eps (ndev,),
-    div_frac (ndev,))``.
+    ``pooled=False`` (default): step-size/mass adaptation pools only
+    the LOCAL chains, so each device is an independent NUTS replica
+    with its own adapted eps (numpyro's parallel ``chain_method`` has
+    the same semantics). ``pooled=True``: the acceptance statistic and
+    diag-mass moments are ``pmean``-pooled across the mesh each warmup
+    step, so all devices adapt ONE shared eps/mass from the global
+    chain population — the sharded twin of the meshless pooled
+    adaptation (the returned per-device eps entries are then all
+    equal). Returns ``(samples (S, C, D), lnps (S, C), alphas (S, C),
+    eps (ndev,), div_frac (ndev,))``.
     """
     from lumfuncmcmc_tpu.samplers.nuts import run_nuts
 
@@ -185,7 +189,9 @@ def run_nuts_sharded(lnp_y, y0, key, mesh, num_warmup, num_samples,
         k_local = jax.random.fold_in(key, i)
         s, lp, al, eps, dv = run_nuts(lnp_y, y0_blk, k_local,
                                       num_warmup=num_warmup,
-                                      num_samples=num_samples, **kw)
+                                      num_samples=num_samples,
+                                      pool_axes=axes if pooled else None,
+                                      **kw)
         return s, lp, al, eps[None], dv[None]
 
     fn = jax.shard_map(
@@ -194,6 +200,152 @@ def run_nuts_sharded(lnp_y, y0, key, mesh, num_warmup, num_samples,
                    P(axes), P(axes)),
         check_vma=False)
     return fn(y0)
+
+
+def _stream_vg_local_parts(ctx: LFContext, layout, ns_shards,
+                           interpret):
+    """Shared plumbing for the source-sharded streaming value+grad
+    routes: returns ``(make_scalar, s_stacked)`` where ``make_scalar``
+    must be called INSIDE the shard_map body with this device's source
+    blocks and wires the cross-shard psum + custom_vjp into a scalar
+    ``theta -> lnprob`` whose value and gradient are globally exact.
+    ``None`` when the streaming vg kernel is gated off."""
+    from lumfuncmcmc_tpu.ops.pallas_lnlike import (
+        make_stream_shard_vg, _vg_scalar_from_rows)
+
+    built = make_stream_shard_vg(ctx, layout, ns_shards,
+                                 interpret=interpret)
+    if built is None:
+        return None
+    vg_rows_local, s_stacked, feat_one = built
+    lo = jnp.asarray(layout.lo, jnp.float32)
+    hi = jnp.asarray(layout.hi, jnp.float32)
+
+    def mask_fn(theta, lnl):
+        ok = jnp.all((theta >= lo) & (theta <= hi))
+        return jnp.where(ok, lnl, -jnp.inf)
+
+    def make_scalar(s_blk):
+        s_local = tuple(a[0] for a in s_blk)
+
+        def vg_rows(feats):
+            return jax.lax.psum(vg_rows_local(feats, s_local),
+                                AXIS_SOURCES)
+
+        return _vg_scalar_from_rows(vg_rows, feat_one, mask_fn)
+
+    return make_scalar, s_stacked
+
+
+def make_pallas_vg_stream_sharded(ctx: LFContext, layout, mesh,
+                                  interpret=False):
+    """Batched ``(W, D) -> (lnp (W,), grad (W, D))`` with the catalog
+    source-sharded over the mesh: walkers split over the ``walkers``
+    axis, each device streaming its 1/nshards source slabs through the
+    fused value+grad kernel, one psum of the vg rows per evaluation
+    (:func:`~lumfuncmcmc_tpu.ops.pallas_lnlike.make_stream_shard_vg`).
+    The standalone gradient surface for mega free-completeness
+    catalogs — optimizers/MAP as well as the NUTS route below. Returns
+    ``None`` when gated off (fixed completeness or over-VMEM grids).
+    """
+    parts = _stream_vg_local_parts(ctx, layout,
+                                   mesh.shape[AXIS_SOURCES], interpret)
+    if parts is None:
+        return None
+    make_scalar, s_stacked = parts
+    nw_shards = mesh.shape[AXIS_WALKERS]
+
+    def local(thetas_blk, s_blk):
+        scalar = make_scalar(s_blk)
+        return jax.vmap(jax.value_and_grad(scalar))(
+            thetas_blk.astype(jnp.float32))
+
+    sharded_fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(AXIS_WALKERS),
+                  tuple(P(AXIS_SOURCES) for _ in s_stacked)),
+        out_specs=(P(AXIS_WALKERS), P(AXIS_WALKERS)),
+        check_vma=False)
+
+    def batch(thetas):
+        w = thetas.shape[0]
+        wpad = -(-w // nw_shards) * nw_shards
+        if wpad != w:
+            thetas = jnp.concatenate(
+                [thetas,
+                 jnp.broadcast_to(thetas[:1],
+                                  (wpad - w,) + thetas.shape[1:])])
+        v, g = sharded_fn(thetas, s_stacked)
+        return v[:w], g[:w]
+
+    batch.engine = "pallas"
+    return batch
+
+
+def run_nuts_stream_sharded(ctx: LFContext, layout, mesh, y0, key,
+                            num_warmup, num_samples, pooled=True,
+                            interpret=False, **kw):
+    """Mega-catalog NUTS with NATIVE 2-D parallelism: chains sharded
+    over the ``walkers`` mesh axis, the CATALOG sharded over the
+    ``sources`` axis, every device streaming its 1/nshards source slab
+    stack through the fused value+grad kernel and one ``psum`` of the
+    ``(wk, 1+nfeat)`` vg row reconstructing the exact global
+    value+gradient per leapfrog (:func:`~lumfuncmcmc_tpu.ops.
+    pallas_lnlike.make_stream_shard_vg`).
+
+    Devices along the source axis hold the SAME chain block and fold
+    the SAME key (the walker-axis index only), so their trajectories
+    are bit-identical replicas — required for psum coherence inside the
+    integrator — while each contributes only its local source shard to
+    every gradient. Per-device HBM then holds 1/nshards of the catalog:
+    free-completeness NUTS capacity scales with the mesh instead of
+    replicating the full catalog per device
+    (``run_nuts_sharded`` + the meshless streaming vg kernel).
+
+    ``pooled=True`` pmean-pools dual-averaging/mass across the walker
+    axis (one global eps); ``False`` leaves independent per-walker-row
+    replicas. ``y0``: (C, D) unconstrained chain starts, C a multiple
+    of the walker axis. Returns ``(samples (S, C, D), lnps (S, C),
+    alphas (S, C), eps (nw,), div_frac (nw,))`` or ``None`` when the
+    model/grids do not fit the streaming kernel (fixed completeness,
+    or resident grids past the VMEM budget).
+    """
+    from lumfuncmcmc_tpu.samplers.nuts import make_unconstrained, run_nuts
+
+    parts = _stream_vg_local_parts(ctx, layout,
+                                   mesh.shape[AXIS_SOURCES], interpret)
+    if parts is None:
+        return None
+    make_scalar, s_stacked = parts
+    nw_shards = mesh.shape[AXIS_WALKERS]
+    C = y0.shape[0]
+    if C % nw_shards:
+        raise ValueError(
+            f"chain count {C} must be a multiple of the mesh walker "
+            f"axis {nw_shards} (whole chain blocks per walker row)")
+    lo = jnp.asarray(layout.lo, jnp.float32)
+    hi = jnp.asarray(layout.hi, jnp.float32)
+
+    def local(y0_blk, s_blk):
+        scalar = make_scalar(s_blk)
+        lnp_y, _, _ = make_unconstrained(scalar, lo, hi)
+        k_local = jax.random.fold_in(key,
+                                     jax.lax.axis_index(AXIS_WALKERS))
+        s, lp, al, eps, dv = run_nuts(
+            lnp_y, y0_blk, k_local, num_warmup=num_warmup,
+            num_samples=num_samples,
+            pool_axes=(AXIS_WALKERS,) if pooled else None, **kw)
+        return s, lp, al, eps[None], dv[None]
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(AXIS_WALKERS),
+                  tuple(P(AXIS_SOURCES) for _ in s_stacked)),
+        out_specs=(P(None, AXIS_WALKERS), P(None, AXIS_WALKERS),
+                   P(None, AXIS_WALKERS), P(AXIS_WALKERS),
+                   P(AXIS_WALKERS)),
+        check_vma=False)
+    return fn(y0, s_stacked)
 
 
 def make_pallas_lnprob_stream_sharded(ctx: LFContext, layout, mesh,

@@ -251,11 +251,11 @@ def _nuts_step(value_and_grad, max_doublings, eps, key, y0):
 
 @partial(jax.jit, static_argnames=("lnpost_y", "num_warmup", "num_samples",
                                    "max_doublings", "target_accept",
-                                   "adapt_mass"))
+                                   "adapt_mass", "pool_axes"))
 def run_nuts(lnpost_y: Callable, y0, key, num_warmup: int,
              num_samples: int, max_doublings: int = 8,
              target_accept: float = 0.8, init_step: float = 0.1,
-             adapt_mass: bool = True):
+             adapt_mass: bool = True, pool_axes=None):
     """Run NUTS chains.
 
     ``y0``: (C, D) initial unconstrained positions — C chains vmapped.
@@ -269,10 +269,22 @@ def run_nuts(lnpost_y: Callable, y0, key, num_warmup: int,
     coordinates (y' = y / scale; equivalent to diag-mass HMC but needs
     no kernel changes). Handles posteriors whose unconstrained scales
     differ by orders of magnitude.
+
+    ``pool_axes``: optional tuple of mesh axis names (static). When run
+    inside ``shard_map`` with chains split over those axes, the
+    dual-averaging acceptance statistic and the diag-mass moments are
+    ``pmean``-pooled across them, so every device adapts the SAME step
+    size and mass from the global chain population (equal local block
+    sizes make the pmean-of-means the exact global mean) — the sharded
+    twin of the meshless pooled adaptation, vs. the independent
+    per-device replicas of ``run_nuts_sharded(pooled=False)``.
     """
     nchains = y0.shape[0]
     step = jax.vmap(_nuts_step, in_axes=(None, None, None, 0, 0))
     gamma, t0c, kappa = 0.05, 10.0, 0.75
+
+    def _pool(x):
+        return jax.lax.pmean(x, pool_axes) if pool_axes else x
 
     def dual_averaging_phase(vg_fn, y_init, key_w, nsteps, eps0):
         mu = jnp.log(10.0 * eps0)
@@ -282,7 +294,7 @@ def run_nuts(lnpost_y: Callable, y0, key, num_warmup: int,
             keys = jax.random.split(k, nchains)
             y_new, alpha, _ = step(vg_fn, max_doublings,
                                    jnp.exp(log_eps), keys, y)
-            a = jnp.mean(alpha)
+            a = _pool(jnp.mean(alpha))
             t = t + 1.0
             h_bar = ((1 - 1 / (t + t0c)) * h_bar
                      + (target_accept - a) / (t + t0c))
@@ -307,7 +319,16 @@ def run_nuts(lnpost_y: Callable, y0, key, num_warmup: int,
                                                init_step)
         # diag mass from the second half of stage A (all chains pooled)
         pool = trace[n_a // 2:].reshape(-1, y0.shape[1])
-        scale = jnp.sqrt(jnp.maximum(jnp.var(pool, axis=0), 1e-10))
+        if pool_axes:
+            # two-moment form so the cross-device pool is one pmean of
+            # local means (jnp.var's centered form would need the global
+            # mean first — two collectives for no accuracy gain here)
+            m1 = _pool(jnp.mean(pool, axis=0))
+            m2 = _pool(jnp.mean(pool * pool, axis=0))
+            var = m2 - m1 * m1
+        else:
+            var = jnp.var(pool, axis=0)
+        scale = jnp.sqrt(jnp.maximum(var, 1e-10))
 
         def lnpost_scaled(yp):
             return lnpost_y(yp * scale)

@@ -336,3 +336,141 @@ def test_exact_bounds_sharded_matches_single_device(setup):
         ctx, layout, mesh, model="single", exact_bounds=True,
         min_comp_frac=cfg.min_comp_frac, lh=cfg.Lh)(thetas))
     np.testing.assert_allclose(got, ref, rtol=1e-9)
+
+
+# --- source-sharded streaming value+grad (round-3 mega-NUTS) -----------
+
+@pytest.mark.parametrize("mesh_shape", [(2, 4), (1, 8)])
+def test_stream_sharded_vg_matches_xla_grad(setup, mesh_shape):
+    """Source-sharded streaming value+grad: one psum of the per-shard
+    (wk, 1+nfeat) vg rows reconstructs the exact global value AND
+    gradient (grid terms 1/nshards per shard, source terms disjoint) —
+    parity vs jax.value_and_grad of the f64 XLA lnprob at the kernel's
+    f32 tolerance (tests/test_pallas.py gates)."""
+    from lumfuncmcmc_tpu.parallel.sharding import (
+        make_pallas_vg_stream_sharded)
+    cfg, ctx, layout = setup
+    mesh = make_mesh(*mesh_shape)
+    fn = make_pallas_vg_stream_sharded(ctx, layout, mesh, interpret=True)
+    assert fn is not None and fn.engine == "pallas"
+    thetas = np.asarray(sample_init(jax.random.PRNGKey(13), layout, 8))
+    mid = 0.5 * (np.asarray(layout.lo) + np.asarray(layout.hi))
+    thetas = 0.7 * mid[None, :] + 0.3 * thetas
+    vref, gref = jax.vmap(jax.value_and_grad(make_lnprob(ctx, layout)))(
+        jnp.asarray(thetas, jnp.float64))
+    v, g = fn(jnp.asarray(thetas, jnp.float32))
+    v, g, vref, gref = map(np.asarray, (v, g, vref, gref))
+    np.testing.assert_allclose(v, vref, rtol=5e-4)
+    denom = np.maximum(np.abs(gref),
+                       1e-3 * np.abs(gref).max(axis=-1, keepdims=True))
+    np.testing.assert_array_less(np.abs(g - gref) / denom, 2e-3)
+
+
+def test_stream_sharded_vg_odd_walkers_and_gates(setup):
+    """Walker padding through the mesh tiling; fixed completeness and
+    over-VMEM grids gate the builder off."""
+    import lumfuncmcmc_tpu.ops.pallas_lnlike as pk
+    from lumfuncmcmc_tpu.models.likelihood import ThetaLayout as TL
+    from lumfuncmcmc_tpu.parallel.sharding import (
+        make_pallas_vg_stream_sharded)
+    cfg, ctx, layout = setup
+    mesh = make_mesh(2, 4)
+    fn = make_pallas_vg_stream_sharded(ctx, layout, mesh, interpret=True)
+    thetas = np.asarray(sample_init(jax.random.PRNGKey(14), layout, 5))
+    mid = 0.5 * (np.asarray(layout.lo) + np.asarray(layout.hi))
+    thetas = 0.7 * mid[None, :] + 0.3 * thetas
+    v, g = fn(jnp.asarray(thetas, jnp.float32))
+    assert v.shape == (5,) and g.shape == (5, layout.ndim)
+    assert np.all(np.isfinite(np.asarray(v)))
+
+    layout_fixed = TL.from_config(cfg.replace(fix_comp=True))
+    assert make_pallas_vg_stream_sharded(
+        ctx, layout_fixed, mesh, interpret=True) is None
+    try:
+        orig = pk._VMEM_ARRAY_LIMIT
+        pk._VMEM_ARRAY_LIMIT = 64
+        assert make_pallas_vg_stream_sharded(
+            ctx, layout, mesh, interpret=True) is None
+    finally:
+        pk._VMEM_ARRAY_LIMIT = orig
+
+
+def test_run_nuts_stream_sharded(setup):
+    """Mega-catalog NUTS on the mesh: catalog source-sharded, chains
+    walker-sharded, every source-row device an exact trajectory replica
+    contributing its shard to the psum'd gradient. Pooled adaptation
+    makes the per-walker-row eps IDENTICAL (the pmean feeds every row
+    the same dual-averaging statistics)."""
+    from lumfuncmcmc_tpu.parallel.sharding import run_nuts_stream_sharded
+    from lumfuncmcmc_tpu.samplers.nuts import make_unconstrained
+    cfg, ctx, layout = setup
+    mesh = make_mesh(2, 4)
+    lo = np.asarray(layout.lo)
+    hi = np.asarray(layout.hi)
+    _, to_theta, to_y = make_unconstrained(
+        make_lnprob(ctx, layout), jnp.asarray(lo), jnp.asarray(hi))
+    thetas = np.asarray(sample_init(jax.random.PRNGKey(15), layout, 8))
+    mid = 0.5 * (lo + hi)
+    y0 = jax.vmap(to_y)(jnp.asarray(
+        0.8 * mid[None, :] + 0.2 * thetas, jnp.float32))
+    out = run_nuts_stream_sharded(
+        ctx, layout, mesh, y0, jax.random.PRNGKey(16), num_warmup=40,
+        num_samples=10, pooled=True, interpret=True, max_doublings=6)
+    assert out is not None
+    s, lp, al, eps, dv = out
+    assert np.asarray(s).shape == (10, 8, layout.ndim)
+    assert np.all(np.isfinite(np.asarray(lp)))
+    eps = np.asarray(eps)
+    assert eps.shape == (2,)
+    np.testing.assert_array_equal(eps[0], eps[1])
+
+
+def test_run_nuts_sharded_pooled_shares_eps(setup):
+    """run_nuts_sharded(pooled=True): dual-averaging/mass statistics
+    are pmean-pooled, so every device adapts the SAME eps; the default
+    keeps independent per-replica adaptation (distinct eps)."""
+    from lumfuncmcmc_tpu.parallel.sharding import run_nuts_sharded
+    from lumfuncmcmc_tpu.samplers.nuts import make_unconstrained
+    cfg, ctx, layout = setup
+    mesh = make_mesh(4, 2)
+    lnp_y, to_theta, to_y = make_unconstrained(
+        make_lnprob(ctx, layout), jnp.asarray(layout.lo),
+        jnp.asarray(layout.hi))
+    thetas = np.asarray(sample_init(jax.random.PRNGKey(17), layout, 16))
+    mid = 0.5 * (np.asarray(layout.lo) + np.asarray(layout.hi))
+    y0 = jax.vmap(to_y)(jnp.asarray(0.8 * mid[None, :] + 0.2 * thetas))
+    s, lp, al, eps, dv = run_nuts_sharded(
+        lnp_y, y0, jax.random.PRNGKey(18), mesh, num_warmup=50,
+        num_samples=8, pooled=True, max_doublings=6)
+    eps = np.asarray(eps)
+    assert eps.shape == (8,)
+    np.testing.assert_array_equal(eps, eps[0])
+    assert np.all(np.isfinite(np.asarray(lp)))
+
+    _, _, _, eps_r, _ = run_nuts_sharded(
+        lnp_y, y0, jax.random.PRNGKey(18), mesh, num_warmup=50,
+        num_samples=8, pooled=False, max_doublings=6)
+    assert np.unique(np.asarray(eps_r)).size > 1
+
+
+def test_fit_model_nuts_stream_mesh_route(setup, monkeypatch):
+    """fit_model_nuts auto-routes over-VMEM free-comp catalogs on a
+    source-sharded mesh to run_nuts_stream_sharded (catalog split
+    across devices instead of replicated per NUTS replica)."""
+    import lumfuncmcmc_tpu.ops.pallas_lnlike as pk
+    from lumfuncmcmc_tpu.models.model import LumFuncModel
+    cfg, ctx, layout = setup
+    ncells = int(np.prod(np.asarray(ctx.logL_grid).shape))
+    # sources over budget, grids resident -> stream route
+    monkeypatch.setattr(pk, "_VMEM_ARRAY_LIMIT", ncells * 5 * 4 + 16)
+    cfg2 = cfg.replace(use_pallas=True, pallas_interpret=True,
+                       nwalkers=8, nsteps=8)
+    cat = apply_completeness_cut(make_catalog(cfg2, n_target=300,
+                                              seed=9), cfg2)
+    m = LumFuncModel(cfg2, mesh=make_mesh(2, 4), z=cat["z"],
+                     flux=cat["flux"], flux_e=cat["flux_e"],
+                     field_id=cat["field_id"])
+    assert m._nuts_stream_mesh_route() is True
+    samples = m.fit_model_nuts(num_warmup=40, nchains=4)
+    assert samples.shape == (4 * 8, m.layout.ndim + 1)
+    assert np.all(np.isfinite(samples))
