@@ -360,13 +360,11 @@ def _dispatch_sampler(model, cfg, args, outdir):
             if ens > 1:
                 print("WARNING: --ensembles applies to the ensemble "
                       "sampler; ignored under --sampler nuts")
-            if min_ess:
-                print("WARNING: --min-ess applies to the ensemble "
-                      "sampler; ignored under --sampler nuts")
             model.fit_model_nuts(
                 nchains=nchains,
                 pooled=(True if getattr(args, "nuts_pooled", False)
-                        else None))
+                        else None),
+                min_ess=(float(min_ess) if min_ess else None))
         elif ens > 1:
             if min_ess:
                 print("WARNING: --min-ess is not implemented for "

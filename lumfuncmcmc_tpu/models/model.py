@@ -762,7 +762,7 @@ class _BaseModel:
         return ncells * 5 * 4 <= pk._VMEM_ARRAY_LIMIT
 
     def fit_model_nuts(self, key=None, num_warmup=None, nchains=8,
-                       pooled=None):
+                       pooled=None, min_ess=None, max_blocks=50):
         """Gradient-based NUTS fit of the same posterior (new capability;
         the reference likelihood is not differentiable). Produces the
         same ``self.samples`` layout as :meth:`fit_model`.
@@ -771,7 +771,16 @@ class _BaseModel:
         the shard_map NUTS routes (``None`` = each route's default:
         per-device replicas for ``run_nuts_sharded``, pooled for the
         source-sharded stream route). The XLA-gradient mesh path is
-        always globally pooled (jit auto-partitioning)."""
+        always globally pooled (jit auto-partitioning).
+
+        ``min_ess``: convergence-controlled stopping — after the first
+        ``cfg.nsteps`` block, keep extending the chain in
+        ``cfg.nsteps``-sample blocks via :func:`continue_nuts` (frozen
+        post-warmup step size/mass, no re-warmup) until every
+        parameter reaches ``min_ess`` effective samples or
+        ``max_blocks`` blocks ran. Supported on the jit routes
+        (meshless and XLA-gradient mesh); the shard_map routes warn
+        and run the fixed count."""
         from lumfuncmcmc_tpu.samplers.nuts import (
             make_unconstrained, run_nuts)
         cfg = self.cfg
@@ -801,6 +810,12 @@ class _BaseModel:
         # jit auto-partitioning with globally-pooled adaptation
         native_mesh = (not stream_mesh and self.mesh is not None
                        and getattr(post, "engine", None) == "pallas")
+        if min_ess and (stream_mesh or native_mesh):
+            self.log.warning(
+                "--min-ess is not supported on the shard_map NUTS "
+                "routes (per-device replicas / source-sharded stream); "
+                "running the fixed step count")
+            min_ess = None
         if stream_mesh:
             from lumfuncmcmc_tpu.parallel.mesh import AXIS_WALKERS
             nshard = self.mesh.shape[AXIS_WALKERS]
@@ -917,11 +932,45 @@ class _BaseModel:
             # once mismeasured the engine margin as a tie)
             compiled = run_nuts.lower(
                 lnp_y, y0, k_run, num_warmup=int(num_warmup),
-                num_samples=int(cfg.nsteps)).compile()
+                num_samples=int(cfg.nsteps), return_state=True).compile()
             self.log.info("NUTS jit compile: %.1f s" % (time.time() - t0))
             t0 = time.time()
-            samples_y, lnps_y, alphas, eps, div_frac = compiled(y0, k_run)
+            (samples_y, lnps_y, alphas, eps, div_frac,
+             nstate) = compiled(y0, k_run)
             jax.block_until_ready(lnps_y)
+            if min_ess:
+                from lumfuncmcmc_tpu.samplers.nuts import continue_nuts
+                blocks, lnp_blocks = [samples_y], [lnps_y]
+                al_blocks, df_blocks = [alphas], [div_frac]
+                # a fresh fold_in stream: splitting k_run again would
+                # collide with run_nuts's internal 3-way split (split
+                # children are counter-stable across widths)
+                kk = jax.random.fold_in(k_run, 0x636f6e74)
+                for nblk in range(1, int(max_blocks) + 1):
+                    ess_now = float(effective_sample_size(np.asarray(
+                        jax.vmap(jax.vmap(to_theta))(
+                            jnp.concatenate(blocks)))).min())
+                    total = sum(int(b.shape[0]) for b in blocks)
+                    self.log.info(
+                        "NUTS block %d: %d samples, min ESS=%.0f "
+                        "(target %.0f)"
+                        % (nblk, total, ess_now, float(min_ess)))
+                    if ess_now >= float(min_ess) or nblk >= int(max_blocks):
+                        break
+                    kk, k_blk = jax.random.split(kk)
+                    s2, lp2, al2, df2, nstate = continue_nuts(
+                        lnp_y, nstate, k_blk,
+                        num_samples=int(cfg.nsteps))
+                    jax.block_until_ready(lp2)
+                    blocks.append(s2)
+                    lnp_blocks.append(lp2)
+                    al_blocks.append(al2)
+                    df_blocks.append(df2)
+                samples_y = jnp.concatenate(blocks)
+                lnps_y = jnp.concatenate(lnp_blocks)
+                alphas = jnp.concatenate(al_blocks)
+                # equal-length blocks: the mean of fractions is exact
+                div_frac = float(np.mean([float(d) for d in df_blocks]))
         elapsed = time.time() - t0
         chain_dev = jax.vmap(jax.vmap(to_theta))(samples_y)
         chain = np.asarray(chain_dev)

@@ -251,11 +251,13 @@ def _nuts_step(value_and_grad, max_doublings, eps, key, y0):
 
 @partial(jax.jit, static_argnames=("lnpost_y", "num_warmup", "num_samples",
                                    "max_doublings", "target_accept",
-                                   "adapt_mass", "pool_axes"))
+                                   "adapt_mass", "pool_axes",
+                                   "return_state"))
 def run_nuts(lnpost_y: Callable, y0, key, num_warmup: int,
              num_samples: int, max_doublings: int = 8,
              target_accept: float = 0.8, init_step: float = 0.1,
-             adapt_mass: bool = True, pool_axes=None):
+             adapt_mass: bool = True, pool_axes=None,
+             return_state: bool = False):
     """Run NUTS chains.
 
     ``y0``: (C, D) initial unconstrained positions — C chains vmapped.
@@ -278,6 +280,10 @@ def run_nuts(lnpost_y: Callable, y0, key, num_warmup: int,
     sizes make the pmean-of-means the exact global mean) — the sharded
     twin of the meshless pooled adaptation, vs. the independent
     per-device replicas of ``run_nuts_sharded(pooled=False)``.
+
+    ``return_state``: append the post-sampling ``(y_run, eps, scale)``
+    tuple to the return — feed it to :func:`continue_nuts` to extend
+    the chain without re-warmup (convergence-controlled sampling).
     """
     nchains = y0.shape[0]
     step = jax.vmap(_nuts_step, in_axes=(None, None, None, 0, 0))
@@ -335,28 +341,68 @@ def run_nuts(lnpost_y: Callable, y0, key, num_warmup: int,
 
         vg_s = jax.value_and_grad(lnpost_scaled)
         yp = y / scale
-        yp, eps, _ = dual_averaging_phase(vg_s, yp, k_b, n_b,
-                                          init_step)
-        vg_run, y_run = vg_s, yp
-        unscale = lambda yp_: yp_ * scale
+        y_run, eps, _ = dual_averaging_phase(vg_s, yp, k_b, n_b,
+                                             init_step)
     else:
-        y, eps, _ = dual_averaging_phase(vg, y0, k_a, num_warmup,
-                                         init_step)
-        vg_run, y_run = vg, y
-        unscale = lambda yp_: yp_
+        y_run, eps, _ = dual_averaging_phase(vg, y0, k_a, num_warmup,
+                                             init_step)
         scale = jnp.ones(y0.shape[1], y0.dtype)
 
     # --- sampling ---
-    def samp_body(yc, k):
-        keys = jax.random.split(k, nchains)
-        y_new, alpha, div = step(vg_run, max_doublings, eps, keys, yc)
-        lnp = jax.vmap(lnpost_y)(unscale(y_new))
-        return y_new, (unscale(y_new), lnp, alpha, div)
-
-    keys_s = jax.random.split(k_s, num_samples)
-    y_run, (samples, lnps, alphas, divs) = jax.lax.scan(samp_body, y_run,
-                                                        keys_s)
+    y_run, (samples, lnps, alphas, divs) = _sample_phase(
+        lnpost_y, scale, y_run, eps, k_s, num_samples, max_doublings)
     # divergent transitions truncate trajectories and bias the
     # posterior — surface the fraction instead of discarding it
     div_frac = jnp.mean(divs.astype(samples.dtype))
+    if return_state:
+        return (samples, lnps, alphas, eps, div_frac,
+                (y_run, eps, scale))
     return samples, lnps, alphas, eps, div_frac
+
+
+def _sample_phase(lnpost_y, scale, y_run, eps, key_s, num_samples,
+                  max_doublings):
+    """The post-warmup sampling scan, shared by :func:`run_nuts` and
+    :func:`continue_nuts` so a continuation runs the exact same
+    transition program as the first block. ``y_run`` lives in the
+    mass-rescaled coordinates (``y = y_run * scale``); ``scale`` is all
+    ones when warmup skipped mass adaptation."""
+    nchains = y_run.shape[0]
+    step = jax.vmap(_nuts_step, in_axes=(None, None, None, 0, 0))
+
+    def lnpost_scaled(yp):
+        return lnpost_y(yp * scale)
+
+    vg_run = jax.value_and_grad(lnpost_scaled)
+
+    def samp_body(yc, k):
+        keys = jax.random.split(k, nchains)
+        y_new, alpha, div = step(vg_run, max_doublings, eps, keys, yc)
+        lnp = jax.vmap(lnpost_y)(y_new * scale)
+        return y_new, (y_new * scale, lnp, alpha, div)
+
+    keys_s = jax.random.split(key_s, num_samples)
+    return jax.lax.scan(samp_body, y_run, keys_s)
+
+
+@partial(jax.jit, static_argnames=("lnpost_y", "num_samples",
+                                   "max_doublings"))
+def continue_nuts(lnpost_y, state, key, num_samples: int,
+                  max_doublings: int = 8):
+    """Extend a warmed-up NUTS run without re-warmup.
+
+    ``state`` is the ``(y_run, eps, scale)`` tuple returned by
+    ``run_nuts(..., return_state=True)`` (or by a previous
+    ``continue_nuts`` call). The adapted step size and mass are frozen
+    — exactly the post-warmup sampling regime — so blocks compose into
+    one valid chain. This is the engine of convergence-controlled NUTS
+    (``fit_model_nuts(min_ess=...)``): sample in blocks until the
+    pooled ESS target is reached instead of guessing ``nsteps``.
+
+    Returns ``(samples, lnps, alphas, div_frac, state')``.
+    """
+    y_run, eps, scale = state
+    y_end, (samples, lnps, alphas, divs) = _sample_phase(
+        lnpost_y, scale, y_run, eps, key, num_samples, max_doublings)
+    div_frac = jnp.mean(divs.astype(samples.dtype))
+    return samples, lnps, alphas, div_frac, (y_end, eps, scale)

@@ -255,3 +255,19 @@ def test_ensembles_legacy_checkpoint_fallback(workdir, capsys):
     capsys.readouterr()
     assert main(base_args) == 0
     assert "legacy ensembles checkpoint" in capsys.readouterr().out
+
+
+def test_fit_nuts_min_ess(workdir, capsys):
+    """--sampler nuts honors --min-ess (block-extended via
+    continue_nuts) instead of warning that it is ignored."""
+    assert main(["fit", "--synthetic", "200", "-ns", "15", "-nw", "8",
+                 "-mcf", "0.5", "--size-ln", "21", "-fc",
+                 "--sampler", "nuts", "--nchains", "4",
+                 "--min-ess", "60", "-o", "n.dat"]) == 0
+    out = capsys.readouterr().out
+    assert "ignored under --sampler nuts" not in out
+    base = "n_nb50_nw8_ns15_mcf50"
+    tab = read_fixed_width_two_line(
+        str(workdir / "LFMCMCOut" / f"fitposterior_{base}.dat"))
+    # at least one continuation block ran: >1x (nchains * nsteps) rows
+    assert len(tab["Ln Prob"]) > 4 * 15

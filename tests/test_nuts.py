@@ -171,3 +171,70 @@ def test_nuts_model_lnprob_column_is_theta_space():
     recomputed = np.asarray(jax.vmap(scalar)(
         jnp.asarray(samples[:, :-1])))
     np.testing.assert_allclose(samples[:, -1], recomputed, rtol=1e-8)
+
+
+def test_continue_nuts_extends_without_rewarmup():
+    """continue_nuts composes with run_nuts(return_state=True): the
+    frozen-adaptation continuation runs the exact post-warmup sampling
+    program, the first block is unchanged by requesting the state, and
+    accumulated blocks keep recovering the target moments."""
+    from lumfuncmcmc_tpu.samplers.nuts import continue_nuts
+
+    mu = jnp.asarray([0.5, -1.0])
+    sd = jnp.asarray([1.0, 0.4])
+    lo = jnp.asarray([-20.0, -20.0])
+    hi = jnp.asarray([20.0, 20.0])
+
+    def lnpost(theta):
+        return -0.5 * jnp.sum(((theta - mu) / sd) ** 2)
+
+    lnp_y, to_theta, to_y = make_unconstrained(lnpost, lo, hi)
+    y0 = to_y(mu + 0.1 * jax.random.normal(jax.random.PRNGKey(0),
+                                           (6, 2)))
+    plain = run_nuts(lnp_y, y0, jax.random.PRNGKey(1), num_warmup=200,
+                     num_samples=150, max_doublings=6)
+    out = run_nuts(lnp_y, y0, jax.random.PRNGKey(1), num_warmup=200,
+                   num_samples=150, max_doublings=6, return_state=True)
+    samples, lnps, alphas, eps, dv, state = out
+    # requesting the state must not change the sampled block
+    np.testing.assert_array_equal(np.asarray(plain[0]),
+                                  np.asarray(samples))
+    blocks = [samples]
+    for i in range(2):
+        s2, lp2, al2, df2, state = continue_nuts(
+            lnp_y, state, jax.random.PRNGKey(100 + i), num_samples=150,
+            max_doublings=6)
+        assert s2.shape == samples.shape
+        assert np.all(np.isfinite(np.asarray(lp2)))
+        blocks.append(s2)
+    th = np.asarray(jax.vmap(jax.vmap(to_theta))(
+        jnp.concatenate(blocks))).reshape(-1, 2)
+    np.testing.assert_allclose(th.mean(axis=0), np.asarray(mu), atol=0.1)
+    np.testing.assert_allclose(th.std(axis=0), np.asarray(sd), rtol=0.25)
+    # continuation must differ from a replay of the first block
+    assert not np.array_equal(np.asarray(blocks[1]), np.asarray(samples))
+
+
+def test_fit_model_nuts_min_ess_blocks():
+    """fit_model_nuts(min_ess=...) extends the chain in nsteps-sized
+    blocks until the target; an unreachable target stops at max_blocks."""
+    from lumfuncmcmc_tpu.config import LFConfig
+    from lumfuncmcmc_tpu.models.model import LumFuncModel
+    from lumfuncmcmc_tpu.utils.synth import (
+        make_catalog, apply_completeness_cut)
+
+    cfg = LFConfig(min_comp_frac=0.5, fix_comp=True, size_ln=31,
+                   nwalkers=8, nsteps=20)
+    cat = apply_completeness_cut(make_catalog(cfg, n_target=300, seed=4),
+                                 cfg)
+    kw = dict(z=cat["z"], flux=cat["flux"], flux_e=cat["flux_e"],
+              field_id=cat["field_id"])
+    m = LumFuncModel(cfg, **kw)
+    # NUTS ESS/sample ~0.2-1.0: 4 chains x 20 samples per block cannot
+    # reach 200 in one block, so at least one continuation must run
+    s = m.fit_model_nuts(num_warmup=60, nchains=4, min_ess=200.0,
+                         max_blocks=4)
+    nblocks = s.shape[0] // (4 * cfg.nsteps)
+    assert s.shape[0] % (4 * cfg.nsteps) == 0
+    assert 2 <= nblocks <= 4
+    assert np.all(np.isfinite(s))
