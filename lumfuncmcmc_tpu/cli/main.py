@@ -464,11 +464,12 @@ def _write_ppc(model, cfg, args, outdir):
     # quadrature-node weights land in single bins, so coarse grids
     # (gauss-32 especially) quantize the per-bin rates by up to ~5%
     # rebuild from the log-luminosities (unit-stable: LFData.flux is
-    # absolute cgs while build_context takes 1e-17 units)
+    # absolute cgs while build_context takes 1e-17 units); base on
+    # model.cfg so the z/hier models' forced fix_comp=True carries over
     d = model.data
     _, ctx_fine = build_context(
-        cfg.replace(size_ln=max(201, cfg.size_ln or 0),
-                    quadrature="trapz"),
+        model.cfg.replace(size_ln=max(201, model.cfg.size_ln or 0),
+                          quadrature="trapz"),
         z=d.z, lum=d.lum, lum_e=d.lum_e, field_id=d.field_id)
     ppc = posterior_predictive_check(model.samples, ctx_fine,
                                      model.layout, nbins=cfg.nbins,
@@ -488,9 +489,6 @@ def _write_ppc(model, cfg, args, outdir):
 
 def cmd_fitz(args):
     args.output_filename = args.output_filename or "test.dat"
-    if getattr(args, "ppc", False):
-        print("WARNING: --ppc is only implemented for the single-epoch "
-              "fit; ignored here")
     from lumfuncmcmc_tpu.models.model import LumFuncModelZ
     cfg = _pivot_z(_build_cfg(args), args.filename)
     _apply_precision(cfg)
@@ -517,15 +515,14 @@ def cmd_fitz(args):
         return 0
     print("Finished fitting model and about to create outputs")
     _write_outputs(model, cfg, args, outdir, names, z_variant=True)
+    if getattr(args, "ppc", False):
+        _write_ppc(model, cfg, args, outdir)
     return 0
 
 
 def cmd_fith(args):
-    args.output_filename = args.output_filename or "test.dat"
-    if getattr(args, "ppc", False):
-        print("WARNING: --ppc is only implemented for the single-epoch "
-              "fit; ignored here")
     """Hierarchical multi-field joint fit (new capability)."""
+    args.output_filename = args.output_filename or "test.dat"
     from lumfuncmcmc_tpu.models.model import LumFuncModelH
     cfg = _build_cfg(args)
     _apply_precision(cfg)
@@ -552,6 +549,8 @@ def cmd_fith(args):
         return 0
     print("Finished fitting model and about to create outputs")
     _write_outputs(model, cfg, args, outdir, names)
+    if getattr(args, "ppc", False):
+        _write_ppc(model, cfg, args, outdir)
     return 0
 
 
@@ -680,8 +679,8 @@ def cmd_vmax(args):
     keep = flux > root
     flux, z = flux[keep], z[keep]
     if getattr(args, "ppc", False):
-        print("WARNING: --ppc is only implemented for the single-epoch "
-              "fit; ignored here")
+        print("WARNING: --ppc needs a posterior; the vmax pipeline "
+              "has none — ignored here")
     if getattr(args, "linear", False):
         import jax
         if not jax.config.jax_enable_x64:

@@ -14,7 +14,13 @@ distribution per bin; comparing to the observed histogram yields
 bin-wise predictive p-values and a chi^2-style summary.
 
 Fixed-completeness path (Omega frozen); free-completeness thetas are
-handled by recomputing Omega per draw like the likelihood does.
+handled by recomputing Omega per draw like the likelihood does. All
+three model families share the binning machinery — only the per-node
+rate contribution differs (``_rate_contrib`` dispatches on the layout
+class): single-epoch (``ThetaLayout``), z-evolving (``ThetaLayoutZ``,
+phi evaluated at each node's redshift via the pivot quadratics), and
+hierarchical (``ThetaLayoutH``, field f's grid slab uses that field's
+(L*_f, phi*_f); the hyperparameters shape the prior, not the rate).
 """
 
 from __future__ import annotations
@@ -25,21 +31,40 @@ import numpy as np
 
 from lumfuncmcmc_tpu.models.context import LFContext
 from lumfuncmcmc_tpu.models.likelihood import ThetaLayout
+from lumfuncmcmc_tpu.models.likelihood_z import ThetaLayoutZ
+from lumfuncmcmc_tpu.models.hierarchical import ThetaLayoutH
 from lumfuncmcmc_tpu.ops.omega import omega_from_logf
-from lumfuncmcmc_tpu.ops.schechter import log_true_lum_func
+from lumfuncmcmc_tpu.ops.schechter import (
+    log_schechter_z, log_true_lum_func)
 
 
-def predicted_counts(theta, ctx: LFContext, layout: ThetaLayout, edges):
-    """Expected counts per luminosity bin for one theta (jittable)."""
+def _rate_contrib(theta, ctx: LFContext, layout):
+    """Per-quadrature-node expected-count contribution (F, nz, nl)."""
+    if isinstance(layout, ThetaLayoutZ):
+        L1, L2, L3, p1, p2, p3, al = layout.unpack(theta)
+        lnphi = log_schechter_z(ctx.logL_grid, ctx.zarr[:, None, :],
+                                al, L1, L2, L3, p1, p2, p3,
+                                layout.z1, layout.z2, layout.z3)
+        return jnp.exp(lnphi) * ctx.w_fixed
+    if isinstance(layout, ThetaLayoutH):
+        _, _, _, _, sch_al, lstar_f, phistar_f = layout.unpack(theta)
+        lnphi = log_true_lum_func(ctx.logL_grid, sch_al,
+                                  lstar_f[:, None, None],
+                                  phistar_f[:, None, None])
+        return jnp.exp(lnphi) * ctx.w_fixed
     lstar, phistar, sch_al, logf50, alpha_c = layout.unpack(theta)
     lnphi = log_true_lum_func(ctx.logL_grid, sch_al, lstar, phistar)
     if layout.fix_comp:
-        contrib = jnp.exp(lnphi) * ctx.w_fixed
-    else:
-        om = omega_from_logf(ctx.logf_grid, ctx.omega0_f[:, None, None],
-                             logf50[:, None, None], alpha_c,
-                             layout.fcmin)
-        contrib = jnp.exp(lnphi) * om * ctx.w_open
+        return jnp.exp(lnphi) * ctx.w_fixed
+    om = omega_from_logf(ctx.logf_grid, ctx.omega0_f[:, None, None],
+                         logf50[:, None, None], alpha_c,
+                         layout.fcmin)
+    return jnp.exp(lnphi) * om * ctx.w_open
+
+
+def predicted_counts(theta, ctx: LFContext, layout, edges):
+    """Expected counts per luminosity bin for one theta (jittable)."""
+    contrib = _rate_contrib(theta, ctx, layout)
     nbins = edges.shape[0] - 1
     idx = jnp.clip(jnp.searchsorted(edges, ctx.logL_grid, side="right")
                    - 1, 0, nbins - 1)
@@ -50,7 +75,7 @@ def predicted_counts(theta, ctx: LFContext, layout: ThetaLayout, edges):
 
 
 def posterior_predictive_check(samples, ctx: LFContext,
-                               layout: ThetaLayout, nbins: int = 20,
+                               layout, nbins: int = 20,
                                ndraws: int = 200, seed: int = 0):
     """Bin-wise posterior predictive check.
 

@@ -60,12 +60,19 @@ def test_fit_resume_skips_sampling(workdir, capsys):
 
 
 def test_fitz_runs(workdir):
-    assert main(["fitz"] + ARGS) == 0
+    assert main(["fitz"] + ARGS + ["--ppc"]) == 0
     base = "t_nb50_nw16_ns60_mcf50"
     assert (workdir / "LFMCMCzOut" / f"fitposterior_{base}.dat").exists()
     tab = read_fixed_width_two_line(
         str(workdir / "LFMCMCzOut" / f"bestfitLF_{base}.dat"))
     assert "Luminosity_cols" in tab and "LF_z0" in tab
+    ppc = read_fixed_width_two_line(
+        str(workdir / "LFMCMCzOut" / f"ppc_{base}.dat"))
+    # a 60-step fit is far from converged, so no tightness claim here —
+    # rate validity (finite, positive somewhere) is what the CLI test
+    # pins; tightness is test_ppc.py's job on a converged posterior
+    assert np.all(np.isfinite(ppc["PredMean"]))
+    assert ppc["PredMean"].sum() > 0
 
 
 def test_vmax_runs(workdir):
@@ -88,11 +95,14 @@ def test_fixed_width_roundtrip(tmp_path):
 
 
 def test_fith_runs(workdir):
-    assert main(["fith"] + ARGS) == 0
+    assert main(["fith"] + ARGS + ["--ppc"]) == 0
     base = "t_nb50_nw16_ns60_mcf50"
     tab = read_fixed_width_two_line(
         str(workdir / "LFMCMCHOut" / f"fitposterior_{base}.dat"))
     assert r"$\mu_{L_*}$" in tab and "Ln Prob" in tab
+    ppc = read_fixed_width_two_line(
+        str(workdir / "LFMCMCHOut" / f"ppc_{base}.dat"))
+    assert np.all(np.isfinite(ppc["PredMean"]))
 
 
 def test_vmax_mcf_scan(workdir):

@@ -51,6 +51,40 @@ def test_predicted_total_matches_truth_rate(fitted):
         total_pred, n_obs)
 
 
+def test_predicted_counts_family_parity(fitted):
+    """The z-evolving rate kernel at constant pivots and the
+    hierarchical kernel with identical per-field parameters both
+    collapse to the single-epoch fixed-completeness rate — the same
+    degeneracy the likelihoods satisfy, so any divergence is a PPC
+    dispatch bug, not a modeling difference."""
+    from lumfuncmcmc_tpu.models.hierarchical import ThetaLayoutH
+    from lumfuncmcmc_tpu.models.likelihood_z import ThetaLayoutZ
+
+    cfg, ctx, layout, samples, cat = fitted
+    lum = np.asarray(ctx.lum)
+    edges = jnp.asarray(np.linspace(lum.min() - 1e-9, lum.max() + 1e-9,
+                                    13))
+    p = float(cat["theta_true"]["phistar"])
+    base = np.asarray(predicted_counts(
+        jnp.asarray([cfg.Lstar, p, cfg.sch_al]), ctx, layout, edges))
+    assert base.sum() > 0
+
+    lz = ThetaLayoutZ.from_config(cfg)
+    th_z = [cfg.Lstar] * 3 + [p] * 3
+    if not lz.fix_sch_al:
+        th_z.append(cfg.sch_al)
+    cz = np.asarray(predicted_counts(jnp.asarray(th_z), ctx, lz, edges))
+    np.testing.assert_allclose(cz, base, rtol=1e-8)
+
+    lh = ThetaLayoutH.from_config(cfg)
+    th_h = [cfg.Lstar, 0.3, p, 0.3]
+    if not lh.fix_sch_al:
+        th_h.append(cfg.sch_al)
+    th_h += [cfg.Lstar] * lh.nfields + [p] * lh.nfields
+    ch = np.asarray(predicted_counts(jnp.asarray(th_h), ctx, lh, edges))
+    np.testing.assert_allclose(ch, base, rtol=1e-10)
+
+
 def test_ppc_on_well_specified_model(fitted, tmp_path):
     cfg, ctx, layout, samples, cat = fitted
     ppc = posterior_predictive_check(samples, ctx, layout, nbins=15,
