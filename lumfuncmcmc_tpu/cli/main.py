@@ -365,10 +365,11 @@ def _dispatch_sampler(model, cfg, args, outdir):
                 pooled=(True if getattr(args, "nuts_pooled", False)
                         else None),
                 min_ess=(float(min_ess) if min_ess else None))
+        elif ens > 1 and min_ess:
+            # block-extended ensembles (the method warns if
+            # checkpoint_every is also set — the two are exclusive)
+            model.fit_model_ensembles(ens, min_ess=float(min_ess))
         elif ens > 1:
-            if min_ess:
-                print("WARNING: --min-ess is not implemented for "
-                      "--ensembles; running the fixed step count")
             ck = None
             if cfg.checkpoint_every:
                 # a DISTINCT artifact kind: the plain-fit checkpoint of

@@ -564,7 +564,8 @@ class _BaseModel:
 
     def fit_model_ensembles(self, nensembles: int, key=None,
                             checkpoint_path: Optional[str] = None,
-                            resume: bool = False):
+                            resume: bool = False, min_ess=None,
+                            max_blocks: int = 50):
         """Run ``nensembles`` independent replicated ensembles in one
         vmapped program (``run_stretch_ensembles``) and report the TRUE
         multi-chain Gelman-Rubin across them (new capability — walkers
@@ -578,6 +579,14 @@ class _BaseModel:
         ``checkpoint_path`` / ``resume`` work as in :meth:`fit_model`
         (the chain npz carries a leading ensemble axis and the
         fingerprint additionally pins ``nensembles``).
+
+        ``min_ess``: convergence-controlled stopping — run
+        ``cfg.nsteps``-step blocks (mix-move DE schedule kept
+        block-continuous via ``de_schedule(offset)``) until the pooled
+        post-burn-in min ESS reaches the target or ``max_blocks``
+        blocks ran. Mutually exclusive with mid-run checkpointing
+        (the block loop re-decides burn-in every block, so a resumable
+        fixed-length protocol does not apply).
         """
         from lumfuncmcmc_tpu.parallel.distributed import (
             is_primary, to_host)
@@ -641,7 +650,46 @@ class _BaseModel:
                                              de_sel=sel)
 
         every = cfg.checkpoint_every or 0
-        if every and 0 < every < nsteps_exec:
+        nsteps_run = nsteps_exec          # executed steps (acc norm)
+        if min_ess:
+            if every:
+                self.log.warning(
+                    "mid-run checkpointing is not implemented for "
+                    "min_ess ensembles; running without checkpoints")
+            ch_parts, lnp_parts = [], []
+            acc = 0.0
+            pos, kk = pos0, k_run
+            done = 0
+            for nblk in range(1, int(max_blocks) + 1):
+                kk, k_blk = jax.random.split(kk)
+                sel = (de_schedule(nsteps_exec, cfg.de_prob,
+                                   offset=done)
+                       if cfg.move == "mix" else None)
+                state, ch, lp, ac = runner(pos, k_blk, nsteps_exec,
+                                           sel)
+                pos = state.pos
+                ch_parts.append(to_host(ch))
+                lnp_parts.append(to_host(lp))
+                acc = acc + to_host(ac)
+                done += nsteps_exec
+                chains = np.concatenate(ch_parts, axis=1)
+                pooled_now = np.moveaxis(chains, 0, 1).reshape(
+                    chains.shape[1], -1, ndim)
+                burn_now, _ = burnin_steps(pooled_now,
+                                           pooled_now.shape[0])
+                post = pooled_now[burn_now:]
+                ess_now = (float(effective_sample_size(post).min())
+                           if post.shape[0] >= 8 else 0.0)
+                self.log.info(
+                    "Ensembles block %d: %d recorded steps, pooled "
+                    "min ESS=%.0f (target %.0f)"
+                    % (nblk, pooled_now.shape[0], ess_now,
+                       float(min_ess)))
+                if ess_now >= float(min_ess):
+                    break
+            lnps = np.concatenate(lnp_parts, axis=1)
+            nsteps_run = done
+        elif every and 0 < every < nsteps_exec:
             chains, lnps, acc, _ = self._run_checkpointed(
                 runner, pos0, k_run, nsteps_exec, thin, every,
                 checkpoint_path, resume, "ensemble-checkpoint",
@@ -661,7 +709,7 @@ class _BaseModel:
             chains.shape[1], -1, ndim)              # (nsteps, C*W, D)
         burn, tau = burnin_steps(pooled, pooled.shape[0])
         self.acceptance_fraction = float(np.mean(np.asarray(acc))
-                                         / nsteps_exec)
+                                         / nsteps_run)
         if chains.shape[1] - burn >= 2:
             rhat_ens = gelman_rubin_ensembles(chains[:, burn:])
         else:

@@ -267,6 +267,21 @@ def test_ensembles_legacy_checkpoint_fallback(workdir, capsys):
     assert "legacy ensembles checkpoint" in capsys.readouterr().out
 
 
+def test_fit_ensembles_min_ess(workdir, capsys):
+    """--ensembles combines with --min-ess (block-extended run)
+    instead of warning that the combination is unimplemented."""
+    assert main(["fit", "--synthetic", "200", "-ns", "15", "-nw", "8",
+                 "-mcf", "0.5", "--size-ln", "21", "--ensembles", "2",
+                 "--min-ess", "120", "-o", "e.dat"]) == 0
+    out = capsys.readouterr().out
+    assert "not implemented for --ensembles" not in out
+    base = "e_nb50_nw8_ns15_mcf50"
+    tab = read_fixed_width_two_line(
+        str(workdir / "LFMCMCOut" / f"fitposterior_{base}.dat"))
+    # at least 2 blocks of 15 steps x 16 pooled walkers, minus burn-in
+    assert len(tab["Ln Prob"]) > 15 * 16
+
+
 def test_fit_nuts_min_ess(workdir, capsys):
     """--sampler nuts honors --min-ess (block-extended via
     continue_nuts) instead of warning that it is ignored."""

@@ -229,6 +229,24 @@ def test_fit_model_ensembles(small_inputs):
         m.fit_model_ensembles(1)
 
 
+def test_fit_model_ensembles_min_ess(small_inputs):
+    """min_ess block-extends the ensembles run: an unreachable-in-one-
+    block target forces >=2 blocks, the pooled chain concatenates
+    block-continuously (mix move keeps its global DE schedule), and
+    the acceptance fraction is normalized by the TOTAL executed steps,
+    not one block's."""
+    cfg, cat = small_inputs
+    m = _model(cfg.replace(nwalkers=8, nsteps=20, move="mix"), cat)
+    m.fit_model_ensembles(2, min_ess=150.0, max_blocks=5)
+    # 2 ensembles x 8 walkers pooled; >= 2 recorded blocks of 20
+    assert m.chain.shape[1] == 16
+    nblocks = m.chain.shape[0] // 20
+    assert m.chain.shape[0] % 20 == 0
+    assert 2 <= nblocks <= 5
+    assert 0.0 < m.acceptance_fraction < 1.0
+    assert np.all(np.isfinite(m.rhat_ensembles))
+
+
 def test_fit_model_ensembles_sharded_matches_unsharded(small_inputs):
     """Ensembles x mesh composition: whole ensembles sharded over the
     devices produce exactly the chains of the single-device vmapped
