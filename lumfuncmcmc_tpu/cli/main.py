@@ -360,11 +360,16 @@ def _dispatch_sampler(model, cfg, args, outdir):
             if ens > 1:
                 print("WARNING: --ensembles applies to the ensemble "
                       "sampler; ignored under --sampler nuts")
+            ck = (artifact_path(outdir, "checkpoint_nuts",
+                                args.output_filename, cfg, ext="npz")
+                  if cfg.checkpoint_every else None)
             model.fit_model_nuts(
                 nchains=nchains,
                 pooled=(True if getattr(args, "nuts_pooled", False)
                         else None),
-                min_ess=(float(min_ess) if min_ess else None))
+                min_ess=(float(min_ess) if min_ess else None),
+                checkpoint_path=ck,
+                resume=bool(ck and os.path.exists(ck)))
         elif ens > 1 and min_ess:
             # block-extended ensembles (the method warns if
             # checkpoint_every is also set — the two are exclusive)

@@ -809,8 +809,103 @@ class _BaseModel:
         ncells = int(np.prod(np.asarray(self.ctx.logL_grid).shape))
         return ncells * 5 * 4 <= pk._VMEM_ARRAY_LIMIT
 
+    def _nuts_checkpointed(self, lnp_y, y0, k_run, num_warmup, every,
+                           checkpoint_path, resume):
+        """Blockwise NUTS with mid-run npz checkpoints.
+
+        The per-sample transition keys are the uninterrupted run's own
+        (:func:`~lumfuncmcmc_tpu.samplers.nuts.sampling_keys` — split
+        children are counter-stable across widths), so the checkpointed
+        chain is BIT-IDENTICAL to the plain
+        ``run_nuts(num_samples=cfg.nsteps)`` chain, and a resume from a
+        truncated checkpoint reproduces it exactly (the stretch
+        sampler's key-stream-replay guarantee, ported to NUTS). The npz
+        stores the accumulated sample blocks plus the frozen
+        post-warmup ``(y_run, eps, scale)`` state; the fingerprint pins
+        every knob that changes the transition program.
+        """
+        from lumfuncmcmc_tpu.samplers.nuts import (
+            continue_nuts_keys, run_nuts, sampling_keys)
+        cfg = self.cfg
+        nsteps = int(cfg.nsteps)
+        nchains, ndim = y0.shape
+        nblocks = -(-nsteps // every)
+        sizes = [every] * (nblocks - 1) + [nsteps
+                                           - every * (nblocks - 1)]
+        fp = np.asarray([nchains, int(num_warmup), nsteps, every, ndim,
+                         cfg.seed], dtype=np.float64)
+        blocks, lnp_blocks, al_blocks = [], [], []
+        df = []                 # per-block divergence fractions
+        done = 0
+        nstate = None
+        if resume and os.path.exists(checkpoint_path):
+            saved = np.load(checkpoint_path)
+            if (saved["fingerprint"].shape != fp.shape
+                    or not np.array_equal(saved["fingerprint"], fp)):
+                raise ValueError(
+                    "nuts-checkpoint fingerprint mismatch: the "
+                    "checkpoint was written under different (nchains, "
+                    "num_warmup, nsteps, checkpoint_every, ndim, seed)"
+                    " — delete %s or restore the original settings"
+                    % checkpoint_path)
+            done = int(saved["nblocks"])
+            blocks = [jnp.asarray(saved["samples_y"])]
+            lnp_blocks = [jnp.asarray(saved["lnps_y"])]
+            al_blocks = [jnp.asarray(saved["alphas"])]
+            df = [float(x) for x in saved["df"]]
+            nstate = (jnp.asarray(saved["y_run"]),
+                      jnp.asarray(saved["eps"]),
+                      jnp.asarray(saved["scale"]))
+            self.log.info(
+                "Resumed NUTS checkpoint: %d/%d blocks (%d samples)"
+                % (done, nblocks, int(saved["samples_y"].shape[0])))
+
+        def save():
+            np.savez(checkpoint_path,
+                     samples_y=np.asarray(jnp.concatenate(blocks)),
+                     lnps_y=np.asarray(jnp.concatenate(lnp_blocks)),
+                     alphas=np.asarray(jnp.concatenate(al_blocks)),
+                     df=np.asarray(df, dtype=np.float64),
+                     nblocks=done,
+                     y_run=np.asarray(nstate[0]),
+                     eps=np.asarray(nstate[1]),
+                     scale=np.asarray(nstate[2]),
+                     fingerprint=fp)
+
+        if done == 0:
+            (s, lp, al, _eps, dfrac, nstate) = run_nuts(
+                lnp_y, y0, k_run, num_warmup=int(num_warmup),
+                num_samples=sizes[0], return_state=True)
+            jax.block_until_ready(lp)
+            blocks, lnp_blocks, al_blocks = [s], [lp], [al]
+            df = [float(dfrac)]
+            done = 1
+            save()
+        for i in range(done, nblocks):
+            start_i = sum(sizes[:i])
+            keys = sampling_keys(k_run, start_i, start_i + sizes[i])
+            s, lp, al, dfrac, nstate = continue_nuts_keys(
+                lnp_y, nstate, keys)
+            jax.block_until_ready(lp)
+            blocks.append(s)
+            lnp_blocks.append(lp)
+            al_blocks.append(al)
+            df.append(float(dfrac))
+            done = i + 1
+            save()
+        samples_y = (jnp.concatenate(blocks) if len(blocks) > 1
+                     else blocks[0])
+        lnps_y = (jnp.concatenate(lnp_blocks) if len(lnp_blocks) > 1
+                  else lnp_blocks[0])
+        alphas = (jnp.concatenate(al_blocks) if len(al_blocks) > 1
+                  else al_blocks[0])
+        # blocks are unequal only at the tail: weight by block size
+        div_frac = float(np.dot(df, sizes[:len(df)]) / nsteps)
+        return samples_y, lnps_y, alphas, nstate[1], div_frac
+
     def fit_model_nuts(self, key=None, num_warmup=None, nchains=8,
-                       pooled=None, min_ess=None, max_blocks=50):
+                       pooled=None, min_ess=None, max_blocks=50,
+                       checkpoint_path=None, resume=False):
         """Gradient-based NUTS fit of the same posterior (new capability;
         the reference likelihood is not differentiable). Produces the
         same ``self.samples`` layout as :meth:`fit_model`.
@@ -828,7 +923,14 @@ class _BaseModel:
         parameter reaches ``min_ess`` effective samples or
         ``max_blocks`` blocks ran. Supported on the jit routes
         (meshless and XLA-gradient mesh); the shard_map routes warn
-        and run the fixed count."""
+        and run the fixed count.
+
+        ``checkpoint_path``/``resume`` (with ``cfg.checkpoint_every``):
+        mid-run npz checkpoints via :meth:`_nuts_checkpointed` —
+        checkpointed and resumed chains are bit-identical to the
+        uninterrupted run. Jit routes only; mutually exclusive with
+        ``min_ess`` (the block loop re-keys per target, not per
+        sample index)."""
         from lumfuncmcmc_tpu.samplers.nuts import (
             make_unconstrained, run_nuts)
         cfg = self.cfg
@@ -864,6 +966,22 @@ class _BaseModel:
                 "routes (per-device replicas / source-sharded stream); "
                 "running the fixed step count")
             min_ess = None
+        if checkpoint_path:
+            if stream_mesh or native_mesh:
+                self.log.warning(
+                    "NUTS checkpointing is not supported on the "
+                    "shard_map routes; running without checkpoints")
+                checkpoint_path = None
+            elif min_ess:
+                self.log.warning(
+                    "mid-run checkpointing is not implemented for "
+                    "min_ess NUTS; running without checkpoints")
+                checkpoint_path = None
+            elif jax.process_count() > 1:
+                self.log.warning(
+                    "NUTS checkpointing is single-process only; "
+                    "running without checkpoints")
+                checkpoint_path = None
         if stream_mesh:
             from lumfuncmcmc_tpu.parallel.mesh import AXIS_WALKERS
             nshard = self.mesh.shape[AXIS_WALKERS]
@@ -973,6 +1091,12 @@ class _BaseModel:
             alphas = to_host(alphas)
             eps = to_host(eps)              # per-replica adapted eps
             div_frac = float(np.mean(to_host(div_frac)))
+        elif (checkpoint_path
+              and 0 < int(cfg.checkpoint_every or 0) < int(cfg.nsteps)):
+            samples_y, lnps_y, alphas, eps, div_frac = \
+                self._nuts_checkpointed(
+                    lnp_y, y0, k_run, num_warmup,
+                    int(cfg.checkpoint_every), checkpoint_path, resume)
         else:
             # AOT-compile so "Total time taken" is pure sampling: the
             # one-time jit (~20 s) otherwise lands inside the timer and

@@ -360,13 +360,12 @@ def run_nuts(lnpost_y: Callable, y0, key, num_warmup: int,
     return samples, lnps, alphas, eps, div_frac
 
 
-def _sample_phase(lnpost_y, scale, y_run, eps, key_s, num_samples,
-                  max_doublings):
-    """The post-warmup sampling scan, shared by :func:`run_nuts` and
-    :func:`continue_nuts` so a continuation runs the exact same
-    transition program as the first block. ``y_run`` lives in the
-    mass-rescaled coordinates (``y = y_run * scale``); ``scale`` is all
-    ones when warmup skipped mass adaptation."""
+def _sample_phase_keys(lnpost_y, scale, y_run, eps, keys_s,
+                       max_doublings):
+    """The post-warmup sampling scan over EXPLICIT per-sample keys
+    (``keys_s``: one transition key per recorded sample). ``y_run``
+    lives in the mass-rescaled coordinates (``y = y_run * scale``);
+    ``scale`` is all ones when warmup skipped mass adaptation."""
     nchains = y_run.shape[0]
     step = jax.vmap(_nuts_step, in_axes=(None, None, None, 0, 0))
 
@@ -381,8 +380,49 @@ def _sample_phase(lnpost_y, scale, y_run, eps, key_s, num_samples,
         lnp = jax.vmap(lnpost_y)(y_new * scale)
         return y_new, (y_new * scale, lnp, alpha, div)
 
-    keys_s = jax.random.split(key_s, num_samples)
     return jax.lax.scan(samp_body, y_run, keys_s)
+
+
+def _sample_phase(lnpost_y, scale, y_run, eps, key_s, num_samples,
+                  max_doublings):
+    """The post-warmup sampling scan, shared by :func:`run_nuts` and
+    :func:`continue_nuts` so a continuation runs the exact same
+    transition program as the first block."""
+    keys_s = jax.random.split(key_s, num_samples)
+    return _sample_phase_keys(lnpost_y, scale, y_run, eps, keys_s,
+                              max_doublings)
+
+
+def sampling_keys(key, start: int, stop: int):
+    """Per-sample transition keys ``[start, stop)`` of the
+    :func:`run_nuts` call keyed by ``key``.
+
+    These are the EXACT keys run_nuts's sampling scan consumes: split
+    children are counter-stable across widths (``split(k, n)[:m] ==
+    split(k, m)``), so ``run_nuts(..., num_samples=m)`` runs precisely
+    the first ``m`` transitions of the ``num_samples=n`` run, and a
+    :func:`continue_nuts_keys` block driven by ``sampling_keys(key, m,
+    n)`` replays the remainder bit-for-bit. This is the engine of the
+    NUTS checkpoint/resume protocol (checkpointed == uninterrupted,
+    exactly)."""
+    _, _, k_s = jax.random.split(key, 3)
+    return jax.random.split(k_s, stop)[start:]
+
+
+@partial(jax.jit, static_argnames=("lnpost_y", "max_doublings"))
+def continue_nuts_keys(lnpost_y, state, keys, max_doublings: int = 8):
+    """:func:`continue_nuts` with explicit per-sample keys (from
+    :func:`sampling_keys`) instead of a block key — the checkpoint
+    protocol's continuation: block i replays the same transitions the
+    uninterrupted run would have made.
+
+    Returns ``(samples, lnps, alphas, div_frac, state')``.
+    """
+    y_run, eps, scale = state
+    y_end, (samples, lnps, alphas, divs) = _sample_phase_keys(
+        lnpost_y, scale, y_run, eps, keys, max_doublings)
+    div_frac = jnp.mean(divs.astype(samples.dtype))
+    return samples, lnps, alphas, div_frac, (y_end, eps, scale)
 
 
 @partial(jax.jit, static_argnames=("lnpost_y", "num_samples",

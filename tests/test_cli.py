@@ -267,6 +267,20 @@ def test_ensembles_legacy_checkpoint_fallback(workdir, capsys):
     assert "legacy ensembles checkpoint" in capsys.readouterr().out
 
 
+def test_fit_nuts_checkpoint(workdir):
+    """--sampler nuts combines with --checkpoint-every: a completed
+    run leaves the final checkpoint_nuts npz next to the artifacts."""
+    assert main(["fit", "--synthetic", "200", "-ns", "20", "-nw", "8",
+                 "-mcf", "0.5", "--size-ln", "21", "-fc",
+                 "--sampler", "nuts", "--nchains", "4",
+                 "--checkpoint-every", "8", "-o", "nc.dat"]) == 0
+    base = "nc_nb50_nw8_ns20_mcf50"
+    ck = workdir / "LFMCMCOut" / f"checkpoint_nuts_{base}.npz"
+    saved = np.load(str(ck))
+    assert saved["samples_y"].shape[0] == 20
+    assert int(saved["nblocks"]) == 3       # 8 + 8 + 4
+
+
 def test_fit_ensembles_min_ess(workdir, capsys):
     """--ensembles combines with --min-ess (block-extended run)
     instead of warning that the combination is unimplemented."""

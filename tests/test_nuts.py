@@ -3,6 +3,7 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from lumfuncmcmc_tpu.samplers.nuts import (
     _subtree_turn, _uturn, make_unconstrained, run_nuts)
@@ -213,6 +214,62 @@ def test_continue_nuts_extends_without_rewarmup():
     np.testing.assert_allclose(th.std(axis=0), np.asarray(sd), rtol=0.25)
     # continuation must differ from a replay of the first block
     assert not np.array_equal(np.asarray(blocks[1]), np.asarray(samples))
+
+
+def test_nuts_checkpoint_bitexact_resume_and_fingerprint(tmp_path,
+                                                         monkeypatch):
+    """NUTS checkpoint/resume protocol: (a) the checkpointed chain is
+    BIT-IDENTICAL to the uninterrupted run (counter-stable sampling
+    keys — sampling_keys slices the same key stream run_nuts consumes);
+    (b) a run killed mid-flight resumes from the npz to the identical
+    chain without re-warmup; (c) a changed chain count is rejected by
+    the fingerprint."""
+    import lumfuncmcmc_tpu.samplers.nuts as nuts_mod
+    from lumfuncmcmc_tpu.config import LFConfig
+    from lumfuncmcmc_tpu.models.model import LumFuncModel
+    from lumfuncmcmc_tpu.utils.synth import (
+        make_catalog, apply_completeness_cut)
+
+    cfg = LFConfig(min_comp_frac=0.5, fix_comp=True, size_ln=21,
+                   nwalkers=8, nsteps=24)
+    cat = apply_completeness_cut(make_catalog(cfg, n_target=200, seed=7),
+                                 cfg)
+    kw = dict(z=cat["z"], flux=cat["flux"], flux_e=cat["flux_e"],
+              field_id=cat["field_id"])
+    plain = LumFuncModel(cfg, **kw).fit_model_nuts(num_warmup=40,
+                                                   nchains=4)
+
+    cfg_ck = cfg.replace(checkpoint_every=10)   # blocks of 10, 10, 4
+    ck = str(tmp_path / "nuts.npz")
+    ckpt = LumFuncModel(cfg_ck, **kw).fit_model_nuts(
+        num_warmup=40, nchains=4, checkpoint_path=ck)
+    np.testing.assert_array_equal(ckpt, plain)
+
+    # simulated crash after the second block's save
+    ck2 = str(tmp_path / "nuts2.npz")
+    orig = nuts_mod.continue_nuts_keys
+    calls = {"n": 0}
+
+    def flaky(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("simulated crash")
+        return orig(*a, **k)
+
+    monkeypatch.setattr(nuts_mod, "continue_nuts_keys", flaky)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        LumFuncModel(cfg_ck, **kw).fit_model_nuts(
+            num_warmup=40, nchains=4, checkpoint_path=ck2)
+    monkeypatch.setattr(nuts_mod, "continue_nuts_keys", orig)
+    assert int(np.load(ck2)["nblocks"]) == 2
+
+    resumed = LumFuncModel(cfg_ck, **kw).fit_model_nuts(
+        num_warmup=40, nchains=4, checkpoint_path=ck2, resume=True)
+    np.testing.assert_array_equal(resumed, plain)
+
+    with pytest.raises(ValueError, match="nuts-checkpoint"):
+        LumFuncModel(cfg_ck, **kw).fit_model_nuts(
+            num_warmup=40, nchains=5, checkpoint_path=ck2, resume=True)
 
 
 def test_fit_model_nuts_min_ess_blocks():
