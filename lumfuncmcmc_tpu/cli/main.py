@@ -404,13 +404,17 @@ def _dispatch_sampler(model, cfg, args, outdir):
                 ens, checkpoint_path=ck,
                 resume=bool(ck and os.path.exists(ck)))
         elif min_ess:
-            if cfg.checkpoint_every:
-                print("WARNING: mid-run checkpointing is not "
-                      "implemented for --min-ess; running without "
-                      "checkpoints")
             if cfg.thin > 1:
                 print("WARNING: --thin is ignored under --min-ess")
-            model.fit_model_until(float(min_ess))
+            # checkpoint_every enables per-block saving (blocks are
+            # cfg.nsteps long — the ESS loop re-decides stopping each
+            # block, so the block size IS the save cadence)
+            ck = (artifact_path(outdir, "checkpoint_until",
+                                args.output_filename, cfg, ext="npz")
+                  if cfg.checkpoint_every else None)
+            model.fit_model_until(
+                float(min_ess), checkpoint_path=ck,
+                resume=bool(ck and os.path.exists(ck)))
         else:
             ck = (artifact_path(outdir, "checkpoint",
                                 args.output_filename, cfg, ext="npz")

@@ -497,7 +497,9 @@ class _BaseModel:
         return self.samples
 
     def fit_model_until(self, min_ess: float, block_steps: int = None,
-                        max_blocks: int = 50, key=None):
+                        max_blocks: int = 50, key=None,
+                        checkpoint_path: Optional[str] = None,
+                        resume: bool = False):
         """Run until every parameter reaches ``min_ess`` effective
         samples (new capability — the reference runs a fixed step count
         with no convergence control).
@@ -506,6 +508,14 @@ class _BaseModel:
         recomputing the post-burn-in min ESS after each; stops at the
         target or after ``max_blocks``. Produces the same ``samples``
         layout as :meth:`fit_model`.
+
+        ``checkpoint_path``/``resume``: save the accumulated chain
+        after every block and resume an interrupted run. The per-block
+        key stream is replayed on resume (the :meth:`_run_checkpointed`
+        protocol — the walker positions are the chain's last recorded
+        row), so a resumed run reproduces the uninterrupted chain AND
+        its block-by-block stopping decisions exactly. Single-process
+        only (warned off otherwise).
         """
         from lumfuncmcmc_tpu.parallel.distributed import to_host
         cfg = self.cfg
@@ -518,13 +528,47 @@ class _BaseModel:
         ndim = pos.shape[1]
         if jax.process_count() > 1:
             pos = np.asarray(pos)
+            if checkpoint_path:
+                self.log.warning(
+                    "min_ess checkpointing is single-process only; "
+                    "running without checkpoints")
+                checkpoint_path = None
 
+        move_id = _MOVE_IDS.get(cfg.move, -1)
+        want = np.asarray([cfg.nwalkers, block_steps, cfg.seed,
+                           move_id, int(round(1e4 * cfg.de_prob))])
         chains, lnps_parts = [], []
         acc = 0.0
         start = time.time()
-        ess_min = 0.0
+        ess_min, burn, tau = 0.0, 0, 0.0
         nblocks = 0
-        for nblocks in range(1, max_blocks + 1):
+        if (resume and checkpoint_path
+                and os.path.exists(checkpoint_path)):
+            ck = np.load(checkpoint_path)
+            if not np.array_equal(np.asarray(ck["fingerprint"]), want):
+                raise ValueError(
+                    "min-ess checkpoint config mismatch: saved "
+                    "(nwalkers, block_steps, seed, move, de_prob*1e4) "
+                    f"= {tuple(ck['fingerprint'])}, current = "
+                    f"{tuple(want)} — resuming with changed settings "
+                    "would corrupt the chain and the RNG replay")
+            chains = [ck["chain"]]
+            lnps_parts = [ck["lnprobability"]]
+            acc = ck["acc"]
+            pos = np.asarray(ck["chain"][-1])
+            nblocks = ck["chain"].shape[0] // block_steps
+            for _ in range(nblocks):
+                kk, _ = jax.random.split(kk)
+            chain = np.concatenate(chains)
+            burn, tau = burnin_steps(chain, chain.shape[0])
+            post = chain[burn:]
+            if post.shape[0] >= 8:
+                ess_min = float(effective_sample_size(post).min())
+            self.log.info("Resumed min-ess checkpoint: %d blocks (%d "
+                          "steps), min ESS=%.0f"
+                          % (nblocks, chain.shape[0], ess_min))
+        while ess_min < min_ess and nblocks < max_blocks:
+            nblocks += 1
             kk, k_blk = jax.random.split(kk)
             if jax.process_count() > 1:
                 k_blk = np.asarray(k_blk)
@@ -541,6 +585,10 @@ class _BaseModel:
             lnps_parts.append(to_host(lp))
             acc = acc + to_host(ac)
             chain = np.concatenate(chains)
+            if checkpoint_path:
+                np.savez(checkpoint_path, chain=chain,
+                         lnprobability=np.concatenate(lnps_parts),
+                         acc=np.asarray(acc), fingerprint=want)
             burn, tau = burnin_steps(chain, chain.shape[0])
             post = chain[burn:]
             if post.shape[0] >= 8:
@@ -549,8 +597,6 @@ class _BaseModel:
                           "min ESS=%.0f (target %.0f)"
                           % (nblocks, chain.shape[0], tau, ess_min,
                              min_ess))
-            if ess_min >= min_ess:
-                break
         elapsed = time.time() - start
         total_steps = chain.shape[0]
         self.log.info("Total time taken: %0.2f s (%d steps, ESS/sec "

@@ -267,6 +267,21 @@ def test_ensembles_legacy_checkpoint_fallback(workdir, capsys):
     assert "legacy ensembles checkpoint" in capsys.readouterr().out
 
 
+def test_fit_min_ess_with_checkpoint(workdir, capsys):
+    """--min-ess combines with --checkpoint-every (per-block saves)
+    instead of warning that checkpointing is unimplemented."""
+    assert main(["fit", "--synthetic", "200", "-ns", "25", "-nw", "8",
+                 "-mcf", "0.5", "--size-ln", "21", "--min-ess", "100",
+                 "--checkpoint-every", "10", "-o", "mu.dat"]) == 0
+    out = capsys.readouterr().out
+    assert "not implemented for --min-ess" not in out
+    base = "mu_nb50_nw8_ns25_mcf50"
+    ck = workdir / "LFMCMCOut" / f"checkpoint_until_{base}.npz"
+    saved = np.load(str(ck))
+    assert saved["chain"].shape[0] % 25 == 0
+    assert saved["chain"].shape[0] >= 25
+
+
 def test_fit_nuts_checkpoint(workdir):
     """--sampler nuts combines with --checkpoint-every: a completed
     run leaves the final checkpoint_nuts npz next to the artifacts."""

@@ -158,6 +158,35 @@ def test_fit_model_until_reaches_ess(small_inputs):
     assert samples.shape[1] == m.layout.ndim + 1
 
 
+def test_fit_model_until_checkpoint_resume(small_inputs, tmp_path):
+    """min-ess checkpoint/resume: a truncated checkpoint resumes via
+    chain-last-row repositioning + key-stream replay to the IDENTICAL
+    chain and the identical block-by-block stopping decisions; a
+    changed move is fingerprint-rejected."""
+    cfg, cat = small_inputs
+    ck = str(tmp_path / "until.npz")
+
+    m1 = _model(cfg, cat)
+    m1.fit_model_until(min_ess=220, block_steps=40, max_blocks=12,
+                       checkpoint_path=ck)
+    full = m1.chain.copy()
+    assert full.shape[0] >= 80      # target needs >= 2 blocks
+
+    saved = np.load(ck)
+    np.savez(ck, chain=saved["chain"][:40],
+             lnprobability=saved["lnprobability"][:40],
+             acc=saved["acc"], fingerprint=saved["fingerprint"])
+    m2 = _model(cfg, cat)
+    m2.fit_model_until(min_ess=220, block_steps=40, max_blocks=12,
+                       checkpoint_path=ck, resume=True)
+    np.testing.assert_array_equal(m2.chain, full)
+
+    m3 = _model(cfg.replace(move="mix"), cat)
+    with pytest.raises(ValueError, match="min-ess checkpoint"):
+        m3.fit_model_until(min_ess=220, block_steps=40,
+                           checkpoint_path=ck, resume=True)
+
+
 def test_single_field_catalog_works():
     cfg = LFConfig(min_comp_frac=0.5, fix_comp=True, size_ln=31,
                    Flim=(2.72,), Omega_0=(300000.0,), nwalkers=16,
