@@ -968,8 +968,9 @@ class _BaseModel:
         post-warmup step size/mass, no re-warmup) until every
         parameter reaches ``min_ess`` effective samples or
         ``max_blocks`` blocks ran. Supported on the jit routes
-        (meshless and XLA-gradient mesh); the shard_map routes warn
-        and run the fixed count.
+        (meshless and XLA-gradient mesh) and on the per-device-replica
+        mesh route (``continue_nuts_sharded``); the source-sharded
+        stream route warns and runs the fixed count.
 
         ``checkpoint_path``/``resume`` (with ``cfg.checkpoint_every``):
         mid-run npz checkpoints via :meth:`_nuts_checkpointed` —
@@ -1006,11 +1007,10 @@ class _BaseModel:
         # jit auto-partitioning with globally-pooled adaptation
         native_mesh = (not stream_mesh and self.mesh is not None
                        and getattr(post, "engine", None) == "pallas")
-        if min_ess and (stream_mesh or native_mesh):
+        if min_ess and stream_mesh:
             self.log.warning(
-                "--min-ess is not supported on the shard_map NUTS "
-                "routes (per-device replicas / source-sharded stream); "
-                "running the fixed step count")
+                "--min-ess is not supported on the source-sharded "
+                "stream NUTS route; running the fixed step count")
             min_ess = None
         if checkpoint_path:
             if stream_mesh or native_mesh:
@@ -1128,15 +1128,57 @@ class _BaseModel:
             if jax.process_count() > 1:
                 y0 = np.asarray(y0)
                 k_run = np.asarray(k_run)
-            samples_y, lnps_y, alphas, eps, div_frac = run_nuts_sharded(
+            out = run_nuts_sharded(
                 lnp_y, y0, k_run, self.mesh,
                 num_warmup=int(num_warmup), num_samples=int(cfg.nsteps),
-                pooled=bool(pooled))
+                pooled=bool(pooled), return_state=bool(min_ess))
+            if min_ess:
+                (samples_y, lnps_y, alphas, eps, div_frac,
+                 nstate) = out
+            else:
+                samples_y, lnps_y, alphas, eps, div_frac = out
             jax.block_until_ready(lnps_y)
+            df_parts = [np.atleast_1d(np.asarray(to_host(div_frac)))]
+            if min_ess:
+                from lumfuncmcmc_tpu.parallel.sharding import (
+                    continue_nuts_sharded)
+                blocks = [samples_y]
+                lnp_blocks, al_blocks = [lnps_y], [alphas]
+                # same fresh fold_in stream as the meshless loop
+                kk = jax.random.fold_in(k_run, 0x636f6e74)
+                for nblk in range(1, int(max_blocks) + 1):
+                    host = jnp.asarray(to_host(jnp.concatenate(blocks)))
+                    ess_now = float(effective_sample_size(np.asarray(
+                        jax.vmap(jax.vmap(to_theta))(host))).min())
+                    self.log.info(
+                        "NUTS block %d: %d samples, min ESS=%.0f "
+                        "(target %.0f)"
+                        % (nblk, int(host.shape[0]), ess_now,
+                           float(min_ess)))
+                    if (ess_now >= float(min_ess)
+                            or nblk >= int(max_blocks)):
+                        break
+                    kk, k_blk = jax.random.split(kk)
+                    if jax.process_count() > 1:
+                        k_blk = np.asarray(k_blk)
+                    s2, lp2, al2, df2, nstate = continue_nuts_sharded(
+                        lnp_y, nstate, k_blk, self.mesh,
+                        num_samples=int(cfg.nsteps))
+                    jax.block_until_ready(lp2)
+                    blocks.append(s2)
+                    lnp_blocks.append(lp2)
+                    al_blocks.append(al2)
+                    df_parts.append(
+                        np.atleast_1d(np.asarray(to_host(df2))))
+                samples_y = jnp.concatenate(blocks)
+                lnps_y = jnp.concatenate(lnp_blocks)
+                alphas = jnp.concatenate(al_blocks)
             samples_y = jnp.asarray(to_host(samples_y))
             alphas = to_host(alphas)
             eps = to_host(eps)              # per-replica adapted eps
-            div_frac = float(np.mean(to_host(div_frac)))
+            # equal-length blocks: the flat mean over (block, device)
+            # entries is the exact transition-weighted fraction
+            div_frac = float(np.mean(np.concatenate(df_parts)))
         elif (checkpoint_path
               and 0 < int(cfg.checkpoint_every or 0) < int(cfg.nsteps)):
             samples_y, lnps_y, alphas, eps, div_frac = \

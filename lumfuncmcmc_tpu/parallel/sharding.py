@@ -171,9 +171,15 @@ def run_nuts_sharded(lnp_y, y0, key, mesh, num_warmup, num_samples,
     adaptation (the returned per-device eps entries are then all
     equal). Returns ``(samples (S, C, D), lnps (S, C), alphas (S, C),
     eps (ndev,), div_frac (ndev,))``.
+
+    ``return_state=True`` appends the per-device frozen-adaptation
+    state ``(y_run (C, D), eps (ndev,), scale (ndev, D))`` — feed it
+    to :func:`continue_nuts_sharded` to extend every replica without
+    re-warmup (the sharded twin of ``continue_nuts``).
     """
     from lumfuncmcmc_tpu.samplers.nuts import run_nuts
 
+    return_state = bool(kw.pop("return_state", False))
     C = y0.shape[0]
     ns = mesh.shape[AXIS_SOURCES]
     ndev = mesh.shape[AXIS_WALKERS] * ns
@@ -187,19 +193,72 @@ def run_nuts_sharded(lnp_y, y0, key, mesh, num_warmup, num_samples,
         i = (jax.lax.axis_index(AXIS_WALKERS) * ns
              + jax.lax.axis_index(AXIS_SOURCES))
         k_local = jax.random.fold_in(key, i)
-        s, lp, al, eps, dv = run_nuts(lnp_y, y0_blk, k_local,
-                                      num_warmup=num_warmup,
-                                      num_samples=num_samples,
-                                      pool_axes=axes if pooled else None,
-                                      **kw)
+        out = run_nuts(lnp_y, y0_blk, k_local,
+                       num_warmup=num_warmup,
+                       num_samples=num_samples,
+                       pool_axes=axes if pooled else None,
+                       return_state=return_state, **kw)
+        if return_state:
+            s, lp, al, eps, dv, (y_run, eps_s, scale) = out
+            return (s, lp, al, eps[None], dv[None],
+                    y_run, eps_s[None], scale[None])
+        s, lp, al, eps, dv = out
         return s, lp, al, eps[None], dv[None]
 
+    specs = (P(None, axes), P(None, axes), P(None, axes),
+             P(axes), P(axes))
+    if return_state:
+        specs = specs + (P(axes), P(axes), P(axes))
     fn = jax.shard_map(
-        local, mesh=mesh, in_specs=(P(axes),),
-        out_specs=(P(None, axes), P(None, axes), P(None, axes),
-                   P(axes), P(axes)),
+        local, mesh=mesh, in_specs=(P(axes),), out_specs=specs,
         check_vma=False)
-    return fn(y0)
+    out = fn(y0)
+    if return_state:
+        return out[:5] + ((out[5], out[6], out[7]),)
+    return out
+
+
+def continue_nuts_sharded(lnp_y, state, key, mesh, num_samples,
+                          max_doublings=8):
+    """Extend warmed-up per-device NUTS replicas without re-warmup.
+
+    ``state`` is the ``(y_run (C, D), eps (ndev,), scale (ndev, D))``
+    tuple from ``run_nuts_sharded(..., return_state=True)`` (or a
+    previous call). Each device runs the meshless
+    :func:`~lumfuncmcmc_tpu.samplers.nuts.continue_nuts` on its local
+    chain block with its own frozen eps/scale and the block key folded
+    by the device index — so the sharded continuation is EXACTLY
+    per-device ``continue_nuts`` (the host-side oracle the parity test
+    uses). This is the mesh engine of convergence-controlled NUTS
+    (``fit_model_nuts(min_ess=...)`` on the per-device-replica route).
+
+    Returns ``(samples (S, C, D), lnps, alphas, div_frac (ndev,),
+    state')``.
+    """
+    from lumfuncmcmc_tpu.samplers.nuts import continue_nuts
+
+    y_run, eps, scale = state
+    ns = mesh.shape[AXIS_SOURCES]
+    axes = (AXIS_WALKERS, AXIS_SOURCES)
+
+    def local(y_blk, eps_blk, scale_blk):
+        i = (jax.lax.axis_index(AXIS_WALKERS) * ns
+             + jax.lax.axis_index(AXIS_SOURCES))
+        k_local = jax.random.fold_in(key, i)
+        s, lp, al, dv, (y_end, eps_e, scale_e) = continue_nuts(
+            lnp_y, (y_blk, eps_blk[0], scale_blk[0]), k_local,
+            num_samples=int(num_samples), max_doublings=max_doublings)
+        return (s, lp, al, dv[None], y_end, eps_e[None],
+                scale_e[None])
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axes), P(axes), P(axes)),
+        out_specs=(P(None, axes), P(None, axes), P(None, axes),
+                   P(axes), P(axes), P(axes), P(axes)),
+        check_vma=False)
+    s, lp, al, dv, y_end, eps_e, scale_e = fn(y_run, eps, scale)
+    return s, lp, al, dv, (y_end, eps_e, scale_e)
 
 
 def _stream_vg_local_parts(ctx: LFContext, layout, ns_shards,

@@ -453,6 +453,72 @@ def test_run_nuts_sharded_pooled_shares_eps(setup):
     assert np.unique(np.asarray(eps_r)).size > 1
 
 
+def test_continue_nuts_sharded_matches_per_device(setup):
+    """continue_nuts_sharded is EXACTLY per-device continue_nuts:
+    requesting the state does not change the first block, and the
+    sharded continuation equals the meshless continue_nuts applied to
+    each device's local chain block/state with the device-folded key."""
+    from lumfuncmcmc_tpu.parallel.sharding import (
+        continue_nuts_sharded, run_nuts_sharded)
+    from lumfuncmcmc_tpu.samplers.nuts import (
+        continue_nuts, make_unconstrained)
+    cfg, ctx, layout = setup
+    mesh = make_mesh(2, 2)
+    lnp_y, to_theta, to_y = make_unconstrained(
+        make_lnprob(ctx, layout), jnp.asarray(layout.lo),
+        jnp.asarray(layout.hi))
+    thetas = np.asarray(sample_init(jax.random.PRNGKey(3), layout, 8))
+    mid = 0.5 * (np.asarray(layout.lo) + np.asarray(layout.hi))
+    y0 = jax.vmap(to_y)(jnp.asarray(0.8 * mid[None, :] + 0.2 * thetas))
+
+    plain = run_nuts_sharded(lnp_y, y0, jax.random.PRNGKey(4), mesh,
+                             num_warmup=40, num_samples=6,
+                             max_doublings=5)
+    s, lp, al, eps, dv, state = run_nuts_sharded(
+        lnp_y, y0, jax.random.PRNGKey(4), mesh, num_warmup=40,
+        num_samples=6, max_doublings=5, return_state=True)
+    np.testing.assert_array_equal(np.asarray(plain[0]), np.asarray(s))
+
+    k_blk = jax.random.PRNGKey(5)
+    s2, lp2, al2, df2, state2 = continue_nuts_sharded(
+        lnp_y, state, k_blk, mesh, num_samples=6, max_doublings=5)
+    assert np.all(np.isfinite(np.asarray(lp2)))
+    y_run = np.asarray(state[0])
+    eps_s = np.asarray(state[1])
+    scale = np.asarray(state[2])
+    ndev = 4
+    blk = y0.shape[0] // ndev
+    for d in range(ndev):
+        st_d = (jnp.asarray(y_run[d * blk:(d + 1) * blk]),
+                jnp.asarray(eps_s[d]), jnp.asarray(scale[d]))
+        sd, _, _, _, _ = continue_nuts(
+            lnp_y, st_d, jax.random.fold_in(k_blk, d), num_samples=6,
+            max_doublings=5)
+        np.testing.assert_array_equal(
+            np.asarray(s2)[:, d * blk:(d + 1) * blk], np.asarray(sd))
+
+
+def test_fit_model_nuts_min_ess_native_mesh():
+    """min_ess on the per-device-replica route: the block loop extends
+    the replicated chains via continue_nuts_sharded instead of warning
+    the combination off (an unreachable target runs max_blocks)."""
+    from lumfuncmcmc_tpu.models.model import LumFuncModel
+    cfg = LFConfig(min_comp_frac=0.5, fix_comp=False, size_ln=21,
+                   nwalkers=16, nsteps=8, use_pallas=True,
+                   pallas_interpret=True)
+    cat = apply_completeness_cut(make_catalog(cfg, n_target=200, seed=8),
+                                 cfg)
+    m = LumFuncModel(cfg, mesh=make_mesh(4, 2), z=cat["z"],
+                     flux=cat["flux"], flux_e=cat["flux_e"],
+                     field_id=cat["field_id"])
+    post = m._nuts_gradient_post(m._make_scalar_lnprob())
+    assert getattr(post, "engine", None) == "pallas"
+    s = m.fit_model_nuts(num_warmup=40, nchains=8, min_ess=1e5,
+                         max_blocks=2)
+    assert s.shape == (2 * 8 * 8, m.layout.ndim + 1)
+    assert np.all(np.isfinite(s))
+
+
 def test_fit_model_nuts_stream_mesh_route(setup, monkeypatch):
     """fit_model_nuts auto-routes over-VMEM free-comp catalogs on a
     source-sharded mesh to run_nuts_stream_sharded (catalog split
