@@ -967,10 +967,10 @@ class _BaseModel:
         ``cfg.nsteps``-sample blocks via :func:`continue_nuts` (frozen
         post-warmup step size/mass, no re-warmup) until every
         parameter reaches ``min_ess`` effective samples or
-        ``max_blocks`` blocks ran. Supported on the jit routes
-        (meshless and XLA-gradient mesh) and on the per-device-replica
-        mesh route (``continue_nuts_sharded``); the source-sharded
-        stream route warns and runs the fixed count.
+        ``max_blocks`` blocks ran. Supported on EVERY route: the jit
+        routes (meshless and XLA-gradient mesh), the per-device-replica
+        mesh route (``continue_nuts_sharded``), and the source-sharded
+        stream route (``continue_nuts_stream_sharded``).
 
         ``checkpoint_path``/``resume`` (with ``cfg.checkpoint_every``):
         mid-run npz checkpoints via :meth:`_nuts_checkpointed` —
@@ -1007,11 +1007,6 @@ class _BaseModel:
         # jit auto-partitioning with globally-pooled adaptation
         native_mesh = (not stream_mesh and self.mesh is not None
                        and getattr(post, "engine", None) == "pallas")
-        if min_ess and stream_mesh:
-            self.log.warning(
-                "--min-ess is not supported on the source-sharded "
-                "stream NUTS route; running the fixed step count")
-            min_ess = None
         if checkpoint_path:
             if stream_mesh or native_mesh:
                 self.log.warning(
@@ -1114,14 +1109,55 @@ class _BaseModel:
                 self.ctx, self.layout, self.mesh, y0, k_run,
                 num_warmup=int(num_warmup), num_samples=int(cfg.nsteps),
                 pooled=(True if pooled is None else bool(pooled)),
-                interpret=cfg.pallas_interpret)
+                interpret=cfg.pallas_interpret,
+                return_state=bool(min_ess))
             assert out is not None  # _nuts_stream_mesh_route gate
-            samples_y, lnps_y, alphas, eps, div_frac = out
+            if min_ess:
+                (samples_y, lnps_y, alphas, eps, div_frac,
+                 nstate) = out
+            else:
+                samples_y, lnps_y, alphas, eps, div_frac = out
             jax.block_until_ready(lnps_y)
+            df_parts = [np.atleast_1d(np.asarray(to_host(div_frac)))]
+            if min_ess:
+                from lumfuncmcmc_tpu.parallel.sharding import (
+                    continue_nuts_stream_sharded)
+                blocks = [samples_y]
+                lnp_blocks, al_blocks = [lnps_y], [alphas]
+                kk = jax.random.fold_in(k_run, 0x636f6e74)
+                for nblk in range(1, int(max_blocks) + 1):
+                    host = jnp.asarray(to_host(jnp.concatenate(blocks)))
+                    ess_now = float(effective_sample_size(np.asarray(
+                        jax.vmap(jax.vmap(to_theta))(host))).min())
+                    self.log.info(
+                        "NUTS block %d: %d samples, min ESS=%.0f "
+                        "(target %.0f)"
+                        % (nblk, int(host.shape[0]), ess_now,
+                           float(min_ess)))
+                    if (ess_now >= float(min_ess)
+                            or nblk >= int(max_blocks)):
+                        break
+                    kk, k_blk = jax.random.split(kk)
+                    if jax.process_count() > 1:
+                        k_blk = np.asarray(k_blk)
+                    s2, lp2, al2, df2, nstate = \
+                        continue_nuts_stream_sharded(
+                            self.ctx, self.layout, self.mesh, nstate,
+                            k_blk, num_samples=int(cfg.nsteps),
+                            interpret=cfg.pallas_interpret)
+                    jax.block_until_ready(lp2)
+                    blocks.append(s2)
+                    lnp_blocks.append(lp2)
+                    al_blocks.append(al2)
+                    df_parts.append(
+                        np.atleast_1d(np.asarray(to_host(df2))))
+                samples_y = jnp.concatenate(blocks)
+                lnps_y = jnp.concatenate(lnp_blocks)
+                alphas = jnp.concatenate(al_blocks)
             samples_y = jnp.asarray(to_host(samples_y))
             alphas = to_host(alphas)
             eps = to_host(eps)              # pooled: all rows equal
-            div_frac = float(np.mean(to_host(div_frac)))
+            div_frac = float(np.mean(np.concatenate(df_parts)))
         elif native_mesh:
             from lumfuncmcmc_tpu.parallel.distributed import to_host
             from lumfuncmcmc_tpu.parallel.sharding import run_nuts_sharded

@@ -368,9 +368,16 @@ def run_nuts_stream_sharded(ctx: LFContext, layout, mesh, y0, key,
     alphas (S, C), eps (nw,), div_frac (nw,))`` or ``None`` when the
     model/grids do not fit the streaming kernel (fixed completeness,
     or resident grids past the VMEM budget).
+
+    ``return_state=True`` (via ``kw``) appends the per-walker-row
+    frozen-adaptation state ``(y_run (C, D), eps (nw,), scale (nw,
+    D))`` — feed it to :func:`continue_nuts_stream_sharded`. The state
+    is replicated along the source axis (bit-identical replicas), so
+    one copy per walker row is the whole state.
     """
     from lumfuncmcmc_tpu.samplers.nuts import make_unconstrained, run_nuts
 
+    return_state = bool(kw.pop("return_state", False))
     parts = _stream_vg_local_parts(ctx, layout,
                                    mesh.shape[AXIS_SOURCES], interpret)
     if parts is None:
@@ -390,21 +397,84 @@ def run_nuts_stream_sharded(ctx: LFContext, layout, mesh, y0, key,
         lnp_y, _, _ = make_unconstrained(scalar, lo, hi)
         k_local = jax.random.fold_in(key,
                                      jax.lax.axis_index(AXIS_WALKERS))
-        s, lp, al, eps, dv = run_nuts(
+        out = run_nuts(
             lnp_y, y0_blk, k_local, num_warmup=num_warmup,
             num_samples=num_samples,
-            pool_axes=(AXIS_WALKERS,) if pooled else None, **kw)
+            pool_axes=(AXIS_WALKERS,) if pooled else None,
+            return_state=return_state, **kw)
+        if return_state:
+            s, lp, al, eps, dv, (y_run, eps_s, scale) = out
+            return (s, lp, al, eps[None], dv[None],
+                    y_run, eps_s[None], scale[None])
+        s, lp, al, eps, dv = out
         return s, lp, al, eps[None], dv[None]
 
+    specs = (P(None, AXIS_WALKERS), P(None, AXIS_WALKERS),
+             P(None, AXIS_WALKERS), P(AXIS_WALKERS), P(AXIS_WALKERS))
+    if return_state:
+        specs = specs + (P(AXIS_WALKERS), P(AXIS_WALKERS),
+                         P(AXIS_WALKERS))
     fn = jax.shard_map(
         local, mesh=mesh,
         in_specs=(P(AXIS_WALKERS),
                   tuple(P(AXIS_SOURCES) for _ in s_stacked)),
+        out_specs=specs,
+        check_vma=False)
+    out = fn(y0, s_stacked)
+    if return_state:
+        return out[:5] + ((out[5], out[6], out[7]),)
+    return out
+
+
+def continue_nuts_stream_sharded(ctx: LFContext, layout, mesh, state,
+                                 key, num_samples, interpret=False,
+                                 max_doublings=8):
+    """Extend a warmed-up source-sharded streaming NUTS run without
+    re-warmup — the stream-route twin of :func:`continue_nuts_sharded`.
+
+    ``state`` comes from ``run_nuts_stream_sharded(...,
+    return_state=True)``. The gradient surface is rebuilt the same way
+    (per-device source slabs + one vg-row ``psum`` per leapfrog), and
+    the block key is folded by the WALKER-AXIS index only, so devices
+    along the source axis stay bit-identical replicas (the psum-
+    coherence invariant). Returns ``(samples, lnps, alphas, div_frac
+    (nw,), state')`` or ``None`` when the streaming kernel is gated
+    off (callers hold a state, so this only happens on misuse).
+    """
+    from lumfuncmcmc_tpu.samplers.nuts import (
+        continue_nuts, make_unconstrained)
+
+    parts = _stream_vg_local_parts(ctx, layout,
+                                   mesh.shape[AXIS_SOURCES], interpret)
+    if parts is None:
+        return None
+    make_scalar, s_stacked = parts
+    lo = jnp.asarray(layout.lo, jnp.float32)
+    hi = jnp.asarray(layout.hi, jnp.float32)
+    y_run, eps, scale = state
+
+    def local(y_blk, eps_blk, scale_blk, s_blk):
+        scalar = make_scalar(s_blk)
+        lnp_y, _, _ = make_unconstrained(scalar, lo, hi)
+        k_local = jax.random.fold_in(key,
+                                     jax.lax.axis_index(AXIS_WALKERS))
+        s, lp, al, dv, (y_end, eps_e, scale_e) = continue_nuts(
+            lnp_y, (y_blk, eps_blk[0], scale_blk[0]), k_local,
+            num_samples=int(num_samples), max_doublings=max_doublings)
+        return (s, lp, al, dv[None], y_end, eps_e[None],
+                scale_e[None])
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(AXIS_WALKERS), P(AXIS_WALKERS), P(AXIS_WALKERS),
+                  tuple(P(AXIS_SOURCES) for _ in s_stacked)),
         out_specs=(P(None, AXIS_WALKERS), P(None, AXIS_WALKERS),
                    P(None, AXIS_WALKERS), P(AXIS_WALKERS),
-                   P(AXIS_WALKERS)),
+                   P(AXIS_WALKERS), P(AXIS_WALKERS), P(AXIS_WALKERS)),
         check_vma=False)
-    return fn(y0, s_stacked)
+    s, lp, al, dv, y_end, eps_e, scale_e = fn(y_run, eps, scale,
+                                              s_stacked)
+    return s, lp, al, dv, (y_end, eps_e, scale_e)
 
 
 def make_pallas_lnprob_stream_sharded(ctx: LFContext, layout, mesh,

@@ -540,3 +540,11 @@ def test_fit_model_nuts_stream_mesh_route(setup, monkeypatch):
     samples = m.fit_model_nuts(num_warmup=40, nchains=4)
     assert samples.shape == (4 * 8, m.layout.ndim + 1)
     assert np.all(np.isfinite(samples))
+
+    # min_ess on the stream route: continue_nuts_stream_sharded blocks
+    # (an unreachable target runs exactly max_blocks); source-axis
+    # devices must stay bit-identical replicas across the continuation
+    s2 = m.fit_model_nuts(num_warmup=40, nchains=4, min_ess=1e5,
+                          max_blocks=2)
+    assert s2.shape == (2 * 4 * 8, m.layout.ndim + 1)
+    assert np.all(np.isfinite(s2))
