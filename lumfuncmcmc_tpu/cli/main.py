@@ -531,7 +531,10 @@ def cmd_fitz(args):
 
 
 def cmd_fith(args):
-    """Hierarchical multi-field joint fit (new capability)."""
+    """Hierarchical multi-field joint fit (new capability).
+
+    Parallels :func:`cmd_fit`; the model is
+    :class:`~lumfuncmcmc_tpu.models.model.LumFuncModelH`."""
     args.output_filename = args.output_filename or "test.dat"
     from lumfuncmcmc_tpu.models.model import LumFuncModelH
     cfg = _build_cfg(args)

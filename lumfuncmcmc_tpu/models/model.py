@@ -520,6 +520,10 @@ class _BaseModel:
         from lumfuncmcmc_tpu.parallel.distributed import to_host
         cfg = self.cfg
         block_steps = int(block_steps or cfg.nsteps)
+        if checkpoint_path and not checkpoint_path.endswith(".npz"):
+            # np.savez appends .npz to bare paths; the resume check
+            # would then miss the file and silently restart from 0
+            checkpoint_path += ".npz"
         if key is None:
             key = jax.random.PRNGKey(cfg.seed)
         k_init, kk = jax.random.split(key)
@@ -567,7 +571,9 @@ class _BaseModel:
             self.log.info("Resumed min-ess checkpoint: %d blocks (%d "
                           "steps), min ESS=%.0f"
                           % (nblocks, chain.shape[0], ess_min))
-        while ess_min < min_ess and nblocks < max_blocks:
+        # `not chains` forces at least one block on a fresh run (a
+        # min_ess <= 0 target would otherwise leave no chain at all)
+        while not chains or (ess_min < min_ess and nblocks < max_blocks):
             nblocks += 1
             kk, k_blk = jax.random.split(kk)
             if jax.process_count() > 1:
@@ -855,6 +861,51 @@ class _BaseModel:
         ncells = int(np.prod(np.asarray(self.ctx.logL_grid).shape))
         return ncells * 5 * 4 <= pk._VMEM_ARRAY_LIMIT
 
+    def _nuts_min_ess_blocks(self, first, to_theta, k_run, min_ess,
+                             max_blocks, continue_fn, gather=None):
+        """Shared min-ess block loop for every NUTS route.
+
+        ``first``: the ``(samples_y, lnps_y, alphas, div_frac, state)``
+        of the first block. ``continue_fn(k_blk, state) -> (s, lp, al,
+        df, state)`` runs one frozen-adaptation continuation block on
+        the same route. ``gather`` converts device arrays to host (the
+        collective ``to_host`` on the sharded routes; identity on the
+        jit routes). Returns ``(samples_y, lnps_y, alphas,
+        div_frac)`` with blocks concatenated on the sample axis.
+        """
+        samples_y, lnps_y, alphas, div_frac, nstate = first
+        gather = gather or (lambda x: x)
+        blocks = [samples_y]
+        lnp_blocks, al_blocks = [lnps_y], [alphas]
+        df_parts = [np.atleast_1d(np.asarray(gather(div_frac)))]
+        # a fresh fold_in stream: splitting k_run again would collide
+        # with run_nuts's internal 3-way split (split children are
+        # counter-stable across widths)
+        kk = jax.random.fold_in(k_run, 0x636f6e74)
+        for nblk in range(1, int(max_blocks) + 1):
+            host = jnp.asarray(gather(jnp.concatenate(blocks)))
+            ess_now = float(effective_sample_size(np.asarray(
+                jax.vmap(jax.vmap(to_theta))(host))).min())
+            self.log.info(
+                "NUTS block %d: %d samples, min ESS=%.0f (target %.0f)"
+                % (nblk, int(host.shape[0]), ess_now, float(min_ess)))
+            if ess_now >= float(min_ess) or nblk >= int(max_blocks):
+                break
+            kk, k_blk = jax.random.split(kk)
+            if jax.process_count() > 1:
+                k_blk = np.asarray(k_blk)
+            s2, lp2, al2, df2, nstate = continue_fn(k_blk, nstate)
+            jax.block_until_ready(lp2)
+            blocks.append(s2)
+            lnp_blocks.append(lp2)
+            al_blocks.append(al2)
+            df_parts.append(np.atleast_1d(np.asarray(gather(df2))))
+        # equal-length blocks: the flat mean over (block[, device])
+        # entries is the exact transition-weighted fraction
+        return (jnp.concatenate(blocks), jnp.concatenate(lnp_blocks),
+                jnp.concatenate(al_blocks),
+                float(np.mean(np.concatenate(df_parts))))
+
     def _nuts_checkpointed(self, lnp_y, y0, k_run, num_warmup, every,
                            checkpoint_path, resume):
         """Blockwise NUTS with mid-run npz checkpoints.
@@ -873,6 +924,10 @@ class _BaseModel:
         from lumfuncmcmc_tpu.samplers.nuts import (
             continue_nuts_keys, run_nuts, sampling_keys)
         cfg = self.cfg
+        if not checkpoint_path.endswith(".npz"):
+            # np.savez appends .npz to bare paths; the resume check
+            # would then miss the file and silently restart from 0
+            checkpoint_path += ".npz"
         nsteps = int(cfg.nsteps)
         nchains, ndim = y0.shape
         nblocks = -(-nsteps // every)
@@ -1118,46 +1173,23 @@ class _BaseModel:
             else:
                 samples_y, lnps_y, alphas, eps, div_frac = out
             jax.block_until_ready(lnps_y)
-            df_parts = [np.atleast_1d(np.asarray(to_host(div_frac)))]
             if min_ess:
                 from lumfuncmcmc_tpu.parallel.sharding import (
                     continue_nuts_stream_sharded)
-                blocks = [samples_y]
-                lnp_blocks, al_blocks = [lnps_y], [alphas]
-                kk = jax.random.fold_in(k_run, 0x636f6e74)
-                for nblk in range(1, int(max_blocks) + 1):
-                    host = jnp.asarray(to_host(jnp.concatenate(blocks)))
-                    ess_now = float(effective_sample_size(np.asarray(
-                        jax.vmap(jax.vmap(to_theta))(host))).min())
-                    self.log.info(
-                        "NUTS block %d: %d samples, min ESS=%.0f "
-                        "(target %.0f)"
-                        % (nblk, int(host.shape[0]), ess_now,
-                           float(min_ess)))
-                    if (ess_now >= float(min_ess)
-                            or nblk >= int(max_blocks)):
-                        break
-                    kk, k_blk = jax.random.split(kk)
-                    if jax.process_count() > 1:
-                        k_blk = np.asarray(k_blk)
-                    s2, lp2, al2, df2, nstate = \
-                        continue_nuts_stream_sharded(
-                            self.ctx, self.layout, self.mesh, nstate,
-                            k_blk, num_samples=int(cfg.nsteps),
-                            interpret=cfg.pallas_interpret)
-                    jax.block_until_ready(lp2)
-                    blocks.append(s2)
-                    lnp_blocks.append(lp2)
-                    al_blocks.append(al2)
-                    df_parts.append(
-                        np.atleast_1d(np.asarray(to_host(df2))))
-                samples_y = jnp.concatenate(blocks)
-                lnps_y = jnp.concatenate(lnp_blocks)
-                alphas = jnp.concatenate(al_blocks)
+                samples_y, lnps_y, alphas, div_frac = \
+                    self._nuts_min_ess_blocks(
+                        (samples_y, lnps_y, alphas, div_frac, nstate),
+                        to_theta, k_run, min_ess, max_blocks,
+                        lambda k, st: continue_nuts_stream_sharded(
+                            self.ctx, self.layout, self.mesh, st, k,
+                            num_samples=int(cfg.nsteps),
+                            interpret=cfg.pallas_interpret),
+                        gather=to_host)
+            else:
+                div_frac = float(np.mean(np.asarray(to_host(div_frac))))
             samples_y = jnp.asarray(to_host(samples_y))
             alphas = to_host(alphas)
             eps = to_host(eps)              # pooled: all rows equal
-            div_frac = float(np.mean(np.concatenate(df_parts)))
         elif native_mesh:
             from lumfuncmcmc_tpu.parallel.distributed import to_host
             from lumfuncmcmc_tpu.parallel.sharding import run_nuts_sharded
@@ -1174,47 +1206,22 @@ class _BaseModel:
             else:
                 samples_y, lnps_y, alphas, eps, div_frac = out
             jax.block_until_ready(lnps_y)
-            df_parts = [np.atleast_1d(np.asarray(to_host(div_frac)))]
             if min_ess:
                 from lumfuncmcmc_tpu.parallel.sharding import (
                     continue_nuts_sharded)
-                blocks = [samples_y]
-                lnp_blocks, al_blocks = [lnps_y], [alphas]
-                # same fresh fold_in stream as the meshless loop
-                kk = jax.random.fold_in(k_run, 0x636f6e74)
-                for nblk in range(1, int(max_blocks) + 1):
-                    host = jnp.asarray(to_host(jnp.concatenate(blocks)))
-                    ess_now = float(effective_sample_size(np.asarray(
-                        jax.vmap(jax.vmap(to_theta))(host))).min())
-                    self.log.info(
-                        "NUTS block %d: %d samples, min ESS=%.0f "
-                        "(target %.0f)"
-                        % (nblk, int(host.shape[0]), ess_now,
-                           float(min_ess)))
-                    if (ess_now >= float(min_ess)
-                            or nblk >= int(max_blocks)):
-                        break
-                    kk, k_blk = jax.random.split(kk)
-                    if jax.process_count() > 1:
-                        k_blk = np.asarray(k_blk)
-                    s2, lp2, al2, df2, nstate = continue_nuts_sharded(
-                        lnp_y, nstate, k_blk, self.mesh,
-                        num_samples=int(cfg.nsteps))
-                    jax.block_until_ready(lp2)
-                    blocks.append(s2)
-                    lnp_blocks.append(lp2)
-                    al_blocks.append(al2)
-                    df_parts.append(
-                        np.atleast_1d(np.asarray(to_host(df2))))
-                samples_y = jnp.concatenate(blocks)
-                lnps_y = jnp.concatenate(lnp_blocks)
-                alphas = jnp.concatenate(al_blocks)
+                samples_y, lnps_y, alphas, div_frac = \
+                    self._nuts_min_ess_blocks(
+                        (samples_y, lnps_y, alphas, div_frac, nstate),
+                        to_theta, k_run, min_ess, max_blocks,
+                        lambda k, st: continue_nuts_sharded(
+                            lnp_y, st, k, self.mesh,
+                            num_samples=int(cfg.nsteps)),
+                        gather=to_host)
+            else:
+                div_frac = float(np.mean(np.asarray(to_host(div_frac))))
             samples_y = jnp.asarray(to_host(samples_y))
             alphas = to_host(alphas)
             eps = to_host(eps)              # per-replica adapted eps
-            # equal-length blocks: the flat mean over (block, device)
-            # entries is the exact transition-weighted fraction
-            div_frac = float(np.mean(np.concatenate(df_parts)))
         elif (checkpoint_path
               and 0 < int(cfg.checkpoint_every or 0) < int(cfg.nsteps)):
             samples_y, lnps_y, alphas, eps, div_frac = \
@@ -1236,37 +1243,12 @@ class _BaseModel:
             jax.block_until_ready(lnps_y)
             if min_ess:
                 from lumfuncmcmc_tpu.samplers.nuts import continue_nuts
-                blocks, lnp_blocks = [samples_y], [lnps_y]
-                al_blocks, df_blocks = [alphas], [div_frac]
-                # a fresh fold_in stream: splitting k_run again would
-                # collide with run_nuts's internal 3-way split (split
-                # children are counter-stable across widths)
-                kk = jax.random.fold_in(k_run, 0x636f6e74)
-                for nblk in range(1, int(max_blocks) + 1):
-                    ess_now = float(effective_sample_size(np.asarray(
-                        jax.vmap(jax.vmap(to_theta))(
-                            jnp.concatenate(blocks)))).min())
-                    total = sum(int(b.shape[0]) for b in blocks)
-                    self.log.info(
-                        "NUTS block %d: %d samples, min ESS=%.0f "
-                        "(target %.0f)"
-                        % (nblk, total, ess_now, float(min_ess)))
-                    if ess_now >= float(min_ess) or nblk >= int(max_blocks):
-                        break
-                    kk, k_blk = jax.random.split(kk)
-                    s2, lp2, al2, df2, nstate = continue_nuts(
-                        lnp_y, nstate, k_blk,
-                        num_samples=int(cfg.nsteps))
-                    jax.block_until_ready(lp2)
-                    blocks.append(s2)
-                    lnp_blocks.append(lp2)
-                    al_blocks.append(al2)
-                    df_blocks.append(df2)
-                samples_y = jnp.concatenate(blocks)
-                lnps_y = jnp.concatenate(lnp_blocks)
-                alphas = jnp.concatenate(al_blocks)
-                # equal-length blocks: the mean of fractions is exact
-                div_frac = float(np.mean([float(d) for d in df_blocks]))
+                samples_y, lnps_y, alphas, div_frac = \
+                    self._nuts_min_ess_blocks(
+                        (samples_y, lnps_y, alphas, div_frac, nstate),
+                        to_theta, k_run, min_ess, max_blocks,
+                        lambda k, st: continue_nuts(
+                            lnp_y, st, k, num_samples=int(cfg.nsteps)))
         elapsed = time.time() - t0
         chain_dev = jax.vmap(jax.vmap(to_theta))(samples_y)
         chain = np.asarray(chain_dev)

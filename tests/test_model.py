@@ -158,6 +158,21 @@ def test_fit_model_until_reaches_ess(small_inputs):
     assert samples.shape[1] == m.layout.ndim + 1
 
 
+def test_fit_model_until_zero_target_and_bare_checkpoint(small_inputs,
+                                                         tmp_path):
+    """Review regressions: a min_ess <= 0 target still runs one block
+    (the while refactor left `chain` unbound), and a bare checkpoint
+    path gets the .npz suffix np.savez appends (a bare path silently
+    restarted from 0 on resume)."""
+    cfg, cat = small_inputs
+    m = _model(cfg, cat)
+    s = m.fit_model_until(min_ess=0.0, block_steps=20,
+                          checkpoint_path=str(tmp_path / "bare"))
+    assert m.chain.shape[0] == 20
+    assert s.shape[1] == m.layout.ndim + 1
+    assert (tmp_path / "bare.npz").exists()
+
+
 def test_fit_model_until_checkpoint_resume(small_inputs, tmp_path):
     """min-ess checkpoint/resume: a truncated checkpoint resumes via
     chain-last-row repositioning + key-stream replay to the IDENTICAL
