@@ -91,6 +91,12 @@ def _add_common_flags(p):
     p.add_argument("--ppc", action="store_true",
                    help="write a posterior predictive check (counts per "
                         "L bin vs the model's Poisson prediction)")
+    p.add_argument("--evidence", type=int, default=None, metavar="K",
+                   help="estimate ln Z (marginal likelihood) by "
+                        "parallel tempering over a K-rung temperature "
+                        "ladder sampled simultaneously (stepping-stone "
+                        "+ thermodynamic integration; evidence_*.dat); "
+                        "two models' ln Z difference is a Bayes factor")
     p.add_argument("--exact-bounds", dest="exact_bounds",
                    action="store_true", default=None,
                    help="free completeness: re-derive the integration "
@@ -455,6 +461,8 @@ def cmd_fit(args):
     _write_outputs(model, cfg, args, outdir, names)
     if getattr(args, "ppc", False):
         _write_ppc(model, cfg, args, outdir)
+    if getattr(args, "evidence", None):
+        _write_evidence(model, cfg, args, outdir)
     return 0
 
 
@@ -497,6 +505,27 @@ def _write_ppc(model, cfg, args, outdir):
           f"E[N_pred]={ppc['total_predicted']:.1f})")
 
 
+def _write_evidence(model, cfg, args, outdir):
+    """Run the tempered-evidence ladder and write the per-rung
+    E_beta[lnlike] curve plus the two estimators (evidence_*.dat)."""
+    from lumfuncmcmc_tpu.utils.io import (
+        artifact_path, write_fixed_width_two_line)
+    ev = model.log_evidence(nrungs=int(args.evidence))
+    K = int(ev["nrungs"])
+    write_fixed_width_two_line(
+        artifact_path(outdir, "evidence", args.output_filename, cfg,
+                      ext="dat"),
+        {"Beta": ev["betas"], "MeanLnL": ev["mean_lnl"],
+         # scalar summaries replicated per row: the two-line format
+         # has no header fields, and one flat table round-trips
+         "LnZ_SS": np.full(K, ev["lnz_ss"]),
+         "LnZ_TI": np.full(K, ev["lnz_ti"]),
+         "LnZ_TI_err": np.full(K, ev["lnz_ti_err"])})
+    print("Finished writing evidence ladder "
+          f"(ln Z = {ev['lnz_ss']:.3f} stepping-stone, "
+          f"{ev['lnz_ti']:.3f} +- {ev['lnz_ti_err']:.3f} TI)")
+
+
 def cmd_fitz(args):
     args.output_filename = args.output_filename or "test.dat"
     from lumfuncmcmc_tpu.models.model import LumFuncModelZ
@@ -527,6 +556,8 @@ def cmd_fitz(args):
     _write_outputs(model, cfg, args, outdir, names, z_variant=True)
     if getattr(args, "ppc", False):
         _write_ppc(model, cfg, args, outdir)
+    if getattr(args, "evidence", None):
+        _write_evidence(model, cfg, args, outdir)
     return 0
 
 
@@ -564,6 +595,8 @@ def cmd_fith(args):
     _write_outputs(model, cfg, args, outdir, names)
     if getattr(args, "ppc", False):
         _write_ppc(model, cfg, args, outdir)
+    if getattr(args, "evidence", None):
+        _write_evidence(model, cfg, args, outdir)
     return 0
 
 

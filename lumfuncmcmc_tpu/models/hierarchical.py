@@ -106,8 +106,12 @@ def lnprior_h(theta, layout: ThetaLayoutH):
     return lnprior(theta, layout)
 
 
-def lnlike_h(theta, ctx: LFContext, layout: ThetaLayoutH):
-    """Joint likelihood with per-field (L*, phi*) and shared alpha."""
+def lnlike_h_split(theta, ctx: LFContext, layout: ThetaLayoutH):
+    """``(data, hyper)`` split: the per-field Poisson point-process
+    terms and the population-hyperprior terms. Tempered-evidence runs
+    (:mod:`~lumfuncmcmc_tpu.samplers.tempering`) temper only ``data``
+    — the hyperprior is part of the prior measure, not the
+    likelihood."""
     mu_l, sig_l, mu_p, sig_p, sch_al, lstar_f, phistar_f = \
         layout.unpack(theta)
     dt = theta.dtype
@@ -130,7 +134,13 @@ def lnlike_h(theta, ctx: LFContext, layout: ThetaLayoutH):
     hyper = (jnp.sum(_ln_normal(lstar_f, mu_l, sig_l))
              + jnp.sum(_ln_normal(phistar_f, mu_p, sig_p)))
 
-    return jnp.sum(lnpart_f - int_f) + hyper
+    return jnp.sum(lnpart_f - int_f), hyper
+
+
+def lnlike_h(theta, ctx: LFContext, layout: ThetaLayoutH):
+    """Joint likelihood with per-field (L*, phi*) and shared alpha."""
+    data, hyper = lnlike_h_split(theta, ctx, layout)
+    return data + hyper
 
 
 def make_lnprob_h(ctx: LFContext, layout: ThetaLayoutH):

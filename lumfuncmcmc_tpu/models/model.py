@@ -614,6 +614,62 @@ class _BaseModel:
         self.samples = full[burn:].reshape(-1, ndim + 1)
         return self.samples
 
+    def _prior_like_fns(self):
+        """``(lnprior_fn, lnlike_fn)`` split for tempered-evidence
+        runs: everything that is part of the prior measure (box
+        bounds, population hyperpriors) vs the data terms that get
+        multiplied by β. Subclasses override."""
+        raise NotImplementedError
+
+    def log_evidence(self, nrungs: int = 16, nsteps: int = None,
+                     key=None, power: float = 5.0, move: str = None,
+                     burn_frac: float = 0.5):
+        """Marginal likelihood ln Z of this model under its normalized
+        prior, by simultaneous parallel tempering (new capability — no
+        reference counterpart; see
+        :mod:`~lumfuncmcmc_tpu.samplers.tempering`).
+
+        All ``nrungs`` ladder rungs sample at once as one vmapped
+        ``run_stretch`` batch (rung × walkers — the ensembles
+        replication trick spent on the β integral). Returns the
+        estimator dict (``lnz_ss`` primary, ``lnz_ti`` + error as the
+        ladder-resolution cross-check) and stores it as
+        ``self.evidence``. Two models' ``lnz_ss`` difference is a
+        Bayes factor (same normalized-prior convention).
+        """
+        from lumfuncmcmc_tpu.samplers.tempering import (
+            beta_ladder, evidence_from_ladder, run_tempered)
+        cfg = self.cfg
+        nsteps = int(nsteps or cfg.nsteps)
+        if key is None:
+            # off the fit_model key stream: an evidence run after a fit
+            # must not replay the fit's proposals
+            key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed),
+                                     0x65766964)
+        k_init, k_run = jax.random.split(key)
+        pos0 = jnp.stack([self._initial_positions(k)
+                          for k in jax.random.split(k_init, nrungs)])
+        betas = beta_ladder(nrungs, power)
+        lnprior_fn, lnlike_fn = self._prior_like_fns()
+        self.log.info(
+            "Evidence ladder: %d rungs x %d walkers x %d steps "
+            "(power-%g spacing), move=%s"
+            % (nrungs, cfg.nwalkers, nsteps, power, move or cfg.move))
+        start = time.time()
+        _, lnls, _ = run_tempered(
+            lnprior_fn, lnlike_fn, pos0, betas, k_run, nsteps,
+            move=(move or cfg.move), de_prob=cfg.de_prob)
+        lnls = np.asarray(lnls)
+        elapsed = time.time() - start
+        ev = evidence_from_ladder(lnls, betas, burn_frac=burn_frac)
+        self.log.info(
+            "ln Z = %.3f (stepping-stone; TI %.3f +- %.3f; |SS-TI| "
+            "%.3f is the ladder-resolution check) in %.2f s"
+            % (ev["lnz_ss"], ev["lnz_ti"], ev["lnz_ti_err"],
+               abs(ev["lnz_ss"] - ev["lnz_ti"]), elapsed))
+        self.evidence = ev
+        return ev
+
     def fit_model_ensembles(self, nensembles: int, key=None,
                             checkpoint_path: Optional[str] = None,
                             resume: bool = False, min_ess=None,
@@ -1343,6 +1399,22 @@ class LumFuncModel(_BaseModel):
                            min_comp_frac=self.cfg.min_comp_frac,
                            lh=self.cfg.Lh)
 
+    def _prior_like_fns(self):
+        from lumfuncmcmc_tpu.models.likelihood import (
+            lnlike_exact_bounds, lnlike_single_epoch, lnprior)
+        ctx, layout, cfg = self.ctx, self.layout, self.cfg
+        if cfg.exact_bounds and not layout.fix_comp:
+            lum_floor = float(np.min(np.asarray(ctx.lum)))
+
+            def like(th):
+                return lnlike_exact_bounds(th, ctx, layout,
+                                           cfg.min_comp_frac,
+                                           lum_floor, cfg.Lh)
+        else:
+            def like(th):
+                return lnlike_single_epoch(th, ctx, layout)
+        return (lambda th: lnprior(th, layout)), like
+
     def _initial_positions(self, key):
         return sample_init(key, self.layout, self.cfg.nwalkers,
                            diff_rand=self.cfg.diff_rand)
@@ -1397,6 +1469,24 @@ class LumFuncModelH(_BaseModel):
         from lumfuncmcmc_tpu.models.hierarchical import make_lnprob_h
         return make_lnprob_h(self.ctx, self.layout)
 
+    def _prior_like_fns(self):
+        # the population hyperprior belongs to the PRIOR measure: only
+        # the per-field Poisson terms get tempered
+        from lumfuncmcmc_tpu.models.hierarchical import (
+            lnlike_h_split, lnprior_h)
+        ctx, layout = self.ctx, self.layout
+
+        def prior(th):
+            lp = lnprior_h(th, layout)
+            _, hyper = lnlike_h_split(th, ctx, layout)
+            return jnp.where(jnp.isfinite(lp), lp + hyper, lp)
+
+        def like(th):
+            data, _ = lnlike_h_split(th, ctx, layout)
+            return data
+
+        return prior, like
+
     def set_median_fit(self, rndsamples=200, lnprobcut=7.5, key=None):
         """Median LF at the population-mean parameters over posterior
         draws, plus the V_eff cross-check."""
@@ -1440,6 +1530,13 @@ class LumFuncModelZ(_BaseModel):
 
     def _make_scalar_lnprob(self):
         return make_lnprob_z(self.ctx, self.layout)
+
+    def _prior_like_fns(self):
+        from lumfuncmcmc_tpu.models.likelihood_z import (
+            lnlike_z, lnprior_z)
+        ctx, layout = self.ctx, self.layout
+        return ((lambda th: lnprior_z(th, layout)),
+                (lambda th: lnlike_z(th, ctx, layout)))
 
     def set_median_fit(self, lnprobcut=7.5, zlen=100, Llen=100, key=None):
         """Median-theta LF *matrix* over (z, L)

@@ -267,6 +267,24 @@ def test_ensembles_legacy_checkpoint_fallback(workdir, capsys):
     assert "legacy ensembles checkpoint" in capsys.readouterr().out
 
 
+def test_fit_evidence(workdir, capsys):
+    """--evidence runs the tempered ladder after the fit and writes
+    the per-rung curve + both estimators."""
+    assert main(["fit", "--synthetic", "200", "-ns", "40", "-nw", "16",
+                 "-mcf", "0.5", "--size-ln", "21", "-fc",
+                 "--evidence", "6", "-o", "ev.dat"]) == 0
+    out = capsys.readouterr().out
+    assert "Finished writing evidence ladder" in out
+    base = "ev_nb50_nw16_ns40_mcf50"
+    tab = read_fixed_width_two_line(
+        str(workdir / "LFMCMCOut" / f"evidence_{base}.dat"))
+    assert len(tab["Beta"]) == 6
+    assert tab["Beta"][0] == 0.0 and tab["Beta"][-1] == 1.0
+    assert np.all(np.isfinite(tab["LnZ_SS"]))
+    # SS sits at posterior scale (the fit's lnp is ~ -1e3..-1e4 here)
+    assert -1e5 < tab["LnZ_SS"][0] < 0
+
+
 def test_fit_min_ess_with_checkpoint(workdir, capsys):
     """--min-ess combines with --checkpoint-every (per-block saves)
     instead of warning that checkpointing is unimplemented."""
