@@ -637,10 +637,21 @@ class _BaseModel:
         ``self.evidence``. Two models' ``lnz_ss`` difference is a
         Bayes factor (same normalized-prior convention).
         """
+        from lumfuncmcmc_tpu.parallel.distributed import to_host
         from lumfuncmcmc_tpu.samplers.tempering import (
             beta_ladder, evidence_from_ladder, run_tempered)
         cfg = self.cfg
         nsteps = int(nsteps or cfg.nsteps)
+        if self.mesh is not None:
+            # whole rungs sharded one-per-device (the ensembles trick);
+            # rounding UP buys extra ladder resolution for free
+            ndev = int(self.mesh.devices.size)
+            if nrungs % ndev:
+                new = -(-nrungs // ndev) * ndev
+                self.log.info(
+                    "Rounding evidence rungs %d -> %d (multiple of "
+                    "the %d-device mesh)" % (nrungs, new, ndev))
+                nrungs = new
         if key is None:
             # off the fit_model key stream: an evidence run after a fit
             # must not replay the fit's proposals
@@ -653,13 +664,26 @@ class _BaseModel:
         lnprior_fn, lnlike_fn = self._prior_like_fns()
         self.log.info(
             "Evidence ladder: %d rungs x %d walkers x %d steps "
-            "(power-%g spacing), move=%s"
-            % (nrungs, cfg.nwalkers, nsteps, power, move or cfg.move))
+            "(power-%g spacing), move=%s%s"
+            % (nrungs, cfg.nwalkers, nsteps, power, move or cfg.move,
+               "" if self.mesh is None
+               else ", rungs sharded over %d devices"
+               % self.mesh.devices.size))
         start = time.time()
-        _, lnls, _ = run_tempered(
-            lnprior_fn, lnlike_fn, pos0, betas, k_run, nsteps,
-            move=(move or cfg.move), de_prob=cfg.de_prob)
-        lnls = np.asarray(lnls)
+        if self.mesh is not None:
+            from lumfuncmcmc_tpu.parallel.sharding import (
+                run_tempered_sharded)
+            if jax.process_count() > 1:
+                pos0 = np.asarray(pos0)
+                k_run = np.asarray(k_run)
+            _, lnls, _ = run_tempered_sharded(
+                lnprior_fn, lnlike_fn, pos0, betas, k_run, nsteps,
+                self.mesh, move=(move or cfg.move), de_prob=cfg.de_prob)
+        else:
+            _, lnls, _ = run_tempered(
+                lnprior_fn, lnlike_fn, pos0, betas, k_run, nsteps,
+                move=(move or cfg.move), de_prob=cfg.de_prob)
+        lnls = np.asarray(to_host(lnls))
         elapsed = time.time() - start
         ev = evidence_from_ladder(lnls, betas, burn_frac=burn_frac)
         self.log.info(

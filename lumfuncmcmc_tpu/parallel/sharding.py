@@ -535,6 +535,42 @@ def make_pallas_lnprob_stream_sharded(ctx: LFContext, layout, mesh,
     return batch
 
 
+def run_tempered_sharded(lnprior_fn, lnlike_fn, pos0, betas, key,
+                         nsteps, mesh, a=2.0, move="stretch",
+                         de_prob=0.5):
+    """Evidence ladder sharded over the device mesh — whole rungs
+    one-(or more-)per-device, the multi-chip deployment of
+    :func:`~lumfuncmcmc_tpu.samplers.tempering.run_tempered`.
+    Embarrassingly parallel (rungs never communicate); the β integrals
+    happen on the gathered host lnl chains. Key handling matches
+    ``run_tempered`` (one split per rung), so the sharded ladder
+    reproduces the unsharded one exactly.
+
+    ``pos0``: (K, W, D) with K a multiple of the mesh device count.
+    Returns the same ``(chains, lnls, acc)`` triple.
+    """
+    from lumfuncmcmc_tpu.samplers.tempering import _rung_runner
+
+    K = pos0.shape[0]
+    ndev = mesh.shape[AXIS_WALKERS] * mesh.shape[AXIS_SOURCES]
+    if K % ndev:
+        raise ValueError(
+            f"rung count {K} must be a multiple of the mesh device "
+            f"count {ndev} (whole rungs per device)")
+    one = _rung_runner(lnprior_fn, lnlike_fn, nsteps, a=a, move=move,
+                       de_prob=de_prob)
+    keys = jax.random.split(key, K)
+    axes = (AXIS_WALKERS, AXIS_SOURCES)
+
+    def local(pos_blk, keys_blk, betas_blk):
+        return jax.vmap(one)(pos_blk, keys_blk, betas_blk)
+
+    fn = jax.shard_map(local, mesh=mesh,
+                       in_specs=(P(axes), P(axes), P(axes)),
+                       out_specs=P(axes), check_vma=False)
+    return fn(pos0, keys, jnp.asarray(betas, pos0.dtype))
+
+
 def run_stretch_ensembles_sharded(lnprob_batch, pos0, key, nsteps,
                                   mesh, a=2.0, thin=1, move="stretch",
                                   de_prob=0.5, de_sel=None):

@@ -62,6 +62,27 @@ def beta_ladder(nrungs: int, power: float = 5.0):
     return k ** float(power)
 
 
+def _rung_runner(lnprior_fn, lnlike_fn, nsteps: int, a: float = 2.0,
+                 move: str = "stretch", de_prob: float = 0.5):
+    """``one(pos (W, D), key, beta) -> (chain, lnl, acc)`` for a single
+    ladder rung — shared by the vmapped :func:`run_tempered` and the
+    mesh-sharded ``run_tempered_sharded`` so the two produce identical
+    chains rung-for-rung (same key-per-rung handling)."""
+    def lnprob_beta(theta, beta):
+        lp = lnprior_fn(theta)
+        lnl = lnlike_fn(theta)
+        return jnp.where(jnp.isfinite(lp), lp + beta * lnl, NEG_INF)
+
+    def one(p, k, beta):
+        batch = jax.vmap(lambda th: lnprob_beta(th, beta))
+        _, ch, _, acc = run_stretch(batch, p, k, nsteps, a=a,
+                                    move=move, de_prob=de_prob)
+        lnl = jax.vmap(jax.vmap(lnlike_fn))(ch)
+        return ch, lnl, acc
+
+    return one
+
+
 def run_tempered(lnprior_fn, lnlike_fn, pos0, betas, key, nsteps: int,
                  a: float = 2.0, move: str = "stretch",
                  de_prob: float = 0.5):
@@ -79,20 +100,9 @@ def run_tempered(lnprior_fn, lnlike_fn, pos0, betas, key, nsteps: int,
     recorded chain — the sampler's recorded lnp is the tempered
     posterior, useless for the β-integrals).
     """
-    def lnprob_beta(theta, beta):
-        lp = lnprior_fn(theta)
-        lnl = lnlike_fn(theta)
-        return jnp.where(jnp.isfinite(lp), lp + beta * lnl, NEG_INF)
-
+    one = _rung_runner(lnprior_fn, lnlike_fn, nsteps, a=a, move=move,
+                       de_prob=de_prob)
     keys = jax.random.split(key, pos0.shape[0])
-
-    def one(p, k, beta):
-        batch = jax.vmap(lambda th: lnprob_beta(th, beta))
-        _, ch, _, acc = run_stretch(batch, p, k, nsteps, a=a,
-                                    move=move, de_prob=de_prob)
-        lnl = jax.vmap(jax.vmap(lnlike_fn))(ch)
-        return ch, lnl, acc
-
     return jax.vmap(one)(pos0, keys, jnp.asarray(betas, pos0.dtype))
 
 

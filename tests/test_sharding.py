@@ -453,6 +453,57 @@ def test_run_nuts_sharded_pooled_shares_eps(setup):
     assert np.unique(np.asarray(eps_r)).size > 1
 
 
+def test_run_tempered_sharded_matches_unsharded():
+    """Evidence-ladder x mesh composition: whole rungs sharded over
+    the devices produce exactly the unsharded vmapped ladder (same
+    per-rung keys), and model.log_evidence on a mesh equals the
+    meshless result."""
+    from lumfuncmcmc_tpu.parallel.sharding import run_tempered_sharded
+    from lumfuncmcmc_tpu.samplers.tempering import (
+        beta_ladder, run_tempered)
+
+    def lnprior(th):
+        return jnp.where(jnp.all(jnp.abs(th) < 5.0), 0.0, -jnp.inf)
+
+    def lnlike(th):
+        return -0.5 * jnp.sum(th ** 2)
+
+    k_init, k_run = jax.random.split(jax.random.PRNGKey(11))
+    pos0 = jax.random.uniform(k_init, (8, 16, 2), minval=-5.0,
+                              maxval=5.0, dtype=jnp.float64)
+    betas = beta_ladder(8)
+    ch_p, lnl_p, acc_p = run_tempered(lnprior, lnlike, pos0, betas,
+                                      k_run, 40)
+    mesh = make_mesh(4, 2)
+    ch_m, lnl_m, acc_m = run_tempered_sharded(
+        lnprior, lnlike, pos0, betas, k_run, 40, mesh)
+    np.testing.assert_array_equal(np.asarray(ch_m), np.asarray(ch_p))
+    np.testing.assert_array_equal(np.asarray(lnl_m), np.asarray(lnl_p))
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="multiple of the mesh"):
+        run_tempered_sharded(lnprior, lnlike, pos0[:6], betas[:6],
+                             k_run, 40, mesh)
+
+
+def test_log_evidence_on_mesh_matches_meshless():
+    from lumfuncmcmc_tpu.models.model import LumFuncModel
+    cfg = LFConfig(min_comp_frac=0.5, fix_comp=True, size_ln=21,
+                   nwalkers=16, nsteps=40)
+    cat = apply_completeness_cut(make_catalog(cfg, n_target=200, seed=6),
+                                 cfg)
+    kw = dict(z=cat["z"], flux=cat["flux"], flux_e=cat["flux_e"],
+              field_id=cat["field_id"])
+    ev_plain = LumFuncModel(cfg, **kw).log_evidence(nrungs=8, nsteps=40)
+    m = LumFuncModel(cfg, mesh=make_mesh(4, 2), **kw)
+    ev_mesh = m.log_evidence(nrungs=6, nsteps=40)   # rounds up to 8
+    assert ev_mesh["nrungs"] == 8
+    np.testing.assert_allclose(ev_mesh["lnz_ss"], ev_plain["lnz_ss"],
+                               rtol=1e-12)
+    np.testing.assert_allclose(ev_mesh["mean_lnl"],
+                               ev_plain["mean_lnl"], rtol=1e-12)
+
+
 def test_continue_nuts_sharded_matches_per_device(setup):
     """continue_nuts_sharded is EXACTLY per-device continue_nuts:
     requesting the state does not change the first block, and the
