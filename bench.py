@@ -133,6 +133,9 @@ def main():
                     help="catalog size for the default streaming "
                          "value+grad A/B (must exceed the VMEM gate; "
                          "0 disables)")
+    ap.add_argument("--evidence-rungs", type=int, default=16,
+                    help="tempered evidence-ladder rungs for the "
+                         "detail.evidence_* timing (0 disables)")
     ap.add_argument("--nuts-chains", type=int, default=256,
                     help="chain count for the NUTS throughput "
                          "measurement (0 disables)")
@@ -452,6 +455,42 @@ def main():
             f"({ess_n / wall_n:,.0f}/s) acc="
             f"{float(np.mean(np.asarray(al_n))):.2f}")
 
+    # evidence ladder: all rungs sampled simultaneously as one vmapped
+    # batch — the marginal-likelihood capability's TPU cost is one
+    # K-fold wider run, not K sequential runs
+    ev_detail = {}
+    if args.evidence_rungs > 0 and jax.default_backend() == "tpu":
+        from lumfuncmcmc_tpu.models.likelihood import (
+            lnlike_single_epoch, lnprior)
+        from lumfuncmcmc_tpu.samplers.tempering import (
+            beta_ladder, evidence_from_ladder, run_tempered)
+        K, ES = args.evidence_rungs, 500
+        pos_t = jnp.stack([
+            jnp.asarray(sample_init(jax.random.PRNGKey(30 + r), layout,
+                                    args.walkers))
+            for r in range(K)])
+        betas_t = beta_ladder(K)
+        run_t = jax.jit(lambda p, k: run_tempered(
+            lambda th: lnprior(th, layout),
+            lambda th: lnlike_single_epoch(th, ctx_g, layout),
+            p, betas_t, k, ES))
+        out_t = run_t(pos_t, jax.random.PRNGKey(31))
+        jax.block_until_ready(out_t[1])
+        t0 = time.time()
+        _, lnls_t, _ = run_t(pos_t, jax.random.PRNGKey(31))
+        jax.block_until_ready(lnls_t)
+        wall_t = time.time() - t0
+        ev = evidence_from_ladder(np.asarray(lnls_t), betas_t)
+        ev_detail = {
+            "evidence_rungs": K,
+            "evidence_steps": ES,
+            "evidence_wall_s": round(wall_t, 3),
+            "evidence_lnz_ss": round(ev["lnz_ss"], 2),
+        }
+        log(f"evidence ladder ({K} rungs x {args.walkers} walkers x "
+            f"{ES} steps, gauss-32): {wall_t:.2f}s "
+            f"lnZ_ss={ev['lnz_ss']:.1f}")
+
     mega_detail = {}
     if args.mega:
         log("mega-catalog configuration (collapsed fixed-comp ln-term)")
@@ -578,6 +617,7 @@ def main():
             **mix_detail,
             **stream_vg_detail,
             **nuts_detail,
+            **ev_detail,
             **mega_detail,
         },
     }

@@ -69,6 +69,13 @@ def main():
     print("  cross-ensemble R-hat:",
           np.round(model.rhat_ensembles, 4))
 
+    # --- marginal likelihood (Bayes-factor model comparison) ---
+    # all ladder rungs sample at once; compare another model's lnz_ss
+    # on the same catalog to get a Bayes factor
+    ev = model.log_evidence(nrungs=12, nsteps=300)
+    print(f"  ln Z = {ev['lnz_ss']:.2f} (stepping-stone, "
+          f"{ev['nrungs']} rungs)")
+
     # --- 1/V_eff cross-check + chi^2 Schechter fit to the binned LF ---
     lavg, lfbin, var = model.veff_lf()
     good = lfbin > 0
