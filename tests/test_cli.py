@@ -270,15 +270,17 @@ def test_ensembles_legacy_checkpoint_fallback(workdir, capsys):
 def test_fit_evidence(workdir, capsys):
     """--evidence runs the tempered ladder after the fit and writes
     the per-rung curve + both estimators."""
+    # 8 rungs: divisible by the suite's auto-configured 8-device CLI
+    # mesh (which rounds the rung count UP to the device multiple)
     assert main(["fit", "--synthetic", "200", "-ns", "40", "-nw", "16",
                  "-mcf", "0.5", "--size-ln", "21", "-fc",
-                 "--evidence", "6", "-o", "ev.dat"]) == 0
+                 "--evidence", "8", "-o", "ev.dat"]) == 0
     out = capsys.readouterr().out
     assert "Finished writing evidence ladder" in out
     base = "ev_nb50_nw16_ns40_mcf50"
     tab = read_fixed_width_two_line(
         str(workdir / "LFMCMCOut" / f"evidence_{base}.dat"))
-    assert len(tab["Beta"]) == 6
+    assert len(tab["Beta"]) == 8
     assert tab["Beta"][0] == 0.0 and tab["Beta"][-1] == 1.0
     assert np.all(np.isfinite(tab["LnZ_SS"]))
     # SS sits at posterior scale (the fit's lnp is ~ -1e3..-1e4 here)
