@@ -30,6 +30,17 @@ from lumfuncmcmc_tpu.config import LFConfig, load_config_file, merge_config
 from lumfuncmcmc_tpu.utils.logging import setup_logging
 
 
+def _evidence_rungs(s):
+    """argparse type for --evidence: fail at parse time, not after the
+    whole fit has run (beta_ladder needs >= 3 rungs)."""
+    v = int(s)
+    if v < 3:
+        raise argparse.ArgumentTypeError(
+            "--evidence needs at least 3 ladder rungs (beta = 0, "
+            "intermediate, 1); omit the flag to skip the evidence run")
+    return v
+
+
 def _add_common_flags(p):
     p.add_argument("-f", "--filename", type=str, default=None,
                    help="File to be read for galaxy data")
@@ -91,12 +102,14 @@ def _add_common_flags(p):
     p.add_argument("--ppc", action="store_true",
                    help="write a posterior predictive check (counts per "
                         "L bin vs the model's Poisson prediction)")
-    p.add_argument("--evidence", type=int, default=None, metavar="K",
+    p.add_argument("--evidence", type=_evidence_rungs, default=None,
+                   metavar="K",
                    help="estimate ln Z (marginal likelihood) by "
                         "parallel tempering over a K-rung temperature "
-                        "ladder sampled simultaneously (stepping-stone "
-                        "+ thermodynamic integration; evidence_*.dat); "
-                        "two models' ln Z difference is a Bayes factor")
+                        "ladder (K >= 3) sampled simultaneously "
+                        "(stepping-stone + thermodynamic integration; "
+                        "evidence_*.dat); two models' ln Z difference "
+                        "is a Bayes factor")
     p.add_argument("--exact-bounds", dest="exact_bounds",
                    action="store_true", default=None,
                    help="free completeness: re-derive the integration "
@@ -451,6 +464,9 @@ def cmd_fit(args):
     names = model.get_param_names()
     print("Labels:", names)
     _dispatch_sampler(model, cfg, args, outdir)
+    # collective: every process runs the ladder; process 0 writes
+    ev = (_run_evidence(model, args)
+          if getattr(args, "evidence", None) is not None else None)
     from lumfuncmcmc_tpu.parallel.distributed import is_primary
     if not is_primary():
         # every process holds the full gathered chain after fit_model;
@@ -461,8 +477,8 @@ def cmd_fit(args):
     _write_outputs(model, cfg, args, outdir, names)
     if getattr(args, "ppc", False):
         _write_ppc(model, cfg, args, outdir)
-    if getattr(args, "evidence", None):
-        _write_evidence(model, cfg, args, outdir)
+    if ev is not None:
+        _write_evidence(ev, cfg, args, outdir)
     return 0
 
 
@@ -505,12 +521,19 @@ def _write_ppc(model, cfg, args, outdir):
           f"E[N_pred]={ppc['total_predicted']:.1f})")
 
 
-def _write_evidence(model, cfg, args, outdir):
-    """Run the tempered-evidence ladder and write the per-rung
-    E_beta[lnlike] curve plus the two estimators (evidence_*.dat)."""
+def _run_evidence(model, args):
+    """Run the tempered-evidence ladder. COLLECTIVE: under
+    --distributed every process must call this (shard_map over the
+    global mesh + the collective to_host live inside) — only the
+    artifact write (:func:`_write_evidence`) is primary-only."""
+    return model.log_evidence(nrungs=int(args.evidence))
+
+
+def _write_evidence(ev, cfg, args, outdir):
+    """Write the per-rung E_beta[lnlike] curve plus the two
+    estimators (evidence_*.dat). Primary process only."""
     from lumfuncmcmc_tpu.utils.io import (
         artifact_path, write_fixed_width_two_line)
-    ev = model.log_evidence(nrungs=int(args.evidence))
     K = int(ev["nrungs"])
     write_fixed_width_two_line(
         artifact_path(outdir, "evidence", args.output_filename, cfg,
@@ -548,6 +571,8 @@ def cmd_fitz(args):
     names = model.get_param_names()
     print("Labels:", names)
     _dispatch_sampler(model, cfg, args, outdir)
+    ev = (_run_evidence(model, args)
+          if getattr(args, "evidence", None) is not None else None)
     from lumfuncmcmc_tpu.parallel.distributed import is_primary
     if not is_primary():
         print("Non-primary process: artifacts written by process 0")
@@ -556,8 +581,8 @@ def cmd_fitz(args):
     _write_outputs(model, cfg, args, outdir, names, z_variant=True)
     if getattr(args, "ppc", False):
         _write_ppc(model, cfg, args, outdir)
-    if getattr(args, "evidence", None):
-        _write_evidence(model, cfg, args, outdir)
+    if ev is not None:
+        _write_evidence(ev, cfg, args, outdir)
     return 0
 
 
@@ -587,6 +612,8 @@ def cmd_fith(args):
     names = model.get_param_names()
     print("Labels:", names)
     _dispatch_sampler(model, cfg, args, outdir)
+    ev = (_run_evidence(model, args)
+          if getattr(args, "evidence", None) is not None else None)
     from lumfuncmcmc_tpu.parallel.distributed import is_primary
     if not is_primary():
         print("Non-primary process: artifacts written by process 0")
@@ -595,8 +622,8 @@ def cmd_fith(args):
     _write_outputs(model, cfg, args, outdir, names)
     if getattr(args, "ppc", False):
         _write_ppc(model, cfg, args, outdir)
-    if getattr(args, "evidence", None):
-        _write_evidence(model, cfg, args, outdir)
+    if ev is not None:
+        _write_evidence(ev, cfg, args, outdir)
     return 0
 
 

@@ -71,7 +71,11 @@ def _rung_runner(lnprior_fn, lnlike_fn, nsteps: int, a: float = 2.0,
     def lnprob_beta(theta, beta):
         lp = lnprior_fn(theta)
         lnl = lnlike_fn(theta)
-        return jnp.where(jnp.isfinite(lp), lp + beta * lnl, NEG_INF)
+        # beta * lnl is 0 * -inf = NaN on the prior rung when the
+        # likelihood hits an exact zero (e.g. a completeness underflow
+        # inside the box) — a NaN lnp freezes that walker forever
+        tempered = jnp.where(beta > 0, beta * lnl, 0.0)
+        return jnp.where(jnp.isfinite(lp), lp + tempered, NEG_INF)
 
     def one(p, k, beta):
         batch = jax.vmap(lambda th: lnprob_beta(th, beta))
@@ -133,6 +137,10 @@ def evidence_from_ladder(lnls, betas, burn_frac: float = 0.5):
     def log_mean_exp(x):
         # scipy is test-oracle-only in this repo (CLAUDE.md)
         m = np.max(x)
+        if not np.isfinite(m):
+            # all-(-inf) rung (or a stray inf): exp(x - m) would be
+            # NaN; the mean of exp is exp(m) itself in either case
+            return float(m)
         return float(m + np.log(np.mean(np.exp(x - m))))
 
     db = np.diff(betas)
