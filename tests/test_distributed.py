@@ -150,6 +150,7 @@ os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
 from lumfuncmcmc_tpu.cli.main import main
 rc = main(["fit", "--synthetic", "150", "-ns", "40", "-nw", "16",
            "-mcf", "0.5", "--size-ln", "21", "-o", "dist.dat",
+           "--evidence", "4",
            "--distributed", coord + "," + str(nproc) + "," + str(pid)])
 print("CLIRC", rc, flush=True)
 """
@@ -171,6 +172,10 @@ def test_cli_distributed_end_to_end(tmp_path, monkeypatch):
     outdir = shared / "LFMCMCOut"
     post = list(outdir.glob("fitposterior_*.dat"))
     assert post, list(outdir.iterdir())
+    # --evidence is a COLLECTIVE (ladder shard_map over the global
+    # mesh + to_host): both processes must run it, process 0 writes.
+    # A primary-only ladder deadlocks this test at the 420 s timeout.
+    assert list(outdir.glob("evidence_*.dat")), list(outdir.iterdir())
 
     # the same CLI run without --distributed (this process, 8 local
     # devices) produces the same chain: walker sharding is math-neutral
