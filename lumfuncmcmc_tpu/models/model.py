@@ -623,7 +623,7 @@ class _BaseModel:
 
     def log_evidence(self, nrungs: int = 16, nsteps: int = None,
                      key=None, power: float = 5.0, move: str = None,
-                     burn_frac: float = 0.5):
+                     burn_frac: float = 0.5, swap_every: int = 0):
         """Marginal likelihood ln Z of this model under its normalized
         prior, by simultaneous parallel tempering (new capability — no
         reference counterpart; see
@@ -636,6 +636,14 @@ class _BaseModel:
         ladder-resolution cross-check) and stores it as
         ``self.evidence``. Two models' ``lnz_ss`` difference is a
         Bayes factor (same normalized-prior convention).
+
+        ``swap_every > 0`` switches to true parallel tempering
+        (replica-exchange swaps between adjacent rungs every that many
+        steps — :func:`run_parallel_tempering`): same estimators, but
+        the cold rung inherits mode-hopping from the hot ones, which
+        matters for multimodal posteriors. Meshless only (swaps are
+        cross-rung; the sharded ladder keeps rungs independent) —
+        under a mesh the swap request is warned off.
         """
         from lumfuncmcmc_tpu.parallel.distributed import to_host
         from lumfuncmcmc_tpu.samplers.tempering import (
@@ -670,15 +678,31 @@ class _BaseModel:
                else ", rungs sharded over %d devices"
                % self.mesh.devices.size))
         start = time.time()
+        swap_frac = None
         if self.mesh is not None:
             from lumfuncmcmc_tpu.parallel.sharding import (
                 run_tempered_sharded)
+            if swap_every:
+                self.log.warning(
+                    "replica-exchange swaps are meshless-only (rungs "
+                    "on different devices don't exchange); running "
+                    "the swapless sharded ladder")
             if jax.process_count() > 1:
                 pos0 = np.asarray(pos0)
                 k_run = np.asarray(k_run)
             _, lnls, _ = run_tempered_sharded(
                 lnprior_fn, lnlike_fn, pos0, betas, k_run, nsteps,
                 self.mesh, move=(move or cfg.move), de_prob=cfg.de_prob)
+        elif swap_every:
+            from lumfuncmcmc_tpu.samplers.tempering import (
+                run_parallel_tempering)
+            _, lnls, _, sw = run_parallel_tempering(
+                lnprior_fn, lnlike_fn, pos0, betas, k_run, nsteps,
+                swap_every=int(swap_every), move=(move or cfg.move),
+                de_prob=cfg.de_prob)
+            swap_frac = np.asarray(sw)
+            self.log.info("Replica-exchange swap acceptance per pair:"
+                          " %s" % np.round(swap_frac, 2))
         else:
             _, lnls, _ = run_tempered(
                 lnprior_fn, lnlike_fn, pos0, betas, k_run, nsteps,
@@ -686,6 +710,8 @@ class _BaseModel:
         lnls = np.asarray(to_host(lnls))
         elapsed = time.time() - start
         ev = evidence_from_ladder(lnls, betas, burn_frac=burn_frac)
+        if swap_frac is not None:
+            ev["swap_frac"] = swap_frac
         self.log.info(
             "ln Z = %.3f (stepping-stone; TI %.3f +- %.3f; |SS-TI| "
             "%.3f is the ladder-resolution check) in %.2f s"

@@ -110,6 +110,81 @@ def run_tempered(lnprior_fn, lnlike_fn, pos0, betas, key, nsteps: int,
     return jax.vmap(one)(pos0, keys, jnp.asarray(betas, pos0.dtype))
 
 
+def run_parallel_tempering(lnprior_fn, lnlike_fn, pos0, betas, key,
+                           nsteps: int, swap_every: int = 10,
+                           a: float = 2.0, move: str = "stretch",
+                           de_prob: float = 0.5):
+    """True parallel tempering: the :func:`run_tempered` ladder PLUS
+    replica-exchange swaps every ``swap_every`` steps.
+
+    Between sampling blocks, each walker index proposes a state swap
+    with the same index on the adjacent rung, accepted with
+    min(1, exp((β_{k+1} − β_k)(lnl_k − lnl_{k+1}))) — the ptemcee
+    per-walker scheme, swept hot→cold so a good state can ride the
+    whole ladder in one round. Swaps let the β=1 chain inherit
+    mode-hopping from the hot rungs: an ensemble whose walkers all sit
+    in one mode of a multimodal posterior CANNOT leave it by stretch
+    moves alone (proposals interpolate within the occupied mode), but
+    the prior-like rungs traverse freely and hand modes down the
+    ladder (pinned by the bimodal test in tests/test_evidence.py).
+
+    Structured as one ``lax.scan`` over rounds (an unrolled Python
+    loop over hundreds of blocks would explode compile time —
+    CLAUDE.md); the K−1 pair sweep inside a round IS a short unrolled
+    loop (K is the ladder size, ~16, and the sweep is inherently
+    sequential).
+
+    Returns ``(chains (K, nsteps', W, D), lnls (K, nsteps', W),
+    acc (K, W), swap_frac (K-1,))`` with ``nsteps'`` = nsteps rounded
+    down to a multiple of ``swap_every`` and ``swap_frac`` the
+    per-adjacent-pair swap acceptance fraction. The chains/lnls
+    layout matches :func:`run_tempered`, so
+    :func:`evidence_from_ladder` consumes them unchanged.
+    """
+    if swap_every <= 0:
+        raise ValueError("swap_every must be positive (use "
+                         "run_tempered for the swapless ladder)")
+    nrounds = nsteps // swap_every
+    if nrounds < 1:
+        raise ValueError(
+            f"nsteps={nsteps} < swap_every={swap_every}: no full "
+            "round would run")
+    K, W, D = pos0.shape
+    betas_a = jnp.asarray(betas, pos0.dtype)
+    one = _rung_runner(lnprior_fn, lnlike_fn, swap_every, a=a,
+                       move=move, de_prob=de_prob)
+
+    def round_body(pos, k_r):
+        k_blk, k_swap = jax.random.split(k_r)
+        keys = jax.random.split(k_blk, K)
+        ch, lnl, acc = jax.vmap(one)(pos, keys, betas_a)
+        pos = ch[:, -1]
+        lnl_cur = lnl[:, -1]
+        u = jax.random.uniform(k_swap, (K - 1, W), pos.dtype)
+        nsw = []
+        for k in range(K - 1):                    # hot -> cold sweep
+            ln_r = ((betas_a[k + 1] - betas_a[k])
+                    * (lnl_cur[k] - lnl_cur[k + 1]))
+            do = jnp.log(u[k]) < ln_r             # (W,)
+            pk, pk1 = pos[k], pos[k + 1]
+            pos = pos.at[k].set(jnp.where(do[:, None], pk1, pk))
+            pos = pos.at[k + 1].set(jnp.where(do[:, None], pk, pk1))
+            lk, lk1 = lnl_cur[k], lnl_cur[k + 1]
+            lnl_cur = lnl_cur.at[k].set(jnp.where(do, lk1, lk))
+            lnl_cur = lnl_cur.at[k + 1].set(jnp.where(do, lk, lk1))
+            nsw.append(jnp.mean(do.astype(pos.dtype)))
+        return pos, (ch, lnl, acc, jnp.stack(nsw))
+
+    keys_r = jax.random.split(key, nrounds)
+    _, (chs, lnls, accs, sw) = jax.lax.scan(round_body, pos0, keys_r)
+    # (R, K, S, ...) -> (K, R*S, ...)
+    chains = jnp.moveaxis(chs, 0, 1).reshape(K, nrounds * swap_every,
+                                             W, D)
+    lnls = jnp.moveaxis(lnls, 0, 1).reshape(K, nrounds * swap_every, W)
+    acc = jnp.sum(accs, axis=0)
+    return chains, lnls, acc, jnp.mean(sw, axis=0)
+
+
 def evidence_from_ladder(lnls, betas, burn_frac: float = 0.5):
     """TI + stepping-stone ln Z from per-rung lnlike chains.
 
