@@ -110,6 +110,13 @@ def _add_common_flags(p):
                         "(stepping-stone + thermodynamic integration; "
                         "evidence_*.dat); two models' ln Z difference "
                         "is a Bayes factor")
+    p.add_argument("--evidence-swap", dest="evidence_swap", type=int,
+                   default=0, metavar="M",
+                   help="with --evidence: replica-exchange swaps "
+                        "between adjacent ladder rungs every M steps "
+                        "(true parallel tempering — cold chains "
+                        "inherit mode-hopping from the hot rungs; "
+                        "meshless runs only, 0 = no swaps)")
     p.add_argument("--exact-bounds", dest="exact_bounds",
                    action="store_true", default=None,
                    help="free completeness: re-derive the integration "
@@ -526,7 +533,9 @@ def _run_evidence(model, args):
     --distributed every process must call this (shard_map over the
     global mesh + the collective to_host live inside) — only the
     artifact write (:func:`_write_evidence`) is primary-only."""
-    return model.log_evidence(nrungs=int(args.evidence))
+    return model.log_evidence(
+        nrungs=int(args.evidence),
+        swap_every=int(getattr(args, "evidence_swap", 0) or 0))
 
 
 def _write_evidence(ev, cfg, args, outdir):

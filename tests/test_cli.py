@@ -271,10 +271,13 @@ def test_fit_evidence(workdir, capsys):
     """--evidence runs the tempered ladder after the fit and writes
     the per-rung curve + both estimators."""
     # 8 rungs: divisible by the suite's auto-configured 8-device CLI
-    # mesh (which rounds the rung count UP to the device multiple)
+    # mesh (which rounds the rung count UP to the device multiple).
+    # --evidence-swap parses and survives the mesh path (where swaps
+    # are warned off and the sharded swapless ladder runs).
     assert main(["fit", "--synthetic", "200", "-ns", "40", "-nw", "16",
                  "-mcf", "0.5", "--size-ln", "21", "-fc",
-                 "--evidence", "8", "-o", "ev.dat"]) == 0
+                 "--evidence", "8", "--evidence-swap", "5",
+                 "-o", "ev.dat"]) == 0
     out = capsys.readouterr().out
     assert "Finished writing evidence ladder" in out
     base = "ev_nb50_nw16_ns40_mcf50"
