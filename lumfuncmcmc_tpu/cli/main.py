@@ -112,11 +112,12 @@ def _add_common_flags(p):
                         "is a Bayes factor")
     p.add_argument("--evidence-swap", dest="evidence_swap", type=int,
                    default=0, metavar="M",
-                   help="with --evidence: replica-exchange swaps "
+                   help="with --evidence: DEO replica-exchange swaps "
                         "between adjacent ladder rungs every M steps "
                         "(true parallel tempering — cold chains "
                         "inherit mode-hopping from the hot rungs; "
-                        "meshless runs only, 0 = no swaps)")
+                        "composes with a device mesh via ghost-rung "
+                        "exchange; 0 = no swaps)")
     p.add_argument("--exact-bounds", dest="exact_bounds",
                    action="store_true", default=None,
                    help="free completeness: re-derive the integration "

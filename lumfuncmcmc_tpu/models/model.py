@@ -638,12 +638,12 @@ class _BaseModel:
         Bayes factor (same normalized-prior convention).
 
         ``swap_every > 0`` switches to true parallel tempering
-        (replica-exchange swaps between adjacent rungs every that many
-        steps — :func:`run_parallel_tempering`): same estimators, but
-        the cold rung inherits mode-hopping from the hot ones, which
-        matters for multimodal posteriors. Meshless only (swaps are
-        cross-rung; the sharded ladder keeps rungs independent) —
-        under a mesh the swap request is warned off.
+        (DEO replica-exchange swaps between adjacent rungs every that
+        many steps — :func:`run_parallel_tempering`): same estimators,
+        but the cold rung inherits mode-hopping from the hot ones,
+        which matters for multimodal posteriors. Composes with the
+        device mesh (``run_parallel_tempering_sharded``: ghost-rung
+        boundary exchange, bit-identical to the meshless run).
         """
         from lumfuncmcmc_tpu.parallel.distributed import to_host
         from lumfuncmcmc_tpu.samplers.tempering import (
@@ -681,18 +681,26 @@ class _BaseModel:
         swap_frac = None
         if self.mesh is not None:
             from lumfuncmcmc_tpu.parallel.sharding import (
-                run_tempered_sharded)
-            if swap_every:
-                self.log.warning(
-                    "replica-exchange swaps are meshless-only (rungs "
-                    "on different devices don't exchange); running "
-                    "the swapless sharded ladder")
+                run_parallel_tempering_sharded, run_tempered_sharded)
             if jax.process_count() > 1:
                 pos0 = np.asarray(pos0)
                 k_run = np.asarray(k_run)
-            _, lnls, _ = run_tempered_sharded(
-                lnprior_fn, lnlike_fn, pos0, betas, k_run, nsteps,
-                self.mesh, move=(move or cfg.move), de_prob=cfg.de_prob)
+            if swap_every:
+                # DEO swaps cross devices via ghost-rung exchange;
+                # bit-identical to the meshless PT (parity-tested)
+                _, lnls, _, sw = run_parallel_tempering_sharded(
+                    lnprior_fn, lnlike_fn, pos0, betas, k_run, nsteps,
+                    self.mesh, swap_every=int(swap_every),
+                    move=(move or cfg.move), de_prob=cfg.de_prob)
+                swap_frac = np.asarray(to_host(sw))
+                self.log.info(
+                    "Replica-exchange swap acceptance per pair: %s"
+                    % np.round(swap_frac, 2))
+            else:
+                _, lnls, _ = run_tempered_sharded(
+                    lnprior_fn, lnlike_fn, pos0, betas, k_run, nsteps,
+                    self.mesh, move=(move or cfg.move),
+                    de_prob=cfg.de_prob)
         elif swap_every:
             from lumfuncmcmc_tpu.samplers.tempering import (
                 run_parallel_tempering)

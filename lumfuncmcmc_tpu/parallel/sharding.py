@@ -571,6 +571,134 @@ def run_tempered_sharded(lnprior_fn, lnlike_fn, pos0, betas, key,
     return fn(pos0, keys, jnp.asarray(betas, pos0.dtype))
 
 
+def run_parallel_tempering_sharded(lnprior_fn, lnlike_fn, pos0, betas,
+                                   key, nsteps, mesh,
+                                   swap_every: int = 10, a=2.0,
+                                   move="stretch", de_prob=0.5):
+    """Replica-exchange parallel tempering with the ladder sharded
+    over the device mesh — contiguous rung blocks per device, DEO
+    swaps crossing device boundaries through ghost-rung exchange.
+
+    Every device runs its R = K/ndev rungs' sampling blocks locally;
+    at each DEO phase it all-gathers the tiny per-device boundary
+    states (first/last rung position+lnl — the only cross-device
+    traffic, riding ICI), extends its block with the left neighbor's
+    last and right neighbor's first rung, and applies the SAME
+    vectorized :func:`~lumfuncmcmc_tpu.samplers.tempering.
+    _pair_swap_block` update with ghost pairs masked by their global
+    index. The per-rung sampling keys and the swap uniforms are
+    computed identically on every device from the same key (split
+    children/counter-stable streams), so the sharded run is
+    BIT-IDENTICAL to the meshless
+    :func:`~lumfuncmcmc_tpu.samplers.tempering.
+    run_parallel_tempering` — the parity test pins it.
+
+    Returns ``(chains (K, nsteps', W, D), lnls, acc (K, W),
+    swap_frac (K-1,))`` exactly like the meshless variant.
+    """
+    from lumfuncmcmc_tpu.samplers.tempering import (
+        _pair_swap_block, _rung_runner)
+
+    if swap_every <= 0:
+        raise ValueError("swap_every must be positive")
+    nrounds = nsteps // swap_every
+    if nrounds < 1:
+        raise ValueError(
+            f"nsteps={nsteps} < swap_every={swap_every}: no full "
+            "round would run")
+    K, W, D = pos0.shape
+    ns = mesh.shape[AXIS_SOURCES]
+    nw = mesh.shape[AXIS_WALKERS]
+    ndev = nw * ns
+    if K % ndev:
+        raise ValueError(
+            f"rung count {K} must be a multiple of the mesh device "
+            f"count {ndev} (whole rungs per device)")
+    R = K // ndev
+    axes = (AXIS_WALKERS, AXIS_SOURCES)
+    betas_a = jnp.asarray(betas, pos0.dtype)
+    db = betas_a[1:] - betas_a[:-1]                      # (K-1,)
+    # pad the pair tables by one row each side so the ghost-extended
+    # slice [g0-1, g0+R-1] stays in bounds on the edge devices (ghost
+    # pairs there are masked off, values never used)
+    zero = jnp.zeros((1,), db.dtype)
+    db_pad = jnp.concatenate([zero, db, zero])           # row j: g=j-1
+    one = _rung_runner(lnprior_fn, lnlike_fn, swap_every, a=a,
+                       move=move, de_prob=de_prob)
+
+    def gather2(x):
+        g = jax.lax.all_gather(x, AXIS_SOURCES)
+        g = jax.lax.all_gather(g, AXIS_WALKERS)
+        return g.reshape((ndev,) + x.shape)              # d = w*ns + s
+
+    def local(pos_blk):
+        d = (jax.lax.axis_index(AXIS_WALKERS) * ns
+             + jax.lax.axis_index(AXIS_SOURCES))
+        g0 = d * R
+
+        def round_body(carry, inp):
+            (pos,) = carry
+            k_r, phase = inp
+            k_blk, k_swap = jax.random.split(k_r)
+            keys_all = jax.random.split(k_blk, K)  # same on every dev
+            keys_blk = jax.lax.dynamic_slice_in_dim(keys_all, g0, R, 0)
+            betas_blk = jax.lax.dynamic_slice_in_dim(betas_a, g0, R, 0)
+            ch, lnl, acc = jax.vmap(one)(pos, keys_blk, betas_blk)
+            pos_c, lnl_c = ch[:, -1], lnl[:, -1]
+            # ghost rungs: left neighbor's LAST, right neighbor's FIRST
+            lasts_p, firsts_p = gather2(pos_c[-1]), gather2(pos_c[0])
+            lasts_l, firsts_l = gather2(lnl_c[-1]), gather2(lnl_c[0])
+            left_p = lasts_p[jnp.clip(d - 1, 0, ndev - 1)]
+            left_l = lasts_l[jnp.clip(d - 1, 0, ndev - 1)]
+            right_p = firsts_p[jnp.clip(d + 1, 0, ndev - 1)]
+            right_l = firsts_l[jnp.clip(d + 1, 0, ndev - 1)]
+            ext_p = jnp.concatenate([left_p[None], pos_c,
+                                     right_p[None]])     # (R+2, W, D)
+            ext_l = jnp.concatenate([left_l[None], lnl_c,
+                                     right_l[None]])
+            # ext pair i has left global index g0-1+i, i = 0..R
+            u_all = jax.random.uniform(k_swap, (K - 1, W), pos.dtype)
+            ones = jnp.ones((1, W), pos.dtype)
+            u_pad = jnp.concatenate([ones, u_all, ones])  # row j: g=j-1
+            u_rows = jax.lax.dynamic_slice_in_dim(u_pad, g0, R + 1, 0)
+            db_rows = jax.lax.dynamic_slice_in_dim(db_pad, g0,
+                                                   R + 1, 0)
+            gE = g0 - 1 + jnp.arange(R + 1)
+            active = ((gE >= 0) & (gE < K - 1)
+                      & ((gE % 2) == phase))
+            ext_p2, _, do = _pair_swap_block(ext_p, ext_l, db_rows,
+                                             u_rows, active)
+            # pair stats owned by the LEFT device: rows i=1..R are the
+            # pairs with local left rungs (g = g0..g0+R-1)
+            return ((ext_p2[1:R + 1],),
+                    (ch, lnl, acc, do[1:].astype(pos.dtype)))
+
+        keys_r = jax.random.split(key, nrounds)
+        phases = jnp.arange(nrounds) % 2
+        ((_,), (chs, lnls, accs, sw)) = jax.lax.scan(
+            round_body, (pos_blk,), (keys_r, phases))
+        chains = jnp.moveaxis(chs, 0, 1).reshape(
+            R, nrounds * swap_every, W, D)
+        lnls_o = jnp.moveaxis(lnls, 0, 1).reshape(
+            R, nrounds * swap_every, W)
+        acc = jnp.sum(accs, axis=0)
+        sw_tot = jnp.sum(jnp.mean(sw, axis=2), axis=0)   # (R,)
+        return chains, lnls_o, acc, sw_tot
+
+    fn = jax.shard_map(
+        local, mesh=mesh, in_specs=(P(axes),),
+        out_specs=(P(axes), P(axes), P(axes), P(axes)),
+        check_vma=False)
+    chains, lnls, acc, sw_tot = fn(pos0)
+    # last global row is the nonexistent pair K-1 (always masked)
+    sw_tot = jnp.asarray(sw_tot)[:K - 1]
+    active_counts = jnp.asarray(
+        [(nrounds + (1 if k % 2 == 0 else 0)) // 2
+         for k in range(K - 1)], sw_tot.dtype)
+    return (chains, lnls, acc,
+            sw_tot / jnp.maximum(active_counts, 1.0))
+
+
 def run_stretch_ensembles_sharded(lnprob_batch, pos0, key, nsteps,
                                   mesh, a=2.0, thin=1, move="stretch",
                                   de_prob=0.5, de_sel=None):

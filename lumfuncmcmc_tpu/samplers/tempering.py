@@ -110,6 +110,38 @@ def run_tempered(lnprior_fn, lnlike_fn, pos0, betas, key, nsteps: int,
     return jax.vmap(one)(pos0, keys, jnp.asarray(betas, pos0.dtype))
 
 
+def _pair_swap_block(pos, lnl, db, u, active):
+    """Adjacent-pair replica exchange over a block of n rungs.
+
+    ``pos (n, W, D)``, ``lnl (n, W)``; pair i = (rung i, rung i+1)
+    with temperature gap ``db (n-1,)``, uniforms ``u (n-1, W)`` and an
+    explicit activity mask ``active (n-1,)``. Active pairs must be
+    DISJOINT (DEO parity guarantees it), so every decision reads the
+    pre-phase state and the update vectorizes with two shifted selects
+    — no sequential sweep. The explicit mask is what lets the
+    mesh-sharded variant run the same update on an extended local
+    block (ghost rungs from the neighbor devices) with out-of-range
+    ghost pairs masked off. Returns ``(pos', lnl', do (n-1, W))``."""
+    ln_r = db[:, None] * (lnl[:-1] - lnl[1:])
+    do = (jnp.log(u) < ln_r) & active[:, None]
+    up = jnp.pad(do, ((0, 1), (0, 0)))   # rung k trades with k+1
+    dn = jnp.pad(do, ((1, 0), (0, 0)))   # rung k trades with k-1
+    pos_n = jnp.where(up[..., None], jnp.roll(pos, -1, 0), pos)
+    pos_n = jnp.where(dn[..., None], jnp.roll(pos, 1, 0), pos_n)
+    lnl_n = jnp.where(up, jnp.roll(lnl, -1, 0), lnl)
+    lnl_n = jnp.where(dn, jnp.roll(lnl, 1, 0), lnl_n)
+    return pos_n, lnl_n, do
+
+
+def _deo_swap(pos, lnl, betas, u, phase):
+    """One DEO (deterministic even-odd) swap phase over the whole
+    ladder: pairs whose LEFT rung index has parity ``phase``
+    exchange via :func:`_pair_swap_block`."""
+    active = (jnp.arange(betas.shape[0] - 1) % 2) == phase
+    return _pair_swap_block(pos, lnl, betas[1:] - betas[:-1], u,
+                            active)
+
+
 def run_parallel_tempering(lnprior_fn, lnlike_fn, pos0, betas, key,
                            nsteps: int, swap_every: int = 10,
                            a: float = 2.0, move: str = "stretch",
@@ -117,11 +149,13 @@ def run_parallel_tempering(lnprior_fn, lnlike_fn, pos0, betas, key,
     """True parallel tempering: the :func:`run_tempered` ladder PLUS
     replica-exchange swaps every ``swap_every`` steps.
 
-    Between sampling blocks, each walker index proposes a state swap
-    with the same index on the adjacent rung, accepted with
-    min(1, exp((β_{k+1} − β_k)(lnl_k − lnl_{k+1}))) — the ptemcee
-    per-walker scheme, swept hot→cold so a good state can ride the
-    whole ladder in one round. Swaps let the β=1 chain inherit
+    The swap schedule is DEO — deterministic even-odd pairing (Syed et
+    al. 2019's non-reversible scheme): rounds alternate between the
+    even pairs (0-1, 2-3, …) and the odd pairs (1-2, 3-4, …), so a
+    state accepted upward keeps moving in one direction instead of
+    random-walking on the ladder (better round-trip rates than random
+    or swept pairing), and every active pair is disjoint — the whole
+    phase is one vectorized exchange. Swaps let the β=1 chain inherit
     mode-hopping from the hot rungs: an ensemble whose walkers all sit
     in one mode of a multimodal posterior CANNOT leave it by stretch
     moves alone (proposals interpolate within the occupied mode), but
@@ -130,15 +164,13 @@ def run_parallel_tempering(lnprior_fn, lnlike_fn, pos0, betas, key,
 
     Structured as one ``lax.scan`` over rounds (an unrolled Python
     loop over hundreds of blocks would explode compile time —
-    CLAUDE.md); the K−1 pair sweep inside a round IS a short unrolled
-    loop (K is the ladder size, ~16, and the sweep is inherently
-    sequential).
+    CLAUDE.md).
 
     Returns ``(chains (K, nsteps', W, D), lnls (K, nsteps', W),
     acc (K, W), swap_frac (K-1,))`` with ``nsteps'`` = nsteps rounded
-    down to a multiple of ``swap_every`` and ``swap_frac`` the
-    per-adjacent-pair swap acceptance fraction. The chains/lnls
-    layout matches :func:`run_tempered`, so
+    down to a multiple of ``swap_every`` and ``swap_frac`` each
+    adjacent pair's acceptance fraction over the rounds it was active.
+    The chains/lnls layout matches :func:`run_tempered`, so
     :func:`evidence_from_ladder` consumes them unchanged.
     """
     if swap_every <= 0:
@@ -154,35 +186,35 @@ def run_parallel_tempering(lnprior_fn, lnlike_fn, pos0, betas, key,
     one = _rung_runner(lnprior_fn, lnlike_fn, swap_every, a=a,
                        move=move, de_prob=de_prob)
 
-    def round_body(pos, k_r):
+    def round_body(carry, inp):
+        pos, = carry
+        k_r, phase = inp
         k_blk, k_swap = jax.random.split(k_r)
         keys = jax.random.split(k_blk, K)
         ch, lnl, acc = jax.vmap(one)(pos, keys, betas_a)
-        pos = ch[:, -1]
-        lnl_cur = lnl[:, -1]
         u = jax.random.uniform(k_swap, (K - 1, W), pos.dtype)
-        nsw = []
-        for k in range(K - 1):                    # hot -> cold sweep
-            ln_r = ((betas_a[k + 1] - betas_a[k])
-                    * (lnl_cur[k] - lnl_cur[k + 1]))
-            do = jnp.log(u[k]) < ln_r             # (W,)
-            pk, pk1 = pos[k], pos[k + 1]
-            pos = pos.at[k].set(jnp.where(do[:, None], pk1, pk))
-            pos = pos.at[k + 1].set(jnp.where(do[:, None], pk, pk1))
-            lk, lk1 = lnl_cur[k], lnl_cur[k + 1]
-            lnl_cur = lnl_cur.at[k].set(jnp.where(do, lk1, lk))
-            lnl_cur = lnl_cur.at[k + 1].set(jnp.where(do, lk, lk1))
-            nsw.append(jnp.mean(do.astype(pos.dtype)))
-        return pos, (ch, lnl, acc, jnp.stack(nsw))
+        pos, _, do = _deo_swap(ch[:, -1], lnl[:, -1], betas_a, u,
+                               phase)
+        return (pos,), (ch, lnl, acc, do.astype(pos.dtype))
 
     keys_r = jax.random.split(key, nrounds)
-    _, (chs, lnls, accs, sw) = jax.lax.scan(round_body, pos0, keys_r)
+    phases = jnp.arange(nrounds) % 2
+    (_,), (chs, lnls, accs, sw) = jax.lax.scan(
+        round_body, (pos0,), (keys_r, phases))
     # (R, K, S, ...) -> (K, R*S, ...)
     chains = jnp.moveaxis(chs, 0, 1).reshape(K, nrounds * swap_every,
                                              W, D)
     lnls = jnp.moveaxis(lnls, 0, 1).reshape(K, nrounds * swap_every, W)
     acc = jnp.sum(accs, axis=0)
-    return chains, lnls, acc, jnp.mean(sw, axis=0)
+    # each pair is active every other round: normalize by its own
+    # active count so the fraction is an acceptance RATE, not diluted
+    # by the idle rounds
+    active_counts = jnp.asarray(
+        [(nrounds + (1 if k % 2 == 0 else 0)) // 2
+         for k in range(K - 1)], sw.dtype)
+    swap_frac = jnp.sum(jnp.mean(sw, axis=2), axis=0) \
+        / jnp.maximum(active_counts, 1.0)
+    return chains, lnls, acc, swap_frac
 
 
 def evidence_from_ladder(lnls, betas, burn_frac: float = 0.5):

@@ -272,8 +272,8 @@ def test_fit_evidence(workdir, capsys):
     the per-rung curve + both estimators."""
     # 8 rungs: divisible by the suite's auto-configured 8-device CLI
     # mesh (which rounds the rung count UP to the device multiple).
-    # --evidence-swap parses and survives the mesh path (where swaps
-    # are warned off and the sharded swapless ladder runs).
+    # --evidence-swap drives the sharded PT (ghost-rung exchange)
+    # under that mesh.
     assert main(["fit", "--synthetic", "200", "-ns", "40", "-nw", "16",
                  "-mcf", "0.5", "--size-ln", "21", "-fc",
                  "--evidence", "8", "--evidence-swap", "5",
