@@ -150,7 +150,7 @@ os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
 from lumfuncmcmc_tpu.cli.main import main
 rc = main(["fit", "--synthetic", "150", "-ns", "40", "-nw", "16",
            "-mcf", "0.5", "--size-ln", "21", "-o", "dist.dat",
-           "--evidence", "4",
+           "--evidence", "4", "--evidence-swap", "10",
            "--distributed", coord + "," + str(nproc) + "," + str(pid)])
 print("CLIRC", rc, flush=True)
 """
