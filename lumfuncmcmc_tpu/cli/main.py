@@ -398,9 +398,15 @@ def _dispatch_sampler(model, cfg, args, outdir):
                 checkpoint_path=ck,
                 resume=bool(ck and os.path.exists(ck)))
         elif ens > 1 and min_ess:
-            # block-extended ensembles (the method warns if
-            # checkpoint_every is also set — the two are exclusive)
-            model.fit_model_ensembles(ens, min_ess=float(min_ess))
+            # block-extended ensembles; checkpoint_every enables
+            # per-block saves (a DISTINCT artifact kind from both the
+            # fixed-length ensembles and the plain min-ess protocols)
+            ck = (artifact_path(outdir, "checkpoint_ens_until",
+                                args.output_filename, cfg, ext="npz")
+                  if cfg.checkpoint_every else None)
+            model.fit_model_ensembles(
+                ens, min_ess=float(min_ess), checkpoint_path=ck,
+                resume=bool(ck and os.path.exists(ck)))
         elif ens > 1:
             ck = None
             if cfg.checkpoint_every:

@@ -750,9 +750,12 @@ class _BaseModel:
         ``cfg.nsteps``-step blocks (mix-move DE schedule kept
         block-continuous via ``de_schedule(offset)``) until the pooled
         post-burn-in min ESS reaches the target or ``max_blocks``
-        blocks ran. Mutually exclusive with mid-run checkpointing
-        (the block loop re-decides burn-in every block, so a resumable
-        fixed-length protocol does not apply).
+        blocks ran. With ``checkpoint_path`` the accumulated chain is
+        saved after every block and a resume replays the per-block key
+        stream from the chain's last recorded positions (the
+        :meth:`fit_model_until` protocol, fingerprint-guarded with
+        ``nensembles``) — the resumed run reproduces the uninterrupted
+        chain and its stopping decisions exactly. Single-process only.
         """
         from lumfuncmcmc_tpu.parallel.distributed import (
             is_primary, to_host)
@@ -818,15 +821,69 @@ class _BaseModel:
         every = cfg.checkpoint_every or 0
         nsteps_run = nsteps_exec          # executed steps (acc norm)
         if min_ess:
-            if every:
+            if checkpoint_path and jax.process_count() > 1:
                 self.log.warning(
-                    "mid-run checkpointing is not implemented for "
-                    "min_ess ensembles; running without checkpoints")
+                    "min_ess ensembles checkpointing is "
+                    "single-process only; running without checkpoints")
+                checkpoint_path = None
+            if checkpoint_path and not checkpoint_path.endswith(".npz"):
+                # np.savez appends .npz; a bare path would silently
+                # restart from 0 on resume
+                checkpoint_path += ".npz"
+            move_id = _MOVE_IDS.get(cfg.move, -1)
+            want = np.asarray([cfg.nwalkers, thin, nsteps_exec,
+                               cfg.seed, move_id,
+                               int(round(1e4 * cfg.de_prob)),
+                               nensembles])
+            rows_per_block = nsteps_exec // thin
             ch_parts, lnp_parts = [], []
             acc = 0.0
             pos, kk = pos0, k_run
             done = 0
-            for nblk in range(1, int(max_blocks) + 1):
+
+            def _pooled_ess():
+                chains_now = np.concatenate(ch_parts, axis=1)
+                pooled_now = np.moveaxis(chains_now, 0, 1).reshape(
+                    chains_now.shape[1], -1, ndim)
+                burn_now, _ = burnin_steps(pooled_now,
+                                           pooled_now.shape[0])
+                post = pooled_now[burn_now:]
+                ess = (float(effective_sample_size(post).min())
+                       if post.shape[0] >= 8 else 0.0)
+                return ess, pooled_now.shape[0]
+
+            if (resume and checkpoint_path
+                    and os.path.exists(checkpoint_path)):
+                ck = np.load(checkpoint_path)
+                if not np.array_equal(np.asarray(ck["fingerprint"]),
+                                      want):
+                    raise ValueError(
+                        "ensemble-min-ess checkpoint config mismatch:"
+                        " saved (nwalkers, thin, block_steps, seed, "
+                        "move, de_prob*1e4, nensembles) = "
+                        f"{tuple(ck['fingerprint'])}, current = "
+                        f"{tuple(want)} — resuming with changed "
+                        "settings would corrupt the chain and the "
+                        "RNG replay")
+                ch_parts = [ck["chain"]]
+                lnp_parts = [ck["lnprobability"]]
+                acc = ck["acc"]
+                pos = np.asarray(ck["chain"][:, -1])
+                nblk = ck["chain"].shape[1] // rows_per_block
+                done = nblk * nsteps_exec
+                for _ in range(nblk):
+                    kk, _ = jax.random.split(kk)
+                ess_now, nrec = _pooled_ess()
+                self.log.info(
+                    "Resumed ensemble-min-ess checkpoint: %d blocks "
+                    "(%d recorded steps), pooled min ESS=%.0f"
+                    % (nblk, nrec, ess_now))
+            else:
+                nblk, ess_now = 0, 0.0
+            while (not ch_parts
+                   or (ess_now < float(min_ess)
+                       and nblk < int(max_blocks))):
+                nblk += 1
                 kk, k_blk = jax.random.split(kk)
                 sel = (de_schedule(nsteps_exec, cfg.de_prob,
                                    offset=done)
@@ -838,21 +895,18 @@ class _BaseModel:
                 lnp_parts.append(to_host(lp))
                 acc = acc + to_host(ac)
                 done += nsteps_exec
-                chains = np.concatenate(ch_parts, axis=1)
-                pooled_now = np.moveaxis(chains, 0, 1).reshape(
-                    chains.shape[1], -1, ndim)
-                burn_now, _ = burnin_steps(pooled_now,
-                                           pooled_now.shape[0])
-                post = pooled_now[burn_now:]
-                ess_now = (float(effective_sample_size(post).min())
-                           if post.shape[0] >= 8 else 0.0)
+                if checkpoint_path:
+                    np.savez(checkpoint_path,
+                             chain=np.concatenate(ch_parts, axis=1),
+                             lnprobability=np.concatenate(lnp_parts,
+                                                          axis=1),
+                             acc=np.asarray(acc), fingerprint=want)
+                ess_now, nrec = _pooled_ess()
                 self.log.info(
                     "Ensembles block %d: %d recorded steps, pooled "
                     "min ESS=%.0f (target %.0f)"
-                    % (nblk, pooled_now.shape[0], ess_now,
-                       float(min_ess)))
-                if ess_now >= float(min_ess):
-                    break
+                    % (nblk, nrec, ess_now, float(min_ess)))
+            chains = np.concatenate(ch_parts, axis=1)
             lnps = np.concatenate(lnp_parts, axis=1)
             nsteps_run = done
         elif every and 0 < every < nsteps_exec:

@@ -291,6 +291,36 @@ def test_fit_model_ensembles_min_ess(small_inputs):
     assert np.all(np.isfinite(m.rhat_ensembles))
 
 
+def test_fit_model_ensembles_min_ess_checkpoint_resume(small_inputs,
+                                                       tmp_path):
+    """min-ess ensembles checkpoint/resume: a truncated checkpoint
+    resumes to the identical pooled chain; a changed ensemble count is
+    fingerprint-rejected."""
+    cfg, cat = small_inputs
+    cfg = cfg.replace(nwalkers=8, nsteps=20)
+    ck = str(tmp_path / "ensu.npz")
+
+    m1 = _model(cfg, cat)
+    m1.fit_model_ensembles(2, min_ess=150.0, max_blocks=5,
+                           checkpoint_path=ck)
+    full = m1.chain.copy()
+    assert full.shape[0] >= 40          # needed >= 2 blocks
+
+    saved = np.load(ck)
+    np.savez(ck, chain=saved["chain"][:, :20],
+             lnprobability=saved["lnprobability"][:, :20],
+             acc=saved["acc"], fingerprint=saved["fingerprint"])
+    m2 = _model(cfg, cat)
+    m2.fit_model_ensembles(2, min_ess=150.0, max_blocks=5,
+                           checkpoint_path=ck, resume=True)
+    np.testing.assert_array_equal(m2.chain, full)
+
+    m3 = _model(cfg, cat)
+    with pytest.raises(ValueError, match="ensemble-min-ess"):
+        m3.fit_model_ensembles(3, min_ess=150.0,
+                               checkpoint_path=ck, resume=True)
+
+
 def test_fit_model_ensembles_sharded_matches_unsharded(small_inputs):
     """Ensembles x mesh composition: whole ensembles sharded over the
     devices produce exactly the chains of the single-device vmapped
