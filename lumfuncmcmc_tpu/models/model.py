@@ -1030,16 +1030,24 @@ class _BaseModel:
         return ncells * 5 * 4 <= pk._VMEM_ARRAY_LIMIT
 
     def _nuts_min_ess_blocks(self, first, to_theta, k_run, min_ess,
-                             max_blocks, continue_fn, gather=None):
+                             max_blocks, continue_fn, gather=None,
+                             done_blocks=1, save_cb=None):
         """Shared min-ess block loop for every NUTS route.
 
         ``first``: the ``(samples_y, lnps_y, alphas, div_frac, state)``
-        of the first block. ``continue_fn(k_blk, state) -> (s, lp, al,
-        df, state)`` runs one frozen-adaptation continuation block on
-        the same route. ``gather`` converts device arrays to host (the
-        collective ``to_host`` on the sharded routes; identity on the
-        jit routes). Returns ``(samples_y, lnps_y, alphas,
-        div_frac)`` with blocks concatenated on the sample axis.
+        of the accumulated history — one fresh block, or (on a
+        checkpoint resume) several already-concatenated blocks with
+        ``done_blocks`` counting them, so the fold_in continuation key
+        stream replays to where it left off. ``div_frac`` may be a
+        scalar or the flat array of per-block[, per-device] fractions.
+        ``continue_fn(k_blk, state) -> (s, lp, al, df, state)`` runs
+        one frozen-adaptation continuation block on the same route.
+        ``gather`` converts device arrays to host (the collective
+        ``to_host`` on the sharded routes; identity on the jit
+        routes). ``save_cb(samples_y, lnps_y, alphas, df_flat, state,
+        nblocks)`` persists a checkpoint after every continuation.
+        Returns ``(samples_y, lnps_y, alphas, div_frac)`` with blocks
+        concatenated on the sample axis.
         """
         samples_y, lnps_y, alphas, div_frac, nstate = first
         gather = gather or (lambda x: x)
@@ -1050,7 +1058,9 @@ class _BaseModel:
         # with run_nuts's internal 3-way split (split children are
         # counter-stable across widths)
         kk = jax.random.fold_in(k_run, 0x636f6e74)
-        for nblk in range(1, int(max_blocks) + 1):
+        for _ in range(int(done_blocks) - 1):   # checkpoint replay
+            kk, _unused = jax.random.split(kk)
+        for nblk in range(int(done_blocks), int(max_blocks) + 1):
             host = jnp.asarray(gather(jnp.concatenate(blocks)))
             ess_now = float(effective_sample_size(np.asarray(
                 jax.vmap(jax.vmap(to_theta))(host))).min())
@@ -1068,6 +1078,11 @@ class _BaseModel:
             lnp_blocks.append(lp2)
             al_blocks.append(al2)
             df_parts.append(np.atleast_1d(np.asarray(gather(df2))))
+            if save_cb is not None:
+                save_cb(jnp.concatenate(blocks),
+                        jnp.concatenate(lnp_blocks),
+                        jnp.concatenate(al_blocks),
+                        np.concatenate(df_parts), nstate, nblk + 1)
         # equal-length blocks: the flat mean over (block[, device])
         # entries is the exact transition-weighted fraction
         return (jnp.concatenate(blocks), jnp.concatenate(lnp_blocks),
@@ -1195,12 +1210,14 @@ class _BaseModel:
         mesh route (``continue_nuts_sharded``), and the source-sharded
         stream route (``continue_nuts_stream_sharded``).
 
-        ``checkpoint_path``/``resume`` (with ``cfg.checkpoint_every``):
-        mid-run npz checkpoints via :meth:`_nuts_checkpointed` —
-        checkpointed and resumed chains are bit-identical to the
-        uninterrupted run. Jit routes only; mutually exclusive with
-        ``min_ess`` (the block loop re-keys per target, not per
-        sample index)."""
+        ``checkpoint_path``/``resume``: mid-run npz checkpoints. For
+        fixed-length runs (with ``cfg.checkpoint_every``) via
+        :meth:`_nuts_checkpointed` — checkpointed and resumed chains
+        are bit-identical to the uninterrupted run. Under ``min_ess``
+        the checkpoint unit is the block: each continuation saves the
+        accumulated chain plus the live ``(y_run, eps, scale)`` state,
+        so a resume skips warmup and replays the continuation key
+        stream to the identical chain. Jit routes only."""
         from lumfuncmcmc_tpu.samplers.nuts import (
             make_unconstrained, run_nuts)
         cfg = self.cfg
@@ -1235,11 +1252,6 @@ class _BaseModel:
                 self.log.warning(
                     "NUTS checkpointing is not supported on the "
                     "shard_map routes; running without checkpoints")
-                checkpoint_path = None
-            elif min_ess:
-                self.log.warning(
-                    "mid-run checkpointing is not implemented for "
-                    "min_ess NUTS; running without checkpoints")
                 checkpoint_path = None
             elif jax.process_count() > 1:
                 self.log.warning(
@@ -1390,25 +1402,83 @@ class _BaseModel:
             samples_y = jnp.asarray(to_host(samples_y))
             alphas = to_host(alphas)
             eps = to_host(eps)              # per-replica adapted eps
-        elif (checkpoint_path
+        elif (checkpoint_path and not min_ess
               and 0 < int(cfg.checkpoint_every or 0) < int(cfg.nsteps)):
             samples_y, lnps_y, alphas, eps, div_frac = \
                 self._nuts_checkpointed(
                     lnp_y, y0, k_run, num_warmup,
                     int(cfg.checkpoint_every), checkpoint_path, resume)
         else:
-            # AOT-compile so "Total time taken" is pure sampling: the
-            # one-time jit (~20 s) otherwise lands inside the timer and
-            # dwarfs the run for short chains (a compile-included A/B
-            # once mismeasured the engine margin as a tie)
-            compiled = run_nuts.lower(
-                lnp_y, y0, k_run, num_warmup=int(num_warmup),
-                num_samples=int(cfg.nsteps), return_state=True).compile()
-            self.log.info("NUTS jit compile: %.1f s" % (time.time() - t0))
-            t0 = time.time()
-            (samples_y, lnps_y, alphas, eps, div_frac,
-             nstate) = compiled(y0, k_run)
-            jax.block_until_ready(lnps_y)
+            # under min_ess the checkpoint unit is the BLOCK (one
+            # cfg.nsteps continuation), saved with the live
+            # (y_run, eps, scale) state so a resume skips warmup
+            ck = checkpoint_path if min_ess else None
+            if ck and not ck.endswith(".npz"):
+                ck += ".npz"
+            fp = np.asarray([y0.shape[0], int(num_warmup),
+                             int(cfg.nsteps), y0.shape[1], cfg.seed],
+                            dtype=np.float64)
+            resumed = None
+            if ck and resume and os.path.exists(ck):
+                saved = np.load(ck)
+                if not np.array_equal(np.asarray(saved["fingerprint"]),
+                                      fp):
+                    raise ValueError(
+                        "nuts-min-ess checkpoint config mismatch: "
+                        "saved (nchains, num_warmup, block_steps, "
+                        "ndim, seed) = "
+                        f"{tuple(saved['fingerprint'])}, current = "
+                        f"{tuple(fp)} — delete the checkpoint or "
+                        "restore the original settings")
+                resumed = (jnp.asarray(saved["samples_y"]),
+                           jnp.asarray(saved["lnps_y"]),
+                           jnp.asarray(saved["alphas"]),
+                           np.asarray(saved["df"]),
+                           (jnp.asarray(saved["y_run"]),
+                            jnp.asarray(saved["eps"]),
+                            jnp.asarray(saved["scale"])),
+                           int(saved["nblocks"]))
+
+            def _save(path, s, lp, al, df, st, nb):
+                np.savez(path, samples_y=np.asarray(s),
+                         lnps_y=np.asarray(lp), alphas=np.asarray(al),
+                         df=np.asarray(df, dtype=np.float64),
+                         y_run=np.asarray(st[0]),
+                         eps=np.asarray(st[1]),
+                         scale=np.asarray(st[2]),
+                         nblocks=nb, fingerprint=fp)
+
+            if resumed is None:
+                # AOT-compile so "Total time taken" is pure sampling:
+                # the one-time jit (~20 s) otherwise lands inside the
+                # timer and dwarfs the run for short chains (a
+                # compile-included A/B once mismeasured the engine
+                # margin as a tie)
+                compiled = run_nuts.lower(
+                    lnp_y, y0, k_run, num_warmup=int(num_warmup),
+                    num_samples=int(cfg.nsteps),
+                    return_state=True).compile()
+                self.log.info("NUTS jit compile: %.1f s"
+                              % (time.time() - t0))
+                t0 = time.time()
+                (samples_y, lnps_y, alphas, eps, div_frac,
+                 nstate) = compiled(y0, k_run)
+                jax.block_until_ready(lnps_y)
+                done_blocks = 1
+                if ck:
+                    _save(ck, samples_y, lnps_y, alphas,
+                          np.atleast_1d(np.asarray(div_frac,
+                                                   dtype=np.float64)),
+                          nstate, 1)
+            else:
+                (samples_y, lnps_y, alphas, div_frac, nstate,
+                 done_blocks) = resumed
+                eps = nstate[1]
+                t0 = time.time()
+                self.log.info(
+                    "Resumed NUTS min-ess checkpoint: %d blocks (%d "
+                    "samples) — warmup skipped"
+                    % (done_blocks, int(samples_y.shape[0])))
             if min_ess:
                 from lumfuncmcmc_tpu.samplers.nuts import continue_nuts
                 samples_y, lnps_y, alphas, div_frac = \
@@ -1416,7 +1486,11 @@ class _BaseModel:
                         (samples_y, lnps_y, alphas, div_frac, nstate),
                         to_theta, k_run, min_ess, max_blocks,
                         lambda k, st: continue_nuts(
-                            lnp_y, st, k, num_samples=int(cfg.nsteps)))
+                            lnp_y, st, k, num_samples=int(cfg.nsteps)),
+                        done_blocks=done_blocks,
+                        save_cb=((lambda s, lp, al, df, st, nb:
+                                  _save(ck, s, lp, al, df, st, nb))
+                                 if ck else None))
         elapsed = time.time() - t0
         chain_dev = jax.vmap(jax.vmap(to_theta))(samples_y)
         chain = np.asarray(chain_dev)

@@ -272,6 +272,61 @@ def test_nuts_checkpoint_bitexact_resume_and_fingerprint(tmp_path,
             num_warmup=40, nchains=5, checkpoint_path=ck2, resume=True)
 
 
+def test_nuts_min_ess_checkpoint_resume(tmp_path, monkeypatch):
+    """min-ess NUTS checkpoint/resume: each block saves the chain plus
+    the live continuation state; a crash mid-loop resumes WITHOUT
+    re-warmup to the identical chain (same fold_in key replay), and a
+    changed chain count is fingerprint-rejected."""
+    import lumfuncmcmc_tpu.samplers.nuts as nuts_mod
+    from lumfuncmcmc_tpu.config import LFConfig
+    from lumfuncmcmc_tpu.models.model import LumFuncModel
+    from lumfuncmcmc_tpu.utils.synth import (
+        make_catalog, apply_completeness_cut)
+
+    cfg = LFConfig(min_comp_frac=0.5, fix_comp=True, size_ln=21,
+                   nwalkers=8, nsteps=12)
+    cat = apply_completeness_cut(make_catalog(cfg, n_target=200,
+                                              seed=7), cfg)
+    kw = dict(z=cat["z"], flux=cat["flux"], flux_e=cat["flux_e"],
+              field_id=cat["field_id"])
+    ck = str(tmp_path / "nuts_me.npz")
+
+    # unreachable target + max_blocks=3 -> exactly 3 deterministic
+    # blocks (2 continuations)
+    full = LumFuncModel(cfg, **kw).fit_model_nuts(
+        num_warmup=40, nchains=4, min_ess=1e6, max_blocks=3,
+        checkpoint_path=ck)
+    assert int(np.load(ck)["nblocks"]) == 3
+
+    ck2 = str(tmp_path / "nuts_me2.npz")
+    orig = nuts_mod.continue_nuts
+    calls = {"n": 0}
+
+    def flaky(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("simulated crash")
+        return orig(*a, **k)
+
+    monkeypatch.setattr(nuts_mod, "continue_nuts", flaky)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        LumFuncModel(cfg, **kw).fit_model_nuts(
+            num_warmup=40, nchains=4, min_ess=1e6, max_blocks=3,
+            checkpoint_path=ck2)
+    monkeypatch.setattr(nuts_mod, "continue_nuts", orig)
+    assert int(np.load(ck2)["nblocks"]) == 2
+
+    resumed = LumFuncModel(cfg, **kw).fit_model_nuts(
+        num_warmup=40, nchains=4, min_ess=1e6, max_blocks=3,
+        checkpoint_path=ck2, resume=True)
+    np.testing.assert_array_equal(resumed, full)
+
+    with pytest.raises(ValueError, match="nuts-min-ess"):
+        LumFuncModel(cfg, **kw).fit_model_nuts(
+            num_warmup=40, nchains=5, min_ess=1e6,
+            checkpoint_path=ck2, resume=True)
+
+
 def test_fit_model_nuts_min_ess_blocks():
     """fit_model_nuts(min_ess=...) extends the chain in nsteps-sized
     blocks until the target; an unreachable target stops at max_blocks."""
