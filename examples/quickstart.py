@@ -76,6 +76,13 @@ def main():
     print(f"  ln Z = {ev['lnz_ss']:.2f} (stepping-stone, "
           f"{ev['nrungs']} rungs)")
 
+    # --- WAIC / PSIS-LOO (predictive model comparison, no extra
+    # sampling: reuses the posterior draws the fit already produced) ---
+    ic = model.information_criteria(ndraws=400)
+    print(f"  elpd_waic = {ic['elpd_waic']:.2f} +- {ic['se_waic']:.2f}"
+          f"  (p_waic {ic['p_waic']:.1f}, max Pareto k "
+          f"{ic['k_max']:.2f})")
+
     # --- 1/V_eff cross-check + chi^2 Schechter fit to the binned LF ---
     lavg, lfbin, var = model.veff_lf()
     good = lfbin > 0

@@ -102,6 +102,14 @@ def _add_common_flags(p):
     p.add_argument("--ppc", action="store_true",
                    help="write a posterior predictive check (counts per "
                         "L bin vs the model's Poisson prediction)")
+    p.add_argument("--ic", action="store_true",
+                   help="compute WAIC and PSIS-LOO predictive "
+                        "information criteria from the fitted posterior "
+                        "(no extra sampling; ic_*.dat) — two models' "
+                        "elpd difference ranks predictive accuracy")
+    p.add_argument("--ic-draws", dest="ic_draws", type=int, default=1000,
+                   metavar="S",
+                   help="posterior draws used by --ic (default 1000)")
     p.add_argument("--evidence", type=_evidence_rungs, default=None,
                    metavar="K",
                    help="estimate ln Z (marginal likelihood) by "
@@ -491,6 +499,8 @@ def cmd_fit(args):
     _write_outputs(model, cfg, args, outdir, names)
     if getattr(args, "ppc", False):
         _write_ppc(model, cfg, args, outdir)
+    if getattr(args, "ic", False):
+        _write_ic(model, cfg, args, outdir)
     if ev is not None:
         _write_evidence(ev, cfg, args, outdir)
     return 0
@@ -533,6 +543,26 @@ def _write_ppc(model, cfg, args, outdir):
     print("Finished writing posterior predictive check "
           f"(N_obs={ppc['total_observed']}, "
           f"E[N_pred]={ppc['total_predicted']:.1f})")
+
+
+def _write_ic(model, cfg, args, outdir):
+    """Compute + write WAIC / PSIS-LOO (primary process only — the
+    computation is a plain per-process jit with no collectives, so it
+    is safe after the is_primary gate, unlike the evidence ladder)."""
+    from lumfuncmcmc_tpu.utils.io import (
+        artifact_path, write_fixed_width_two_line)
+    ic = model.information_criteria(ndraws=int(args.ic_draws))
+    write_fixed_width_two_line(
+        artifact_path(outdir, "ic", args.output_filename, cfg,
+                      ext="dat"),
+        {k: np.asarray([ic[k]]) for k in
+         ("elpd_waic", "se_waic", "p_waic", "elpd_loo", "se_loo",
+          "p_loo", "lppd", "k_max", "frac_k_gt_07", "count_lppd",
+          "elpd_waic_total", "n_sources", "ndraws")})
+    print("Finished writing information criteria "
+          f"(elpd_waic={ic['elpd_waic']:.2f}+-{ic['se_waic']:.2f}, "
+          f"elpd_loo={ic['elpd_loo']:.2f}+-{ic['se_loo']:.2f}, "
+          f"max Pareto k={ic['k_max']:.2f})")
 
 
 def _run_evidence(model, args):
@@ -597,6 +627,8 @@ def cmd_fitz(args):
     _write_outputs(model, cfg, args, outdir, names, z_variant=True)
     if getattr(args, "ppc", False):
         _write_ppc(model, cfg, args, outdir)
+    if getattr(args, "ic", False):
+        _write_ic(model, cfg, args, outdir)
     if ev is not None:
         _write_evidence(ev, cfg, args, outdir)
     return 0
@@ -638,6 +670,8 @@ def cmd_fith(args):
     _write_outputs(model, cfg, args, outdir, names)
     if getattr(args, "ppc", False):
         _write_ppc(model, cfg, args, outdir)
+    if getattr(args, "ic", False):
+        _write_ic(model, cfg, args, outdir)
     if ev is not None:
         _write_evidence(ev, cfg, args, outdir)
     return 0

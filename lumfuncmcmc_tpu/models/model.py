@@ -728,6 +728,50 @@ class _BaseModel:
         self.evidence = ev
         return ev
 
+    def information_criteria(self, lnprobcut: float = 7.5,
+                             ndraws: int = 1000, seed: int = None,
+                             chunk: int = 8192):
+        """WAIC + PSIS-LOO from the fitted posterior (new capability;
+        see :mod:`~lumfuncmcmc_tpu.models.ic`). Uses the same
+        lnprobcut-selected samples every other posterior summary uses,
+        so the draws match the written artifacts. Cheap relative to
+        :meth:`log_evidence` (no extra sampling: one pass over
+        draws x sources) and the natural first model-comparison look;
+        the evidence ladder remains the fully Bayesian answer when
+        priors matter. Stored as ``self.ic``.
+        """
+        from lumfuncmcmc_tpu.models.ic import (
+            format_ic_report, information_criteria)
+        if self.samples is None:
+            raise RuntimeError("fit the model before computing "
+                               "information criteria")
+        cfg = self.cfg
+        draws = select_samples(self.samples, lnprobcut, drop_lnp=True)
+        ic = information_criteria(
+            draws, self.ctx, self.layout,
+            exact_bounds=bool(cfg.exact_bounds),
+            min_comp_frac=cfg.min_comp_frac, lh=cfg.Lh,
+            ndraws=int(ndraws),
+            seed=cfg.seed if seed is None else int(seed),
+            chunk=int(chunk))
+        for line in format_ic_report(ic).splitlines():
+            self.log.info(line)
+        if ic["max_abs_recon_err"] > 1e-5:
+            # the decomposition is exact; anything above float noise
+            # means a dispatch bug, not statistics
+            self.log.warning(
+                "pointwise decomposition check FAILED (%.2e) — the "
+                "WAIC/LOO numbers do not match this model's likelihood"
+                % ic["max_abs_recon_err"])
+        if ic["frac_k_gt_07"] > 0.1:
+            self.log.warning(
+                "PSIS tail diagnostic: %.1f%% of sources have Pareto "
+                "k > 0.7 — elpd_loo is unreliable; trust elpd_waic "
+                "only as far as p_waic is small"
+                % (100.0 * ic["frac_k_gt_07"]))
+        self.ic = ic
+        return ic
+
     def fit_model_ensembles(self, nensembles: int, key=None,
                             checkpoint_path: Optional[str] = None,
                             resume: bool = False, min_ess=None,

@@ -36,6 +36,27 @@ def test_fit_writes_all_artifacts(workdir):
     assert n > 100 and np.all(np.isfinite(tab["Ln Prob"]))
 
 
+def test_fit_ic_writes_artifact(workdir, capsys):
+    """--ic computes WAIC/PSIS-LOO from the fitted posterior and writes
+    ic_*.dat; the exact-decomposition self-check must hold inside the
+    CLI path too (any dispatch mismatch between the IC pointwise terms
+    and the fitted likelihood would trip it)."""
+    assert main(["fit"] + ARGS + ["--ic", "--ic-draws", "150"]) == 0
+    out = capsys.readouterr().out
+    assert "Finished writing information criteria" in out
+    base = "t_nb50_nw16_ns60_mcf50"
+    tab = read_fixed_width_two_line(
+        str(workdir / "LFMCMCOut" / f"ic_{base}.dat"))
+    assert np.isfinite(tab["elpd_waic"][0])
+    assert np.isfinite(tab["elpd_loo"][0])
+    assert tab["p_waic"][0] > 0
+    assert tab["ndraws"][0] == 150
+    assert tab["n_sources"][0] > 100
+    # elpd per source is a log-density: strictly negative here
+    assert tab["elpd_waic"][0] < 0
+    assert "decomposition check FAILED" not in out
+
+
 def test_fit_with_checkpointing_and_thin(workdir):
     """Regression: the checkpoint branch of cmd_fit must import
     artifact_path (NameError escaped the suite), and --thin must combine
