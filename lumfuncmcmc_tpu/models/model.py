@@ -1133,6 +1133,70 @@ class _BaseModel:
                 jnp.concatenate(al_blocks),
                 float(np.mean(np.concatenate(df_parts))))
 
+    def _nuts_ckpt_load(self, ck, fp, resume, desc):
+        """Load a min-ess NUTS block checkpoint (any route) or None.
+
+        Returns ``(samples_y, lnps_y, alphas, df, state, done_blocks)``
+        — arrays as host-backed jnp (the shard_map continuation
+        functions reshard inputs to their in_specs, so the same npz
+        resumes the jit, per-device-replica, and stream routes).
+        ``desc`` names the fingerprint fields in the mismatch error.
+        """
+        if not (ck and resume and os.path.exists(ck)):
+            return None
+        saved = np.load(ck)
+        if not np.array_equal(np.asarray(saved["fingerprint"]), fp):
+            raise ValueError(
+                "nuts-min-ess checkpoint config mismatch: saved "
+                f"{desc} = {tuple(saved['fingerprint'])}, current = "
+                f"{tuple(fp)} — delete the checkpoint or restore the "
+                "original settings")
+        return (jnp.asarray(saved["samples_y"]),
+                jnp.asarray(saved["lnps_y"]),
+                jnp.asarray(saved["alphas"]),
+                np.asarray(saved["df"]),
+                (jnp.asarray(saved["y_run"]),
+                 jnp.asarray(saved["eps"]),
+                 jnp.asarray(saved["scale"])),
+                int(saved["nblocks"]))
+
+    def _nuts_mesh_ckpt(self, checkpoint_path, min_ess, resume, y0,
+                        num_warmup):
+        """Checkpoint plumbing for the shard_map NUTS routes: returns
+        ``(ck, fp, resumed)``. The fingerprint additionally pins the
+        MESH SHAPE — both shard_map routes fold the RNG by a device/row
+        index, so resuming under a different mesh would splice chains
+        from different key streams (the jit route has no such axis).
+        """
+        from lumfuncmcmc_tpu.parallel.mesh import (
+            AXIS_SOURCES, AXIS_WALKERS)
+        ck = checkpoint_path if min_ess else None
+        if ck and not ck.endswith(".npz"):
+            ck += ".npz"
+        fp = np.asarray([y0.shape[0], int(num_warmup),
+                         int(self.cfg.nsteps), y0.shape[1],
+                         self.cfg.seed,
+                         self.mesh.shape[AXIS_WALKERS],
+                         self.mesh.shape[AXIS_SOURCES]],
+                        dtype=np.float64)
+        resumed = self._nuts_ckpt_load(
+            ck, fp, resume,
+            "(nchains, num_warmup, block_steps, ndim, seed, "
+            "mesh_walkers, mesh_sources)")
+        return ck, fp, resumed
+
+    def _nuts_ckpt_save(self, ck, fp, s, lp, al, df, st, nb):
+        """Persist one min-ess NUTS block checkpoint. ``np.asarray``
+        gathers sharded (fully-addressable) arrays to host, so the
+        same saver serves the jit and single-process mesh routes."""
+        np.savez(ck, samples_y=np.asarray(s),
+                 lnps_y=np.asarray(lp), alphas=np.asarray(al),
+                 df=np.asarray(df, dtype=np.float64),
+                 y_run=np.asarray(st[0]),
+                 eps=np.asarray(st[1]),
+                 scale=np.asarray(st[2]),
+                 nblocks=nb, fingerprint=fp)
+
     def _nuts_checkpointed(self, lnp_y, y0, k_run, num_warmup, every,
                            checkpoint_path, resume):
         """Blockwise NUTS with mid-run npz checkpoints.
@@ -1261,7 +1325,13 @@ class _BaseModel:
         the checkpoint unit is the block: each continuation saves the
         accumulated chain plus the live ``(y_run, eps, scale)`` state,
         so a resume skips warmup and replays the continuation key
-        stream to the identical chain. Jit routes only."""
+        stream to the identical chain — on EVERY route (jit,
+        per-device-replica mesh, source-sharded stream; the mesh
+        fingerprints additionally pin the mesh shape, whose device
+        indices fold the RNG). Fixed-length checkpointing (the
+        bit-identical key-slice protocol) remains jit-route only.
+        Single-process only (the npz holds the gathered global
+        state)."""
         from lumfuncmcmc_tpu.samplers.nuts import (
             make_unconstrained, run_nuts)
         cfg = self.cfg
@@ -1292,14 +1362,17 @@ class _BaseModel:
         native_mesh = (not stream_mesh and self.mesh is not None
                        and getattr(post, "engine", None) == "pallas")
         if checkpoint_path:
-            if stream_mesh or native_mesh:
-                self.log.warning(
-                    "NUTS checkpointing is not supported on the "
-                    "shard_map routes; running without checkpoints")
-                checkpoint_path = None
-            elif jax.process_count() > 1:
+            if jax.process_count() > 1:
                 self.log.warning(
                     "NUTS checkpointing is single-process only; "
+                    "running without checkpoints")
+                checkpoint_path = None
+            elif (stream_mesh or native_mesh) and not min_ess:
+                self.log.warning(
+                    "fixed-length NUTS checkpointing is not supported "
+                    "on the shard_map routes (the bit-identical "
+                    "key-slice protocol is jit-route only); use "
+                    "--min-ess for blockwise checkpoints on a mesh — "
                     "running without checkpoints")
                 checkpoint_path = None
         if stream_mesh:
@@ -1384,19 +1457,37 @@ class _BaseModel:
             if jax.process_count() > 1:
                 y0 = np.asarray(y0)
                 k_run = np.asarray(k_run)
-            out = run_nuts_stream_sharded(
-                self.ctx, self.layout, self.mesh, y0, k_run,
-                num_warmup=int(num_warmup), num_samples=int(cfg.nsteps),
-                pooled=(True if pooled is None else bool(pooled)),
-                interpret=cfg.pallas_interpret,
-                return_state=bool(min_ess))
-            assert out is not None  # _nuts_stream_mesh_route gate
-            if min_ess:
-                (samples_y, lnps_y, alphas, eps, div_frac,
-                 nstate) = out
+            ck, fp, resumed = self._nuts_mesh_ckpt(
+                checkpoint_path, min_ess, resume, y0, num_warmup)
+            if resumed is None:
+                out = run_nuts_stream_sharded(
+                    self.ctx, self.layout, self.mesh, y0, k_run,
+                    num_warmup=int(num_warmup),
+                    num_samples=int(cfg.nsteps),
+                    pooled=(True if pooled is None else bool(pooled)),
+                    interpret=cfg.pallas_interpret,
+                    return_state=bool(min_ess))
+                assert out is not None  # _nuts_stream_mesh_route gate
+                if min_ess:
+                    (samples_y, lnps_y, alphas, eps, div_frac,
+                     nstate) = out
+                else:
+                    samples_y, lnps_y, alphas, eps, div_frac = out
+                jax.block_until_ready(lnps_y)
+                done_blocks = 1
+                if ck:
+                    self._nuts_ckpt_save(
+                        ck, fp, samples_y, lnps_y, alphas,
+                        np.atleast_1d(np.asarray(to_host(div_frac))),
+                        nstate, 1)
             else:
-                samples_y, lnps_y, alphas, eps, div_frac = out
-            jax.block_until_ready(lnps_y)
+                (samples_y, lnps_y, alphas, div_frac, nstate,
+                 done_blocks) = resumed
+                eps = nstate[1]
+                self.log.info(
+                    "Resumed NUTS min-ess checkpoint (stream route): "
+                    "%d blocks (%d samples) — warmup skipped"
+                    % (done_blocks, int(samples_y.shape[0])))
             if min_ess:
                 from lumfuncmcmc_tpu.parallel.sharding import (
                     continue_nuts_stream_sharded)
@@ -1408,7 +1499,11 @@ class _BaseModel:
                             self.ctx, self.layout, self.mesh, st, k,
                             num_samples=int(cfg.nsteps),
                             interpret=cfg.pallas_interpret),
-                        gather=to_host)
+                        gather=to_host, done_blocks=done_blocks,
+                        save_cb=((lambda s, lp, al, df, st, nb:
+                                  self._nuts_ckpt_save(ck, fp, s, lp,
+                                                       al, df, st, nb))
+                                 if ck else None))
             else:
                 div_frac = float(np.mean(np.asarray(to_host(div_frac))))
             samples_y = jnp.asarray(to_host(samples_y))
@@ -1420,16 +1515,34 @@ class _BaseModel:
             if jax.process_count() > 1:
                 y0 = np.asarray(y0)
                 k_run = np.asarray(k_run)
-            out = run_nuts_sharded(
-                lnp_y, y0, k_run, self.mesh,
-                num_warmup=int(num_warmup), num_samples=int(cfg.nsteps),
-                pooled=bool(pooled), return_state=bool(min_ess))
-            if min_ess:
-                (samples_y, lnps_y, alphas, eps, div_frac,
-                 nstate) = out
+            ck, fp, resumed = self._nuts_mesh_ckpt(
+                checkpoint_path, min_ess, resume, y0, num_warmup)
+            if resumed is None:
+                out = run_nuts_sharded(
+                    lnp_y, y0, k_run, self.mesh,
+                    num_warmup=int(num_warmup),
+                    num_samples=int(cfg.nsteps),
+                    pooled=bool(pooled), return_state=bool(min_ess))
+                if min_ess:
+                    (samples_y, lnps_y, alphas, eps, div_frac,
+                     nstate) = out
+                else:
+                    samples_y, lnps_y, alphas, eps, div_frac = out
+                jax.block_until_ready(lnps_y)
+                done_blocks = 1
+                if ck:
+                    self._nuts_ckpt_save(
+                        ck, fp, samples_y, lnps_y, alphas,
+                        np.atleast_1d(np.asarray(to_host(div_frac))),
+                        nstate, 1)
             else:
-                samples_y, lnps_y, alphas, eps, div_frac = out
-            jax.block_until_ready(lnps_y)
+                (samples_y, lnps_y, alphas, div_frac, nstate,
+                 done_blocks) = resumed
+                eps = nstate[1]
+                self.log.info(
+                    "Resumed NUTS min-ess checkpoint (replica route): "
+                    "%d blocks (%d samples) — warmup skipped"
+                    % (done_blocks, int(samples_y.shape[0])))
             if min_ess:
                 from lumfuncmcmc_tpu.parallel.sharding import (
                     continue_nuts_sharded)
@@ -1440,7 +1553,11 @@ class _BaseModel:
                         lambda k, st: continue_nuts_sharded(
                             lnp_y, st, k, self.mesh,
                             num_samples=int(cfg.nsteps)),
-                        gather=to_host)
+                        gather=to_host, done_blocks=done_blocks,
+                        save_cb=((lambda s, lp, al, df, st, nb:
+                                  self._nuts_ckpt_save(ck, fp, s, lp,
+                                                       al, df, st, nb))
+                                 if ck else None))
             else:
                 div_frac = float(np.mean(np.asarray(to_host(div_frac))))
             samples_y = jnp.asarray(to_host(samples_y))
@@ -1462,35 +1579,12 @@ class _BaseModel:
             fp = np.asarray([y0.shape[0], int(num_warmup),
                              int(cfg.nsteps), y0.shape[1], cfg.seed],
                             dtype=np.float64)
-            resumed = None
-            if ck and resume and os.path.exists(ck):
-                saved = np.load(ck)
-                if not np.array_equal(np.asarray(saved["fingerprint"]),
-                                      fp):
-                    raise ValueError(
-                        "nuts-min-ess checkpoint config mismatch: "
-                        "saved (nchains, num_warmup, block_steps, "
-                        "ndim, seed) = "
-                        f"{tuple(saved['fingerprint'])}, current = "
-                        f"{tuple(fp)} — delete the checkpoint or "
-                        "restore the original settings")
-                resumed = (jnp.asarray(saved["samples_y"]),
-                           jnp.asarray(saved["lnps_y"]),
-                           jnp.asarray(saved["alphas"]),
-                           np.asarray(saved["df"]),
-                           (jnp.asarray(saved["y_run"]),
-                            jnp.asarray(saved["eps"]),
-                            jnp.asarray(saved["scale"])),
-                           int(saved["nblocks"]))
+            resumed = self._nuts_ckpt_load(
+                ck, fp, resume,
+                "(nchains, num_warmup, block_steps, ndim, seed)")
 
             def _save(path, s, lp, al, df, st, nb):
-                np.savez(path, samples_y=np.asarray(s),
-                         lnps_y=np.asarray(lp), alphas=np.asarray(al),
-                         df=np.asarray(df, dtype=np.float64),
-                         y_run=np.asarray(st[0]),
-                         eps=np.asarray(st[1]),
-                         scale=np.asarray(st[2]),
-                         nblocks=nb, fingerprint=fp)
+                self._nuts_ckpt_save(path, fp, s, lp, al, df, st, nb)
 
             if resumed is None:
                 # AOT-compile so "Total time taken" is pure sampling:

@@ -638,3 +638,117 @@ def test_fit_model_nuts_stream_mesh_route(setup, monkeypatch):
                           max_blocks=2)
     assert s2.shape == (2 * 4 * 8, m.layout.ndim + 1)
     assert np.all(np.isfinite(s2))
+
+
+def test_nuts_min_ess_checkpoint_resume_native_mesh(tmp_path,
+                                                    monkeypatch):
+    """min-ess NUTS checkpointing on the per-device-replica mesh route:
+    each block saves the gathered chain + live per-device state; a
+    crash mid-loop resumes WITHOUT re-warmup (run_nuts_sharded is
+    poisoned on the resume) to the identical chain, and a different
+    mesh shape is fingerprint-rejected (device indices fold the RNG,
+    so the mesh shape is chain-affecting)."""
+    import lumfuncmcmc_tpu.parallel.sharding as sh
+    from lumfuncmcmc_tpu.models.model import LumFuncModel
+
+    cfg = LFConfig(min_comp_frac=0.5, fix_comp=False, size_ln=21,
+                   nwalkers=16, nsteps=8, use_pallas=True,
+                   pallas_interpret=True)
+    cat = apply_completeness_cut(make_catalog(cfg, n_target=200, seed=8),
+                                 cfg)
+
+    def model(mesh_shape=(4, 2)):
+        return LumFuncModel(cfg, mesh=make_mesh(*mesh_shape),
+                            z=cat["z"], flux=cat["flux"],
+                            flux_e=cat["flux_e"],
+                            field_id=cat["field_id"])
+
+    ck = str(tmp_path / "mesh_me.npz")
+    full = model().fit_model_nuts(num_warmup=40, nchains=8, min_ess=1e6,
+                                  max_blocks=3, checkpoint_path=ck)
+    saved = np.load(ck)
+    assert int(saved["nblocks"]) == 3
+    assert saved["fingerprint"].shape == (7,)   # mesh dims pinned
+    assert saved["eps"].shape == (8,)           # per-device state
+
+    ck2 = str(tmp_path / "mesh_me2.npz")
+    orig = sh.continue_nuts_sharded
+    calls = {"n": 0}
+
+    def flaky(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("simulated crash")
+        return orig(*a, **k)
+
+    monkeypatch.setattr(sh, "continue_nuts_sharded", flaky)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        model().fit_model_nuts(num_warmup=40, nchains=8, min_ess=1e6,
+                               max_blocks=3, checkpoint_path=ck2)
+    monkeypatch.setattr(sh, "continue_nuts_sharded", orig)
+    assert int(np.load(ck2)["nblocks"]) == 2
+
+    def no_warmup(*a, **k):
+        raise AssertionError("resume must skip run_nuts_sharded")
+
+    monkeypatch.setattr(sh, "run_nuts_sharded", no_warmup)
+    resumed = model().fit_model_nuts(num_warmup=40, nchains=8,
+                                     min_ess=1e6, max_blocks=3,
+                                     checkpoint_path=ck2, resume=True)
+    monkeypatch.undo()
+    np.testing.assert_array_equal(resumed, full)
+
+    with pytest.raises(ValueError, match="nuts-min-ess"):
+        model(mesh_shape=(2, 4)).fit_model_nuts(
+            num_warmup=40, nchains=8, min_ess=1e6,
+            checkpoint_path=ck2, resume=True)
+
+
+def test_nuts_min_ess_checkpoint_resume_stream_mesh(tmp_path,
+                                                    monkeypatch,
+                                                    setup):
+    """min-ess NUTS checkpointing on the source-sharded stream route:
+    the resumed run skips warmup (run_nuts_stream_sharded poisoned)
+    and reproduces the uninterrupted chain exactly — the source-axis
+    bit-identical-replica invariant must survive a state round-trip
+    through the npz."""
+    import lumfuncmcmc_tpu.ops.pallas_lnlike as pk
+    import lumfuncmcmc_tpu.parallel.sharding as sh
+    from lumfuncmcmc_tpu.models.model import LumFuncModel
+
+    cfg, ctx, layout = setup
+    ncells = int(np.prod(np.asarray(ctx.logL_grid).shape))
+    monkeypatch.setattr(pk, "_VMEM_ARRAY_LIMIT", ncells * 5 * 4 + 16)
+    cfg2 = cfg.replace(use_pallas=True, pallas_interpret=True,
+                       nwalkers=8, nsteps=8, fix_comp=False)
+    cat = apply_completeness_cut(make_catalog(cfg2, n_target=300,
+                                              seed=9), cfg2)
+
+    def model():
+        return LumFuncModel(cfg2, mesh=make_mesh(2, 4), z=cat["z"],
+                            flux=cat["flux"], flux_e=cat["flux_e"],
+                            field_id=cat["field_id"])
+
+    m = model()
+    assert m._nuts_stream_mesh_route() is True
+    ck = str(tmp_path / "stream_me.npz")
+    full = m.fit_model_nuts(num_warmup=40, nchains=4, min_ess=1e6,
+                            max_blocks=2, checkpoint_path=ck)
+    saved = np.load(ck)
+    assert int(saved["nblocks"]) == 2
+    assert saved["eps"].shape == (2,)   # per-walker-row state
+
+    # truncate to 1 block by rerunning with max_blocks=1
+    ck2 = str(tmp_path / "stream_me2.npz")
+    model().fit_model_nuts(num_warmup=40, nchains=4, min_ess=1e6,
+                           max_blocks=1, checkpoint_path=ck2)
+    assert int(np.load(ck2)["nblocks"]) == 1
+
+    def no_warmup(*a, **k):
+        raise AssertionError("resume must skip run_nuts_stream_sharded")
+
+    monkeypatch.setattr(sh, "run_nuts_stream_sharded", no_warmup)
+    resumed = model().fit_model_nuts(num_warmup=40, nchains=4,
+                                     min_ess=1e6, max_blocks=2,
+                                     checkpoint_path=ck2, resume=True)
+    np.testing.assert_array_equal(resumed, full)
