@@ -102,6 +102,12 @@ def _add_common_flags(p):
     p.add_argument("--ppc", action="store_true",
                    help="write a posterior predictive check (counts per "
                         "L bin vs the model's Poisson prediction)")
+    p.add_argument("--map", action="store_true",
+                   help="MAP + Laplace quick-look (fit/fitz/fith): "
+                        "multi-start BFGS posterior mode, Hessian "
+                        "standard errors, and a Laplace ln Z "
+                        "cross-check of --evidence — NO sampling "
+                        "(map_*.dat; seconds instead of minutes)")
     p.add_argument("--ic", action="store_true",
                    help="compute WAIC and PSIS-LOO predictive "
                         "information criteria from the fitted posterior "
@@ -485,6 +491,8 @@ def cmd_fit(args):
         return 0
     names = model.get_param_names()
     print("Labels:", names)
+    if getattr(args, "map", False):
+        return _map_quicklook(model, cfg, args, outdir)
     _dispatch_sampler(model, cfg, args, outdir)
     # collective: every process runs the ladder; process 0 writes
     ev = (_run_evidence(model, args)
@@ -543,6 +551,36 @@ def _write_ppc(model, cfg, args, outdir):
     print("Finished writing posterior predictive check "
           f"(N_obs={ppc['total_observed']}, "
           f"E[N_pred]={ppc['total_predicted']:.1f})")
+
+
+def _map_quicklook(model, cfg, args, outdir):
+    """--map: MAP + Laplace instead of sampling. The fit is a plain
+    per-process jit with no collectives (multi-process safe in any
+    order); only process 0 writes."""
+    from lumfuncmcmc_tpu.parallel.distributed import is_primary
+    from lumfuncmcmc_tpu.utils.io import (
+        artifact_path, write_fixed_width_two_line)
+    res = model.fit_map()
+    if not is_primary():
+        print("Non-primary process: artifacts written by process 0")
+        return 0
+    cols = {}
+    se = res["se"]
+    for i, nm in enumerate(model.layout.names):
+        cols[nm] = np.asarray([res["theta"][i]])
+        cols[nm + "_se"] = np.asarray(
+            [se[i] if se is not None else np.nan])
+    cols["lnpost"] = np.asarray([res["lnpost"]])
+    cols["lnz_laplace"] = np.asarray(
+        [np.nan if res["lnz_laplace"] is None else res["lnz_laplace"]])
+    write_fixed_width_two_line(
+        artifact_path(outdir, "map", args.output_filename, cfg,
+                      ext="dat"), cols)
+    print("Finished writing MAP/Laplace quick-look "
+          f"(lnpost={res['lnpost']:.3f}"
+          + ("" if res["lnz_laplace"] is None
+             else f", Laplace ln Z={res['lnz_laplace']:.3f}") + ")")
+    return 0
 
 
 def _write_ic(model, cfg, args, outdir):
@@ -616,6 +654,8 @@ def cmd_fitz(args):
         return 0
     names = model.get_param_names()
     print("Labels:", names)
+    if getattr(args, "map", False):
+        return _map_quicklook(model, cfg, args, outdir)
     _dispatch_sampler(model, cfg, args, outdir)
     ev = (_run_evidence(model, args)
           if getattr(args, "evidence", None) is not None else None)
@@ -659,6 +699,8 @@ def cmd_fith(args):
         return 0
     names = model.get_param_names()
     print("Labels:", names)
+    if getattr(args, "map", False):
+        return _map_quicklook(model, cfg, args, outdir)
     _dispatch_sampler(model, cfg, args, outdir)
     ev = (_run_evidence(model, args)
           if getattr(args, "evidence", None) is not None else None)

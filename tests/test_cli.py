@@ -36,6 +36,30 @@ def test_fit_writes_all_artifacts(workdir):
     assert n > 100 and np.all(np.isfinite(tab["Ln Prob"]))
 
 
+def test_fit_map_quicklook(workdir, capsys):
+    """--map produces the MAP/Laplace artifact WITHOUT sampling (no
+    fitposterior written), for fit and fith (the latter with no
+    Laplace ln Z — its prior normalization is not analytic)."""
+    assert main(["fit"] + ARGS + ["--map"]) == 0
+    out = capsys.readouterr().out
+    assert "Finished writing MAP/Laplace quick-look" in out
+    base = "t_nb50_nw16_ns60_mcf50"
+    tab = read_fixed_width_two_line(
+        str(workdir / "LFMCMCOut" / f"map_{base}.dat"))
+    for k in ("Lstar", "Lstar_se", "phistar", "sch_al", "lnpost",
+              "lnz_laplace"):
+        assert np.isfinite(tab[k][0]), k
+    assert tab["Lstar_se"][0] > 0
+    assert not (workdir / "LFMCMCOut"
+                / f"fitposterior_{base}.dat").exists()
+
+    assert main(["fith"] + ARGS + ["--map"]) == 0
+    tab = read_fixed_width_two_line(
+        str(workdir / "LFMCMCHOut" / f"map_{base}.dat"))
+    assert np.isnan(tab["lnz_laplace"][0])
+    assert np.isfinite(tab["mu_L"][0])
+
+
 def test_fit_ic_writes_artifact(workdir, capsys):
     """--ic computes WAIC/PSIS-LOO from the fitted posterior and writes
     ic_*.dat; the exact-decomposition self-check must hold inside the
