@@ -102,6 +102,13 @@ def _add_common_flags(p):
     p.add_argument("--ppc", action="store_true",
                    help="write a posterior predictive check (counts per "
                         "L bin vs the model's Poisson prediction)")
+    p.add_argument("--init-map", dest="init_map", action="store_true",
+                   default=None,
+                   help="start walkers/chains from overdispersed "
+                        "Laplace draws around the MAP instead of "
+                        "uniform box draws (slashes burn-in; the "
+                        "evidence ladder keeps prior-wide starts "
+                        "regardless)")
     p.add_argument("--map", action="store_true",
                    help="MAP + Laplace quick-look (fit/fitz/fith): "
                         "multi-start BFGS posterior mode, Hessian "

@@ -139,6 +139,13 @@ class LFConfig:
                                            #   backends, off elsewhere)
     pallas_interpret: bool = False         # run the kernel in the Pallas
                                            #   interpreter (CPU tests/debug)
+    init_map: bool = False                 # start walkers from the
+                                           #   Laplace approximation
+                                           #   around the MAP (2x
+                                           #   overdispersed) instead of
+                                           #   uniform box draws —
+                                           #   slashes burn-in on
+                                           #   well-behaved posteriors
     thin: int = 1                          # record every thin-th step
                                            #   (memory guard for very long
                                            #   chains; reference stores all)

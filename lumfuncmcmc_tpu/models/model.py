@@ -104,9 +104,51 @@ class _BaseModel:
         raise NotImplementedError
 
     def _initial_positions(self, key):
-        """Default: uniform draws inside the prior box (shared
-        ``sample_init``; layouts are duck-typed)."""
+        """Walker starts: uniform prior-box draws, or — with
+        ``cfg.init_map`` — overdispersed Laplace draws around the MAP
+        (:meth:`_map_init_positions`)."""
+        if getattr(self.cfg, "init_map", False):
+            return self._map_init_positions(key)
+        return self._default_positions(key)
+
+    def _default_positions(self, key):
+        """Uniform draws inside the prior box (shared ``sample_init``;
+        layouts are duck-typed). Always used by :meth:`log_evidence` —
+        tempered rungs near beta=0 sample the PRIOR and need
+        prior-wide starts, not a posterior-mode ball."""
         return sample_init(key, self.layout, self.cfg.nwalkers)
+
+    def _map_init_positions(self, key):
+        """Draw walkers from N(MAP, 2^2 * Laplace cov), component-wise
+        replaced by a uniform box draw where the Gaussian lands outside
+        the prior box. The 2x overdispersion keeps starts diverse
+        enough for honest R-hat while skipping the random-box burn-in.
+        Falls back to uniform draws (with a warning) when the Hessian
+        at the mode is not usable."""
+        if getattr(self, "map_fit", None) is None:
+            self.fit_map()
+        res = self.map_fit
+        if not res["hess_ok"]:
+            self.log.warning(
+                "init_map: Laplace covariance unavailable (Hessian not "
+                "negative definite at the mode) — using uniform box "
+                "starts")
+            return self._default_positions(key)
+        lo, hi = self.layout.bounds_arrays()
+        n = self.cfg.nwalkers
+        d = self.layout.ndim
+        chol = np.linalg.cholesky(
+            np.asarray(res["cov"])
+            + 1e-12 * np.eye(d) * float(np.max(np.diag(res["cov"]))))
+        k_n, k_u = jax.random.split(key)
+        z = jax.random.normal(k_n, (n, d), dtype=lo.dtype)
+        pos = jnp.asarray(res["theta"], lo.dtype)[None, :] \
+            + 2.0 * (z @ jnp.asarray(chol, lo.dtype).T)
+        u = sample_init(k_u, self.layout, n)
+        pos = jnp.where((pos > lo) & (pos < hi), pos, u)
+        self.log.info("Walker init: %d Laplace draws around the MAP "
+                      "(2x overdispersed)" % n)
+        return pos
 
     # --- shared API -----------------------------------------------------
     @property
@@ -666,7 +708,10 @@ class _BaseModel:
             key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed),
                                      0x65766964)
         k_init, k_run = jax.random.split(key)
-        pos0 = jnp.stack([self._initial_positions(k)
+        # ALWAYS prior-box starts: beta~0 rungs sample the prior, and
+        # an init_map posterior-mode ball would start them in a
+        # measure-zero corner of their own target
+        pos0 = jnp.stack([self._default_positions(k)
                           for k in jax.random.split(k_init, nrungs)])
         betas = beta_ladder(nrungs, power)
         lnprior_fn, lnlike_fn = self._prior_like_fns()
@@ -1473,10 +1518,13 @@ class _BaseModel:
                               % (nchains, new, nshard))
                 nchains = new
         start = pos[:nchains]
-        # shrink random inits toward the box center: NUTS needs a finite
-        # gradient start, and extreme corners have ~-1e6 lnlike
-        mid = (lo + hi) / 2.0
-        start = 0.8 * mid[None, :] + 0.2 * start
+        if not getattr(cfg, "init_map", False):
+            # shrink random inits toward the box center: NUTS needs a
+            # finite gradient start, and extreme corners have ~-1e6
+            # lnlike (init_map starts already sit at the mode — the
+            # shrink would drag them off it)
+            mid = (lo + hi) / 2.0
+            start = 0.8 * mid[None, :] + 0.2 * start
         y0 = jax.vmap(to_y)(start)
         if stream_mesh:
             from lumfuncmcmc_tpu.parallel.mesh import (
@@ -1792,7 +1840,7 @@ class LumFuncModel(_BaseModel):
                 return lnlike_single_epoch(th, ctx, layout)
         return (lambda th: lnprior(th, layout)), like
 
-    def _initial_positions(self, key):
+    def _default_positions(self, key):
         return sample_init(key, self.layout, self.cfg.nwalkers,
                            diff_rand=self.cfg.diff_rand)
 

@@ -113,3 +113,46 @@ def test_map_hier_has_no_laplace_lnz():
     res = m.fit_map()
     assert np.all(np.isfinite(res["theta"]))
     assert res["lnz_laplace"] is None
+
+
+def test_init_map_walker_start(fitted_map):
+    """cfg.init_map draws walkers from the 2x-overdispersed Laplace
+    ball (inside the box, diverse, centered on the MAP) and the
+    resulting posterior matches the uniform-init posterior — the warm
+    start changes burn-in, not the target."""
+    from lumfuncmcmc_tpu.models.model import LumFuncModel
+    m, cat = fitted_map
+    kw = dict(z=cat["z"], flux=cat["flux"], flux_e=cat["flux_e"],
+              field_id=cat["field_id"])
+    cfg2 = m.cfg.replace(init_map=True, nwalkers=32, nsteps=300)
+    m2 = LumFuncModel(cfg2, **kw)
+    pos = np.asarray(m2._initial_positions(jax.random.PRNGKey(0)))
+    lo = np.asarray(m2.layout.lo)
+    hi = np.asarray(m2.layout.hi)
+    assert np.all((pos > lo) & (pos < hi))
+    res = m2.map_fit
+    se = res["se"]
+    assert np.all(np.abs(pos.mean(axis=0) - res["theta"]) < 2.0 * se)
+    sd = pos.std(axis=0)
+    assert np.all(sd > 0.5 * se) and np.all(sd < 10.0 * se)
+
+    s_map = m2.fit_model()
+    m3 = LumFuncModel(cfg2.replace(init_map=False), **kw)
+    s_uni = m3.fit_model()
+    med_map = np.median(s_map[:, :3], axis=0)
+    med_uni = np.median(s_uni[:, :3], axis=0)
+    assert np.all(np.abs(med_map - med_uni) < 0.15), (med_map, med_uni)
+
+
+def test_init_map_nuts_start(fitted_map):
+    """--sampler nuts honors init_map (and skips the center-shrink
+    that would drag mode starts off the mode)."""
+    from lumfuncmcmc_tpu.models.model import LumFuncModel
+    m, cat = fitted_map
+    cfg2 = m.cfg.replace(init_map=True, nwalkers=16, nsteps=30)
+    m2 = LumFuncModel(cfg2, z=cat["z"], flux=cat["flux"],
+                      flux_e=cat["flux_e"], field_id=cat["field_id"])
+    s = m2.fit_model_nuts(num_warmup=60, nchains=4)
+    assert np.all(np.isfinite(s))
+    med = np.median(s[:, :3], axis=0)
+    assert np.all(np.abs(med - m2.map_fit["theta"]) < 0.5)
