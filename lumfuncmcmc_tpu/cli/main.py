@@ -604,10 +604,39 @@ def _write_ic(model, cfg, args, outdir):
          ("elpd_waic", "se_waic", "p_waic", "elpd_loo", "se_loo",
           "p_loo", "lppd", "k_max", "frac_k_gt_07", "count_lppd",
           "elpd_waic_total", "n_sources", "ndraws")})
+    # per-source arrays: the paired inputs `compare-ic` needs
+    np.savez(artifact_path(outdir, "ic_pointwise",
+                           args.output_filename, cfg, ext="npz"),
+             elpd_waic_i=ic["elpd_waic_i"],
+             elpd_loo_i=ic["elpd_loo_i"],
+             pareto_k=ic["pareto_k"])
     print("Finished writing information criteria "
           f"(elpd_waic={ic['elpd_waic']:.2f}+-{ic['se_waic']:.2f}, "
           f"elpd_loo={ic['elpd_loo']:.2f}+-{ic['se_loo']:.2f}, "
           f"max Pareto k={ic['k_max']:.2f})")
+
+
+def cmd_compare_ic(args):
+    """Paired model comparison from two --ic pointwise artifacts
+    (same catalog required — enforced by the paired-shape check)."""
+    from lumfuncmcmc_tpu.models.ic import compare_ic
+    a = dict(np.load(args.npz_a))
+    b = dict(np.load(args.npz_b))
+    for which in ("loo", "waic"):
+        r = compare_ic(a, b, which=which)
+        print(f"elpd_{which}(A) - elpd_{which}(B) = "
+              f"{r['delta']:+.3f} +- {r['se']:.3f}  "
+              f"(z = {r['z']:+.2f}, {r['n_sources']} paired sources)")
+    r = compare_ic(a, b, which="loo")
+    verdict = {"a": f"model A ({args.npz_a}) is preferred",
+               "b": f"model B ({args.npz_b}) is preferred",
+               "tie": "no significant preference (|z| <= 2)"}
+    kmax = float(max(a["pareto_k"].max(), b["pareto_k"].max()))
+    if kmax > 0.7:
+        print(f"WARNING: max Pareto k = {kmax:.2f} > 0.7 — some LOO "
+              "columns are unreliable; weigh the WAIC line more")
+    print(verdict[r["preferred"]])
+    return 0
 
 
 def _run_evidence(model, args):
@@ -974,6 +1003,16 @@ def main(argv=None):
         "fith", help="hierarchical multi-field joint fit (new)")
     _add_common_flags(p_fith)
     p_fith.set_defaults(func=cmd_fith)
+
+    p_cmp = sub.add_parser(
+        "compare-ic",
+        help="paired elpd comparison of two --ic runs on the same "
+             "catalog (reads the ic_pointwise_*.npz artifacts)")
+    p_cmp.add_argument("npz_a", type=str,
+                       help="ic_pointwise npz of model A")
+    p_cmp.add_argument("npz_b", type=str,
+                       help="ic_pointwise npz of model B")
+    p_cmp.set_defaults(func=cmd_compare_ic)
 
     p_vmax = sub.add_parser("vmax", help="standalone 1/V_eff pipeline")
     _add_common_flags(p_vmax)

@@ -398,13 +398,51 @@ def information_criteria(samples, ctx: LFContext, layout,
         "max_abs_recon_err": recon_err,
         "n_sources": N,
         "ndraws": S,
+        # per-source arrays (N floats each — cheap at any catalog
+        # size): the paired-difference inputs compare_ic needs
+        "elpd_waic_i": elpd_waic_i,
+        "elpd_loo_i": elpd_loo_i,
+        "pareto_k": k_i,
     }
     if return_pointwise:
         out["pointwise_loglik"] = pointwise
-        out["elpd_waic_i"] = elpd_waic_i
-        out["elpd_loo_i"] = elpd_loo_i
-        out["pareto_k"] = k_i
     return out
+
+
+def compare_ic(ic_a: dict, ic_b: dict, which: str = "loo"):
+    """Paired elpd comparison of two models fitted to the SAME catalog.
+
+    The per-source elpd contributions of two models on shared data are
+    strongly correlated, so the standard error of the DIFFERENCE
+    (Vehtari et al. 2017, eq. 24: ``sqrt(N var(d_i))`` over the paired
+    ``d_i = a_i - b_i``) is far smaller than the two marginal SEs
+    combined — comparing totals +- marginal SEs systematically
+    overstates the uncertainty. ``which``: "loo" (default) or "waic".
+
+    Returns ``{delta, se, z, n_sources, preferred}`` with
+    ``delta = elpd_a - elpd_b`` (positive favors model A) and
+    ``preferred`` = "a"/"b"/"tie" at the conventional |z| > 2 line.
+    """
+    key = f"elpd_{which}_i"
+    a = np.asarray(ic_a[key], dtype=np.float64)
+    b = np.asarray(ic_b[key], dtype=np.float64)
+    if a.shape != b.shape:
+        raise ValueError(
+            f"paired comparison needs the same sources: model A has "
+            f"{a.shape[0]} pointwise terms, model B {b.shape[0]} — "
+            "were the two fits run on the same catalog?")
+    d = a - b
+    n = d.size
+    delta = float(d.sum())
+    se = float(np.sqrt(n * np.var(d, ddof=1))) if n > 1 else 0.0
+    z = delta / se if se > 0 else np.inf * np.sign(delta or 1.0)
+    return {
+        "delta": delta,
+        "se": se,
+        "z": float(z),
+        "n_sources": int(n),
+        "preferred": ("a" if z > 2.0 else "b" if z < -2.0 else "tie"),
+    }
 
 
 def format_ic_report(ic: dict) -> str:

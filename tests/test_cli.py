@@ -81,6 +81,24 @@ def test_fit_ic_writes_artifact(workdir, capsys):
     assert "decomposition check FAILED" not in out
 
 
+def test_compare_ic_cli(workdir, capsys):
+    """fit --ic and fitz --ic on the SAME synthetic catalog, then the
+    paired compare-ic subcommand: equal source counts pair up, output
+    carries both elpd lines and a verdict."""
+    assert main(["fit"] + ARGS + ["--ic", "--ic-draws", "80"]) == 0
+    assert main(["fitz"] + ARGS + ["--ic", "--ic-draws", "80"]) == 0
+    base = "t_nb50_nw16_ns60_mcf50"
+    a = str(workdir / "LFMCMCOut" / f"ic_pointwise_{base}.npz")
+    b = str(workdir / "LFMCMCzOut" / f"ic_pointwise_{base}.npz")
+    assert os.path.exists(a) and os.path.exists(b)
+    capsys.readouterr()
+    assert main(["compare-ic", a, b]) == 0
+    out = capsys.readouterr().out
+    assert "elpd_loo(A) - elpd_loo(B)" in out
+    assert "elpd_waic(A) - elpd_waic(B)" in out
+    assert ("preferred" in out) or ("no significant preference" in out)
+
+
 def test_fit_with_checkpointing_and_thin(workdir):
     """Regression: the checkpoint branch of cmd_fit must import
     artifact_path (NameError escaped the suite), and --thin must combine

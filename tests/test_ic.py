@@ -292,3 +292,58 @@ def test_ic_extra_lnp_column_ignored(fitted):
     a = information_criteria(samples, ctx, layout, ndraws=50, seed=2)
     b = information_criteria(with_lnp, ctx, layout, ndraws=50, seed=2)
     assert a["elpd_waic"] == b["elpd_waic"]
+
+
+# ---------------------------------------------------------------------------
+# paired model comparison
+# ---------------------------------------------------------------------------
+
+def test_compare_ic_paired_preference():
+    """compare_ic prefers the true model with |z| > 2, and the paired
+    SE beats the unpaired quadrature combination (the pointwise elpds
+    of two models on shared data are correlated through the data)."""
+    from lumfuncmcmc_tpu.models.ic import compare_ic
+
+    rng = np.random.default_rng(9)
+    N, S = 80, 1500
+    y = rng.normal(0.0, 1.0, size=N)
+    th_a = rng.normal(0.0, 1.0 / np.sqrt(N), size=S)     # true model
+    th_b = rng.normal(0.9, 1.0 / np.sqrt(N), size=S)     # displaced
+
+    def build(th):
+        ll = _normal_logpdf(y[None, :], th[:, None], 1.0)
+        lppd, p, elpd_w = waic_from_loglik(ll)
+        elpd_l, k = loo_from_loglik(ll)
+        return {"elpd_waic_i": elpd_w, "elpd_loo_i": elpd_l,
+                "pareto_k": k}
+
+    a, b = build(th_a), build(th_b)
+    for which in ("loo", "waic"):
+        r = compare_ic(a, b, which=which)
+        assert r["delta"] > 0 and r["z"] > 2.0, r
+        assert r["preferred"] == "a"
+        assert r["n_sources"] == N
+        # unpaired quadrature combination overstates the uncertainty
+        key = f"elpd_{which}_i"
+        se_a = np.sqrt(N * np.var(a[key], ddof=1))
+        se_b = np.sqrt(N * np.var(b[key], ddof=1))
+        assert r["se"] < np.sqrt(se_a ** 2 + se_b ** 2)
+
+    r = compare_ic(b, a)                  # order flips the sign
+    assert r["preferred"] == "b" and r["z"] < -2.0
+
+    with pytest.raises(ValueError, match="same catalog"):
+        compare_ic(a, {"elpd_loo_i": a["elpd_loo_i"][:-1],
+                       "elpd_waic_i": a["elpd_waic_i"][:-1]})
+
+
+def test_ic_pointwise_arrays_always_present(fitted):
+    ctx, layout, samples = fitted
+    ic = information_criteria(samples, ctx, layout, ndraws=50, seed=4)
+    n = ic["n_sources"]
+    for k in ("elpd_waic_i", "elpd_loo_i", "pareto_k"):
+        assert ic[k].shape == (n,)
+    np.testing.assert_allclose(ic["elpd_waic_i"].sum(),
+                               ic["elpd_waic"], rtol=1e-12)
+    np.testing.assert_allclose(ic["elpd_loo_i"].sum(),
+                               ic["elpd_loo"], rtol=1e-12)
