@@ -1296,7 +1296,8 @@ class _BaseModel:
                  nblocks=nb, fingerprint=fp)
 
     def _nuts_checkpointed(self, lnp_y, y0, k_run, num_warmup, every,
-                           checkpoint_path, resume):
+                           checkpoint_path, resume, route="jit",
+                           pooled=False):
         """Blockwise NUTS with mid-run npz checkpoints.
 
         The per-sample transition keys are the uninterrupted run's own
@@ -1309,6 +1310,15 @@ class _BaseModel:
         stores the accumulated sample blocks plus the frozen
         post-warmup ``(y_run, eps, scale)`` state; the fingerprint pins
         every knob that changes the transition program.
+
+        ``route``: "jit" (meshless/XLA-mesh), "native_mesh"
+        (per-device replicas — ``continue_nuts_keys_sharded`` slices
+        each device's own fold_in key stream), or "stream_mesh"
+        (source-sharded streaming vg — keys fold by the walker-row
+        index only). The mesh fingerprints additionally pin the mesh
+        shape, which the key folding depends on. ``pooled`` only
+        shapes the first block's warmup (the continuation state is
+        frozen either way).
         """
         from lumfuncmcmc_tpu.samplers.nuts import (
             continue_nuts_keys, run_nuts, sampling_keys)
@@ -1322,8 +1332,50 @@ class _BaseModel:
         nblocks = -(-nsteps // every)
         sizes = [every] * (nblocks - 1) + [nsteps
                                            - every * (nblocks - 1)]
-        fp = np.asarray([nchains, int(num_warmup), nsteps, every, ndim,
-                         cfg.seed], dtype=np.float64)
+        fp_list = [nchains, int(num_warmup), nsteps, every, ndim,
+                   cfg.seed]
+        if route == "jit":
+            def first(n):
+                return run_nuts(lnp_y, y0, k_run,
+                                num_warmup=int(num_warmup),
+                                num_samples=n, return_state=True)
+
+            def cont(st, a, b):
+                return continue_nuts_keys(lnp_y, st,
+                                          sampling_keys(k_run, a, b))
+        else:
+            from lumfuncmcmc_tpu.parallel.mesh import (
+                AXIS_SOURCES, AXIS_WALKERS)
+            from lumfuncmcmc_tpu.parallel import sharding as sh
+            fp_list += [self.mesh.shape[AXIS_WALKERS],
+                        self.mesh.shape[AXIS_SOURCES]]
+            if route == "native_mesh":
+                def first(n):
+                    return sh.run_nuts_sharded(
+                        lnp_y, y0, k_run, self.mesh,
+                        num_warmup=int(num_warmup), num_samples=n,
+                        pooled=bool(pooled), return_state=True)
+
+                def cont(st, a, b):
+                    return sh.continue_nuts_keys_sharded(
+                        lnp_y, st, k_run, self.mesh, a, b)
+            elif route == "stream_mesh":
+                def first(n):
+                    return sh.run_nuts_stream_sharded(
+                        self.ctx, self.layout, self.mesh, y0, k_run,
+                        num_warmup=int(num_warmup), num_samples=n,
+                        pooled=bool(pooled),
+                        interpret=cfg.pallas_interpret,
+                        return_state=True)
+
+                def cont(st, a, b):
+                    return sh.continue_nuts_keys_stream_sharded(
+                        self.ctx, self.layout, self.mesh, st, k_run,
+                        a, b, interpret=cfg.pallas_interpret)
+            else:
+                raise ValueError(f"unknown NUTS checkpoint route "
+                                 f"{route!r}")
+        fp = np.asarray(fp_list, dtype=np.float64)
         blocks, lnp_blocks, al_blocks = [], [], []
         df = []                 # per-block divergence fractions
         done = 0
@@ -1335,9 +1387,9 @@ class _BaseModel:
                 raise ValueError(
                     "nuts-checkpoint fingerprint mismatch: the "
                     "checkpoint was written under different (nchains, "
-                    "num_warmup, nsteps, checkpoint_every, ndim, seed)"
-                    " — delete %s or restore the original settings"
-                    % checkpoint_path)
+                    "num_warmup, nsteps, checkpoint_every, ndim, seed"
+                    "[, mesh_walkers, mesh_sources]) — delete %s or "
+                    "restore the original settings" % checkpoint_path)
             done = int(saved["nblocks"])
             blocks = [jnp.asarray(saved["samples_y"])]
             lnp_blocks = [jnp.asarray(saved["lnps_y"])]
@@ -1363,24 +1415,23 @@ class _BaseModel:
                      fingerprint=fp)
 
         if done == 0:
-            (s, lp, al, _eps, dfrac, nstate) = run_nuts(
-                lnp_y, y0, k_run, num_warmup=int(num_warmup),
-                num_samples=sizes[0], return_state=True)
+            (s, lp, al, _eps, dfrac, nstate) = first(sizes[0])
             jax.block_until_ready(lp)
             blocks, lnp_blocks, al_blocks = [s], [lp], [al]
-            df = [float(dfrac)]
+            # per-device fractions average exactly (equal chains and
+            # transitions per device), keeping one npz schema per route
+            df = [float(np.mean(np.asarray(dfrac)))]
             done = 1
             save()
         for i in range(done, nblocks):
             start_i = sum(sizes[:i])
-            keys = sampling_keys(k_run, start_i, start_i + sizes[i])
-            s, lp, al, dfrac, nstate = continue_nuts_keys(
-                lnp_y, nstate, keys)
+            s, lp, al, dfrac, nstate = cont(nstate, start_i,
+                                            start_i + sizes[i])
             jax.block_until_ready(lp)
             blocks.append(s)
             lnp_blocks.append(lp)
             al_blocks.append(al)
-            df.append(float(dfrac))
+            df.append(float(np.mean(np.asarray(dfrac))))
             done = i + 1
             save()
         samples_y = (jnp.concatenate(blocks) if len(blocks) > 1
@@ -1427,9 +1478,11 @@ class _BaseModel:
         per-device-replica mesh, source-sharded stream; the mesh
         fingerprints additionally pin the mesh shape, whose device
         indices fold the RNG). Fixed-length checkpointing (the
-        bit-identical key-slice protocol) remains jit-route only.
-        Single-process only (the npz holds the gathered global
-        state)."""
+        bit-identical key-slice protocol) also runs on every route:
+        the mesh twins slice each device's own fold_in key stream
+        (``continue_nuts_keys_sharded`` /
+        ``continue_nuts_keys_stream_sharded``). Single-process only
+        (the npz holds the gathered global state)."""
         from lumfuncmcmc_tpu.samplers.nuts import (
             make_unconstrained, run_nuts)
         cfg = self.cfg
@@ -1459,20 +1512,16 @@ class _BaseModel:
         # jit auto-partitioning with globally-pooled adaptation
         native_mesh = (not stream_mesh and self.mesh is not None
                        and getattr(post, "engine", None) == "pallas")
-        if checkpoint_path:
-            if jax.process_count() > 1:
-                self.log.warning(
-                    "NUTS checkpointing is single-process only; "
-                    "running without checkpoints")
-                checkpoint_path = None
-            elif (stream_mesh or native_mesh) and not min_ess:
-                self.log.warning(
-                    "fixed-length NUTS checkpointing is not supported "
-                    "on the shard_map routes (the bit-identical "
-                    "key-slice protocol is jit-route only); use "
-                    "--min-ess for blockwise checkpoints on a mesh — "
-                    "running without checkpoints")
-                checkpoint_path = None
+        if checkpoint_path and jax.process_count() > 1:
+            self.log.warning(
+                "NUTS checkpointing is single-process only; "
+                "running without checkpoints")
+            checkpoint_path = None
+        # fixed-length blockwise checkpointing (bit-identical to the
+        # uninterrupted run) — available on every single-process route
+        fixed_ck = bool(checkpoint_path and not min_ess
+                        and 0 < int(cfg.checkpoint_every or 0)
+                        < int(cfg.nsteps))
         if stream_mesh:
             from lumfuncmcmc_tpu.parallel.mesh import AXIS_WALKERS
             nshard = self.mesh.shape[AXIS_WALKERS]
@@ -1558,9 +1607,21 @@ class _BaseModel:
             if jax.process_count() > 1:
                 y0 = np.asarray(y0)
                 k_run = np.asarray(k_run)
-            ck, fp, resumed = self._nuts_mesh_ckpt(
-                checkpoint_path, min_ess, resume, y0, num_warmup)
-            if resumed is None:
+            if fixed_ck:
+                (samples_y, lnps_y, alphas, eps, div_frac) = \
+                    self._nuts_checkpointed(
+                        None, y0, k_run, num_warmup,
+                        int(cfg.checkpoint_every), checkpoint_path,
+                        resume, route="stream_mesh",
+                        pooled=(True if pooled is None
+                                else bool(pooled)))
+                resumed = ck = None
+            else:
+                ck, fp, resumed = self._nuts_mesh_ckpt(
+                    checkpoint_path, min_ess, resume, y0, num_warmup)
+            if fixed_ck:
+                pass
+            elif resumed is None:
                 out = run_nuts_stream_sharded(
                     self.ctx, self.layout, self.mesh, y0, k_run,
                     num_warmup=int(num_warmup),
@@ -1616,9 +1677,20 @@ class _BaseModel:
             if jax.process_count() > 1:
                 y0 = np.asarray(y0)
                 k_run = np.asarray(k_run)
-            ck, fp, resumed = self._nuts_mesh_ckpt(
-                checkpoint_path, min_ess, resume, y0, num_warmup)
-            if resumed is None:
+            if fixed_ck:
+                (samples_y, lnps_y, alphas, eps, div_frac) = \
+                    self._nuts_checkpointed(
+                        lnp_y, y0, k_run, num_warmup,
+                        int(cfg.checkpoint_every), checkpoint_path,
+                        resume, route="native_mesh",
+                        pooled=bool(pooled))
+                resumed = ck = None
+            else:
+                ck, fp, resumed = self._nuts_mesh_ckpt(
+                    checkpoint_path, min_ess, resume, y0, num_warmup)
+            if fixed_ck:
+                pass
+            elif resumed is None:
                 out = run_nuts_sharded(
                     lnp_y, y0, k_run, self.mesh,
                     num_warmup=int(num_warmup),
@@ -1664,8 +1736,7 @@ class _BaseModel:
             samples_y = jnp.asarray(to_host(samples_y))
             alphas = to_host(alphas)
             eps = to_host(eps)              # per-replica adapted eps
-        elif (checkpoint_path and not min_ess
-              and 0 < int(cfg.checkpoint_every or 0) < int(cfg.nsteps)):
+        elif fixed_ck:
             samples_y, lnps_y, alphas, eps, div_frac = \
                 self._nuts_checkpointed(
                     lnp_y, y0, k_run, num_warmup,

@@ -261,6 +261,47 @@ def continue_nuts_sharded(lnp_y, state, key, mesh, num_samples,
     return s, lp, al, dv, (y_end, eps_e, scale_e)
 
 
+def continue_nuts_keys_sharded(lnp_y, state, key, mesh, start, stop,
+                               max_doublings=8):
+    """Blockwise BIT-IDENTICAL continuation of :func:`run_nuts_sharded`
+    — the mesh twin of :func:`~lumfuncmcmc_tpu.samplers.nuts.
+    continue_nuts_keys`. Each device slices its OWN counter-stable
+    sampling-key stream, ``sampling_keys(fold_in(key, i), start,
+    stop)`` with ``key`` the run key ``run_nuts_sharded`` was given and
+    ``i`` this device's fold index — precisely the keys its local
+    ``run_nuts``'s sampling scan would have consumed at transitions
+    ``[start, stop)``. Concatenated blocks therefore equal the
+    uninterrupted ``run_nuts_sharded(num_samples=stop)`` run
+    bit-for-bit (the fixed-length checkpoint protocol, per device).
+    Returns ``(samples, lnps, alphas, div_frac (ndev,), state')``.
+    """
+    from lumfuncmcmc_tpu.samplers.nuts import (
+        continue_nuts_keys, sampling_keys)
+
+    y_run, eps, scale = state
+    ns = mesh.shape[AXIS_SOURCES]
+    axes = (AXIS_WALKERS, AXIS_SOURCES)
+
+    def local(y_blk, eps_blk, scale_blk):
+        i = (jax.lax.axis_index(AXIS_WALKERS) * ns
+             + jax.lax.axis_index(AXIS_SOURCES))
+        keys = sampling_keys(jax.random.fold_in(key, i), start, stop)
+        s, lp, al, dv, (y_end, eps_e, scale_e) = continue_nuts_keys(
+            lnp_y, (y_blk, eps_blk[0], scale_blk[0]), keys,
+            max_doublings)
+        return (s, lp, al, dv[None], y_end, eps_e[None],
+                scale_e[None])
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axes), P(axes), P(axes)),
+        out_specs=(P(None, axes), P(None, axes), P(None, axes),
+                   P(axes), P(axes), P(axes), P(axes)),
+        check_vma=False)
+    s, lp, al, dv, y_end, eps_e, scale_e = fn(y_run, eps, scale)
+    return s, lp, al, dv, (y_end, eps_e, scale_e)
+
+
 def _stream_vg_local_parts(ctx: LFContext, layout, ns_shards,
                            interpret):
     """Shared plumbing for the source-sharded streaming value+grad
@@ -461,6 +502,56 @@ def continue_nuts_stream_sharded(ctx: LFContext, layout, mesh, state,
         s, lp, al, dv, (y_end, eps_e, scale_e) = continue_nuts(
             lnp_y, (y_blk, eps_blk[0], scale_blk[0]), k_local,
             num_samples=int(num_samples), max_doublings=max_doublings)
+        return (s, lp, al, dv[None], y_end, eps_e[None],
+                scale_e[None])
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(AXIS_WALKERS), P(AXIS_WALKERS), P(AXIS_WALKERS),
+                  tuple(P(AXIS_SOURCES) for _ in s_stacked)),
+        out_specs=(P(None, AXIS_WALKERS), P(None, AXIS_WALKERS),
+                   P(None, AXIS_WALKERS), P(AXIS_WALKERS),
+                   P(AXIS_WALKERS), P(AXIS_WALKERS), P(AXIS_WALKERS)),
+        check_vma=False)
+    s, lp, al, dv, y_end, eps_e, scale_e = fn(y_run, eps, scale,
+                                              s_stacked)
+    return s, lp, al, dv, (y_end, eps_e, scale_e)
+
+
+def continue_nuts_keys_stream_sharded(ctx: LFContext, layout, mesh,
+                                      state, key, start, stop,
+                                      interpret=False,
+                                      max_doublings=8):
+    """Blockwise BIT-IDENTICAL continuation of
+    :func:`run_nuts_stream_sharded` (the stream-route twin of
+    :func:`continue_nuts_keys_sharded`). Keys fold by the WALKER-AXIS
+    index only — devices along the source axis slice the same stream
+    and stay bit-identical replicas (the psum-coherence invariant).
+    Returns ``(samples, lnps, alphas, div_frac (nw,), state')`` or
+    ``None`` when the streaming kernel is gated off (misuse: callers
+    hold a state from the run, so the gate must already have passed).
+    """
+    from lumfuncmcmc_tpu.samplers.nuts import (
+        continue_nuts_keys, make_unconstrained, sampling_keys)
+
+    parts = _stream_vg_local_parts(ctx, layout,
+                                   mesh.shape[AXIS_SOURCES], interpret)
+    if parts is None:
+        return None
+    make_scalar, s_stacked = parts
+    lo = jnp.asarray(layout.lo, jnp.float32)
+    hi = jnp.asarray(layout.hi, jnp.float32)
+    y_run, eps, scale = state
+
+    def local(y_blk, eps_blk, scale_blk, s_blk):
+        scalar = make_scalar(s_blk)
+        lnp_y, _, _ = make_unconstrained(scalar, lo, hi)
+        k_local = jax.random.fold_in(key,
+                                     jax.lax.axis_index(AXIS_WALKERS))
+        keys = sampling_keys(k_local, start, stop)
+        s, lp, al, dv, (y_end, eps_e, scale_e) = continue_nuts_keys(
+            lnp_y, (y_blk, eps_blk[0], scale_blk[0]), keys,
+            max_doublings)
         return (s, lp, al, dv[None], y_end, eps_e[None],
                 scale_e[None])
 

@@ -752,3 +752,135 @@ def test_nuts_min_ess_checkpoint_resume_stream_mesh(tmp_path,
                                      min_ess=1e6, max_blocks=2,
                                      checkpoint_path=ck2, resume=True)
     np.testing.assert_array_equal(resumed, full)
+
+
+def test_continue_nuts_keys_sharded_bit_identical_blocks(setup):
+    """The fixed-length checkpoint protocol on the per-device-replica
+    route: run_nuts_sharded(4) + two continue_nuts_keys_sharded blocks
+    over [4,8) and [8,12) equals run_nuts_sharded(12) BIT-FOR-BIT —
+    each device slices its own counter-stable fold_in key stream."""
+    from lumfuncmcmc_tpu.parallel.sharding import (
+        continue_nuts_keys_sharded, run_nuts_sharded)
+    from lumfuncmcmc_tpu.samplers.nuts import make_unconstrained
+    cfg, ctx, layout = setup
+    mesh = make_mesh(2, 2)
+    lnp_y, to_theta, to_y = make_unconstrained(
+        make_lnprob(ctx, layout), jnp.asarray(layout.lo),
+        jnp.asarray(layout.hi))
+    thetas = np.asarray(sample_init(jax.random.PRNGKey(13), layout, 8))
+    mid = 0.5 * (np.asarray(layout.lo) + np.asarray(layout.hi))
+    y0 = jax.vmap(to_y)(jnp.asarray(0.8 * mid[None, :] + 0.2 * thetas))
+    key = jax.random.PRNGKey(14)
+
+    full = run_nuts_sharded(lnp_y, y0, key, mesh, num_warmup=40,
+                            num_samples=12, max_doublings=5)
+    s1, lp1, al1, _, _, st = run_nuts_sharded(
+        lnp_y, y0, key, mesh, num_warmup=40, num_samples=4,
+        max_doublings=5, return_state=True)
+    s2, lp2, al2, _, st = continue_nuts_keys_sharded(
+        lnp_y, st, key, mesh, 4, 8, max_doublings=5)
+    s3, lp3, al3, _, st = continue_nuts_keys_sharded(
+        lnp_y, st, key, mesh, 8, 12, max_doublings=5)
+    np.testing.assert_array_equal(
+        np.concatenate([np.asarray(s1), np.asarray(s2),
+                        np.asarray(s3)]), np.asarray(full[0]))
+    np.testing.assert_array_equal(
+        np.concatenate([np.asarray(lp1), np.asarray(lp2),
+                        np.asarray(lp3)]), np.asarray(full[1]))
+
+
+def test_continue_nuts_keys_stream_sharded_bit_identical(setup,
+                                                         monkeypatch):
+    """Same protocol on the source-sharded streaming route (keys fold
+    by the walker-row index; source-axis devices stay replicas)."""
+    import lumfuncmcmc_tpu.ops.pallas_lnlike as pk
+    from lumfuncmcmc_tpu.parallel.sharding import (
+        continue_nuts_keys_stream_sharded, run_nuts_stream_sharded)
+    cfg, ctx, layout = setup
+    ncells = int(np.prod(np.asarray(ctx.logL_grid).shape))
+    monkeypatch.setattr(pk, "_VMEM_ARRAY_LIMIT", ncells * 5 * 4 + 16)
+    mesh = make_mesh(2, 4)
+    thetas = np.asarray(sample_init(jax.random.PRNGKey(15), layout, 4))
+    mid = 0.5 * (np.asarray(layout.lo) + np.asarray(layout.hi))
+    start = jnp.asarray(0.8 * mid[None, :] + 0.2 * thetas)
+    from lumfuncmcmc_tpu.samplers.nuts import make_unconstrained
+    _, _, to_y = make_unconstrained(
+        lambda th: 0.0, jnp.asarray(layout.lo, jnp.float32),
+        jnp.asarray(layout.hi, jnp.float32))
+    y0 = jax.vmap(to_y)(start.astype(jnp.float32))
+    key = jax.random.PRNGKey(16)
+
+    full = run_nuts_stream_sharded(
+        ctx, layout, mesh, y0, key, num_warmup=30, num_samples=8,
+        interpret=True, max_doublings=4)
+    assert full is not None
+    s1, lp1, _, _, _, st = run_nuts_stream_sharded(
+        ctx, layout, mesh, y0, key, num_warmup=30, num_samples=4,
+        interpret=True, max_doublings=4, return_state=True)
+    out = continue_nuts_keys_stream_sharded(
+        ctx, layout, mesh, st, key, 4, 8, interpret=True,
+        max_doublings=4)
+    assert out is not None
+    s2, lp2, _, _, _ = out
+    np.testing.assert_array_equal(
+        np.concatenate([np.asarray(s1), np.asarray(s2)]),
+        np.asarray(full[0]))
+    np.testing.assert_array_equal(
+        np.concatenate([np.asarray(lp1), np.asarray(lp2)]),
+        np.asarray(full[1]))
+
+
+def test_fit_model_nuts_fixed_ckpt_native_mesh(tmp_path, monkeypatch):
+    """Fixed-length --checkpoint-every on the per-device-replica mesh
+    route: the checkpointed chain is BIT-IDENTICAL to the plain run,
+    and a resume from a truncated npz (poisoned first-block runner)
+    completes to the same chain."""
+    import lumfuncmcmc_tpu.parallel.sharding as sh
+    from lumfuncmcmc_tpu.models.model import LumFuncModel
+    cfg = LFConfig(min_comp_frac=0.5, fix_comp=False, size_ln=21,
+                   nwalkers=16, nsteps=9, use_pallas=True,
+                   pallas_interpret=True, checkpoint_every=4)
+    cat = apply_completeness_cut(make_catalog(cfg, n_target=200, seed=8),
+                                 cfg)
+
+    def model(c):
+        return LumFuncModel(c, mesh=make_mesh(4, 2), z=cat["z"],
+                            flux=cat["flux"], flux_e=cat["flux_e"],
+                            field_id=cat["field_id"])
+
+    plain = model(cfg.replace(checkpoint_every=0)).fit_model_nuts(
+        num_warmup=40, nchains=8)
+    ck = str(tmp_path / "fx.npz")
+    ckpt = model(cfg).fit_model_nuts(num_warmup=40, nchains=8,
+                                     checkpoint_path=ck)
+    np.testing.assert_array_equal(ckpt, plain)
+    saved = np.load(ck)
+    assert int(saved["nblocks"]) == 3          # 4 + 4 + 1
+    assert saved["fingerprint"].shape == (8,)  # mesh dims pinned
+
+    # crash after block 2, resume without re-running the first block
+    ck2 = str(tmp_path / "fx2.npz")
+    orig = sh.continue_nuts_keys_sharded
+    calls = {"n": 0}
+
+    def flaky(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("simulated crash")
+        return orig(*a, **k)
+
+    monkeypatch.setattr(sh, "continue_nuts_keys_sharded", flaky)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        model(cfg).fit_model_nuts(num_warmup=40, nchains=8,
+                                  checkpoint_path=ck2)
+    monkeypatch.setattr(sh, "continue_nuts_keys_sharded", orig)
+    assert int(np.load(ck2)["nblocks"]) == 2
+
+    def no_first(*a, **k):
+        raise AssertionError("resume must not re-run the first block")
+
+    monkeypatch.setattr(sh, "run_nuts_sharded", no_first)
+    resumed = model(cfg).fit_model_nuts(num_warmup=40, nchains=8,
+                                        checkpoint_path=ck2,
+                                        resume=True)
+    np.testing.assert_array_equal(resumed, plain)
