@@ -495,6 +495,15 @@ def cmd_fit(args):
                          mesh=_make_mesh_maybe(cfg))
     print("Initialized LumFuncModel")
     if _resume_if_done(model, cfg, args, outdir):
+        # post-fit analyses still run against the resumed posterior
+        # (--map needs no posterior at all); without this, a rerun
+        # adding --ic/--map would silently produce nothing
+        if getattr(args, "map", False):
+            _map_quicklook(model, cfg, args, outdir)
+        if getattr(args, "ic", False):
+            from lumfuncmcmc_tpu.parallel.distributed import is_primary
+            if is_primary():
+                _write_ic(model, cfg, args, outdir)
         return 0
     names = model.get_param_names()
     print("Labels:", names)
@@ -622,12 +631,15 @@ def cmd_compare_ic(args):
     from lumfuncmcmc_tpu.models.ic import compare_ic
     a = dict(np.load(args.npz_a))
     b = dict(np.load(args.npz_b))
+    r = None
     for which in ("loo", "waic"):
-        r = compare_ic(a, b, which=which)
+        res = compare_ic(a, b, which=which)
+        if which == "loo":
+            r = res
         print(f"elpd_{which}(A) - elpd_{which}(B) = "
-              f"{r['delta']:+.3f} +- {r['se']:.3f}  "
-              f"(z = {r['z']:+.2f}, {r['n_sources']} paired sources)")
-    r = compare_ic(a, b, which="loo")
+              f"{res['delta']:+.3f} +- {res['se']:.3f}  "
+              f"(z = {res['z']:+.2f}, {res['n_sources']} paired "
+              "sources)")
     verdict = {"a": f"model A ({args.npz_a}) is preferred",
                "b": f"model B ({args.npz_b}) is preferred",
                "tie": "no significant preference (|z| <= 2)"}
@@ -687,6 +699,15 @@ def cmd_fitz(args):
                           mesh=_make_mesh_maybe(cfg))
     print("Initialized LumFuncModelZ")
     if _resume_if_done(model, cfg, args, outdir):
+        # post-fit analyses still run against the resumed posterior
+        # (--map needs no posterior at all); without this, a rerun
+        # adding --ic/--map would silently produce nothing
+        if getattr(args, "map", False):
+            _map_quicklook(model, cfg, args, outdir)
+        if getattr(args, "ic", False):
+            from lumfuncmcmc_tpu.parallel.distributed import is_primary
+            if is_primary():
+                _write_ic(model, cfg, args, outdir)
         return 0
     names = model.get_param_names()
     print("Labels:", names)
@@ -732,6 +753,15 @@ def cmd_fith(args):
                           mesh=_make_mesh_maybe(cfg))
     print("Initialized LumFuncModelH")
     if _resume_if_done(model, cfg, args, outdir):
+        # post-fit analyses still run against the resumed posterior
+        # (--map needs no posterior at all); without this, a rerun
+        # adding --ic/--map would silently produce nothing
+        if getattr(args, "map", False):
+            _map_quicklook(model, cfg, args, outdir)
+        if getattr(args, "ic", False):
+            from lumfuncmcmc_tpu.parallel.distributed import is_primary
+            if is_primary():
+                _write_ic(model, cfg, args, outdir)
         return 0
     names = model.get_param_names()
     print("Labels:", names)

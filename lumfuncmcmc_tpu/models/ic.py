@@ -435,7 +435,12 @@ def compare_ic(ic_a: dict, ic_b: dict, which: str = "loo"):
     n = d.size
     delta = float(d.sum())
     se = float(np.sqrt(n * np.var(d, ddof=1))) if n > 1 else 0.0
-    z = delta / se if se > 0 else np.inf * np.sign(delta or 1.0)
+    if se > 0:
+        z = delta / se
+    elif delta == 0.0:
+        z = 0.0          # identical pointwise arrays: a tie, not +inf
+    else:
+        z = np.inf * np.sign(delta)
     return {
         "delta": delta,
         "se": se,

@@ -81,6 +81,24 @@ def test_fit_ic_writes_artifact(workdir, capsys):
     assert "decomposition check FAILED" not in out
 
 
+def test_ic_runs_on_resumed_posterior(workdir, capsys):
+    """Rerunning with --ic after a completed fit must compute the IC
+    from the resumed posterior, not silently skip it (the
+    resume-and-replot early return used to swallow --ic/--map)."""
+    assert main(["fit"] + ARGS) == 0
+    base = "t_nb50_nw16_ns60_mcf50"
+    assert not (workdir / "LFMCMCOut" / f"ic_{base}.dat").exists()
+    capsys.readouterr()
+    assert main(["fit"] + ARGS + ["--ic", "--ic-draws", "60",
+                                  "--map"]) == 0
+    out = capsys.readouterr().out
+    assert "Resumed from existing" in out
+    assert "Finished writing information criteria" in out
+    assert "Finished writing MAP/Laplace quick-look" in out
+    assert (workdir / "LFMCMCOut" / f"ic_{base}.dat").exists()
+    assert (workdir / "LFMCMCOut" / f"map_{base}.dat").exists()
+
+
 def test_compare_ic_cli(workdir, capsys):
     """fit --ic and fitz --ic on the SAME synthetic catalog, then the
     paired compare-ic subcommand: equal source counts pair up, output

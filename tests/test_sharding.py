@@ -884,3 +884,65 @@ def test_fit_model_nuts_fixed_ckpt_native_mesh(tmp_path, monkeypatch):
                                         checkpoint_path=ck2,
                                         resume=True)
     np.testing.assert_array_equal(resumed, plain)
+
+
+def test_fit_model_nuts_fixed_ckpt_stream_mesh(tmp_path, monkeypatch,
+                                               setup):
+    """Fixed-length --checkpoint-every through fit_model_nuts on the
+    SOURCE-SHARDED stream route: the blockwise chain equals the plain
+    run bit-for-bit and a truncated npz resumes without re-running the
+    warmup block (the crash/resume replay internals are shared with
+    the native route — what this pins is the stream-specific
+    first/cont wiring and fingerprint)."""
+    import lumfuncmcmc_tpu.ops.pallas_lnlike as pk
+    import lumfuncmcmc_tpu.parallel.sharding as sh
+    from lumfuncmcmc_tpu.models.model import LumFuncModel
+
+    cfg, ctx, layout = setup
+    ncells = int(np.prod(np.asarray(ctx.logL_grid).shape))
+    monkeypatch.setattr(pk, "_VMEM_ARRAY_LIMIT", ncells * 5 * 4 + 16)
+    cfg2 = cfg.replace(use_pallas=True, pallas_interpret=True,
+                       nwalkers=8, nsteps=6, fix_comp=False,
+                       checkpoint_every=4)
+    cat = apply_completeness_cut(make_catalog(cfg2, n_target=300,
+                                              seed=9), cfg2)
+
+    def model(c):
+        return LumFuncModel(c, mesh=make_mesh(2, 4), z=cat["z"],
+                            flux=cat["flux"], flux_e=cat["flux_e"],
+                            field_id=cat["field_id"])
+
+    assert model(cfg2)._nuts_stream_mesh_route() is True
+    plain = model(cfg2.replace(checkpoint_every=0)).fit_model_nuts(
+        num_warmup=30, nchains=4)
+    ck = str(tmp_path / "sfx.npz")
+    ckpt = model(cfg2).fit_model_nuts(num_warmup=30, nchains=4,
+                                      checkpoint_path=ck)
+    np.testing.assert_array_equal(ckpt, plain)
+    saved = np.load(ck)
+    assert int(saved["nblocks"]) == 2          # 4 + 2
+    assert saved["fingerprint"].shape == (8,)
+
+    # truncate by poisoning the continuation of a fresh run after
+    # block 1, then resume with the warmup runner poisoned instead
+    ck2 = str(tmp_path / "sfx2.npz")
+    orig = sh.continue_nuts_keys_stream_sharded
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash")
+
+    monkeypatch.setattr(sh, "continue_nuts_keys_stream_sharded", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        model(cfg2).fit_model_nuts(num_warmup=30, nchains=4,
+                                   checkpoint_path=ck2)
+    monkeypatch.setattr(sh, "continue_nuts_keys_stream_sharded", orig)
+    assert int(np.load(ck2)["nblocks"]) == 1
+
+    def no_first(*a, **k):
+        raise AssertionError("resume must not re-run the first block")
+
+    monkeypatch.setattr(sh, "run_nuts_stream_sharded", no_first)
+    resumed = model(cfg2).fit_model_nuts(num_warmup=30, nchains=4,
+                                         checkpoint_path=ck2,
+                                         resume=True)
+    np.testing.assert_array_equal(resumed, plain)
