@@ -1298,6 +1298,103 @@ class _BaseModel:
             "mesh_walkers, mesh_sources)")
         return ck, fp, resumed
 
+    def _nuts_mesh_engine(self, route, lnp_y, to_theta, y0, k_run,
+                          num_warmup, pooled, min_ess, max_blocks,
+                          checkpoint_path, resume, fixed_ck):
+        """ONE copy of the shard_map NUTS run/checkpoint/min-ess
+        plumbing for both mesh routes — the route only selects the
+        (first-run, continuation) pair; everything else (fixed-length
+        dispatch, warmup-block save, resume unpack, min-ess block loop
+        with per-block saves, host gather) is protocol, and protocol
+        duplicated per route has already drifted once.
+
+        Returns host-side ``(samples_y, lnps_y, alphas, eps,
+        div_frac)`` — eps per device (replica route) / per walker row
+        (stream route).
+        """
+        from lumfuncmcmc_tpu.parallel.distributed import to_host
+        from lumfuncmcmc_tpu.parallel import sharding as sh
+        cfg = self.cfg
+
+        if route == "native_mesh":
+            def first(return_state):
+                return sh.run_nuts_sharded(
+                    lnp_y, y0, k_run, self.mesh,
+                    num_warmup=int(num_warmup),
+                    num_samples=int(cfg.nsteps), pooled=bool(pooled),
+                    return_state=return_state)
+
+            def cont(k, st):
+                return sh.continue_nuts_sharded(
+                    lnp_y, st, k, self.mesh,
+                    num_samples=int(cfg.nsteps))
+        else:
+            def first(return_state):
+                out = sh.run_nuts_stream_sharded(
+                    self.ctx, self.layout, self.mesh, y0, k_run,
+                    num_warmup=int(num_warmup),
+                    num_samples=int(cfg.nsteps), pooled=bool(pooled),
+                    interpret=cfg.pallas_interpret,
+                    return_state=return_state)
+                assert out is not None  # _nuts_stream_mesh_route gate
+                return out
+
+            def cont(k, st):
+                return sh.continue_nuts_stream_sharded(
+                    self.ctx, self.layout, self.mesh, st, k,
+                    num_samples=int(cfg.nsteps),
+                    interpret=cfg.pallas_interpret)
+
+        if fixed_ck:
+            samples_y, lnps_y, alphas, eps, div_frac = \
+                self._nuts_checkpointed(
+                    lnp_y, y0, k_run, num_warmup,
+                    int(cfg.checkpoint_every), checkpoint_path,
+                    resume, route=route, pooled=pooled)
+        else:
+            ck, fp, resumed = self._nuts_mesh_ckpt(
+                checkpoint_path, min_ess, resume, y0, num_warmup)
+            if resumed is None:
+                out = first(bool(min_ess))
+                if min_ess:
+                    (samples_y, lnps_y, alphas, eps, div_frac,
+                     nstate) = out
+                else:
+                    samples_y, lnps_y, alphas, eps, div_frac = out
+                jax.block_until_ready(lnps_y)
+                done_blocks = 1
+                if ck:
+                    self._nuts_ckpt_save(
+                        ck, fp, samples_y, lnps_y, alphas,
+                        np.atleast_1d(np.asarray(to_host(div_frac))),
+                        nstate, 1)
+            else:
+                (samples_y, lnps_y, alphas, div_frac, nstate,
+                 done_blocks) = resumed
+                eps = nstate[1]
+                self.log.info(
+                    "Resumed NUTS min-ess checkpoint (%s route): "
+                    "%d blocks (%d samples) — warmup skipped"
+                    % (route, done_blocks, int(samples_y.shape[0])))
+            if min_ess:
+                samples_y, lnps_y, alphas, div_frac = \
+                    self._nuts_min_ess_blocks(
+                        (samples_y, lnps_y, alphas, div_frac, nstate),
+                        to_theta, k_run, min_ess, max_blocks, cont,
+                        gather=to_host, done_blocks=done_blocks,
+                        save_cb=((lambda s, lp, al, df, st, nb:
+                                  self._nuts_ckpt_save(ck, fp, s, lp,
+                                                       al, df, st,
+                                                       nb))
+                                 if ck else None))
+            else:
+                div_frac = float(np.mean(np.asarray(
+                    to_host(div_frac))))
+        samples_y = jnp.asarray(to_host(samples_y))
+        alphas = to_host(alphas)
+        eps = to_host(eps)   # pooled: rows equal; else per replica
+        return samples_y, lnps_y, alphas, eps, div_frac
+
     def _nuts_ckpt_save(self, ck, fp, s, lp, al, df, st, nb):
         """Persist one min-ess NUTS block checkpoint. ``np.asarray``
         gathers sharded (fully-addressable) arrays to host, so the
@@ -1618,142 +1715,18 @@ class _BaseModel:
         self.log.info("Fitting with NUTS (%d chains, %d warmup, %d "
                       "samples)" % (nchains, num_warmup, cfg.nsteps))
         t0 = time.time()
-        if stream_mesh:
-            from lumfuncmcmc_tpu.parallel.distributed import to_host
-            from lumfuncmcmc_tpu.parallel.sharding import (
-                run_nuts_stream_sharded)
+        if stream_mesh or native_mesh:
             if jax.process_count() > 1:
                 y0 = np.asarray(y0)
                 k_run = np.asarray(k_run)
-            if fixed_ck:
-                (samples_y, lnps_y, alphas, eps, div_frac) = \
-                    self._nuts_checkpointed(
-                        None, y0, k_run, num_warmup,
-                        int(cfg.checkpoint_every), checkpoint_path,
-                        resume, route="stream_mesh",
-                        pooled=(True if pooled is None
-                                else bool(pooled)))
-                resumed = ck = None
-            else:
-                ck, fp, resumed = self._nuts_mesh_ckpt(
-                    checkpoint_path, min_ess, resume, y0, num_warmup)
-            if fixed_ck:
-                pass
-            elif resumed is None:
-                out = run_nuts_stream_sharded(
-                    self.ctx, self.layout, self.mesh, y0, k_run,
-                    num_warmup=int(num_warmup),
-                    num_samples=int(cfg.nsteps),
-                    pooled=(True if pooled is None else bool(pooled)),
-                    interpret=cfg.pallas_interpret,
-                    return_state=bool(min_ess))
-                assert out is not None  # _nuts_stream_mesh_route gate
-                if min_ess:
-                    (samples_y, lnps_y, alphas, eps, div_frac,
-                     nstate) = out
-                else:
-                    samples_y, lnps_y, alphas, eps, div_frac = out
-                jax.block_until_ready(lnps_y)
-                done_blocks = 1
-                if ck:
-                    self._nuts_ckpt_save(
-                        ck, fp, samples_y, lnps_y, alphas,
-                        np.atleast_1d(np.asarray(to_host(div_frac))),
-                        nstate, 1)
-            else:
-                (samples_y, lnps_y, alphas, div_frac, nstate,
-                 done_blocks) = resumed
-                eps = nstate[1]
-                self.log.info(
-                    "Resumed NUTS min-ess checkpoint (stream route): "
-                    "%d blocks (%d samples) — warmup skipped"
-                    % (done_blocks, int(samples_y.shape[0])))
-            if min_ess:
-                from lumfuncmcmc_tpu.parallel.sharding import (
-                    continue_nuts_stream_sharded)
-                samples_y, lnps_y, alphas, div_frac = \
-                    self._nuts_min_ess_blocks(
-                        (samples_y, lnps_y, alphas, div_frac, nstate),
-                        to_theta, k_run, min_ess, max_blocks,
-                        lambda k, st: continue_nuts_stream_sharded(
-                            self.ctx, self.layout, self.mesh, st, k,
-                            num_samples=int(cfg.nsteps),
-                            interpret=cfg.pallas_interpret),
-                        gather=to_host, done_blocks=done_blocks,
-                        save_cb=((lambda s, lp, al, df, st, nb:
-                                  self._nuts_ckpt_save(ck, fp, s, lp,
-                                                       al, df, st, nb))
-                                 if ck else None))
-            else:
-                div_frac = float(np.mean(np.asarray(to_host(div_frac))))
-            samples_y = jnp.asarray(to_host(samples_y))
-            alphas = to_host(alphas)
-            eps = to_host(eps)              # pooled: all rows equal
-        elif native_mesh:
-            from lumfuncmcmc_tpu.parallel.distributed import to_host
-            from lumfuncmcmc_tpu.parallel.sharding import run_nuts_sharded
-            if jax.process_count() > 1:
-                y0 = np.asarray(y0)
-                k_run = np.asarray(k_run)
-            if fixed_ck:
-                (samples_y, lnps_y, alphas, eps, div_frac) = \
-                    self._nuts_checkpointed(
-                        lnp_y, y0, k_run, num_warmup,
-                        int(cfg.checkpoint_every), checkpoint_path,
-                        resume, route="native_mesh",
-                        pooled=bool(pooled))
-                resumed = ck = None
-            else:
-                ck, fp, resumed = self._nuts_mesh_ckpt(
-                    checkpoint_path, min_ess, resume, y0, num_warmup)
-            if fixed_ck:
-                pass
-            elif resumed is None:
-                out = run_nuts_sharded(
-                    lnp_y, y0, k_run, self.mesh,
-                    num_warmup=int(num_warmup),
-                    num_samples=int(cfg.nsteps),
-                    pooled=bool(pooled), return_state=bool(min_ess))
-                if min_ess:
-                    (samples_y, lnps_y, alphas, eps, div_frac,
-                     nstate) = out
-                else:
-                    samples_y, lnps_y, alphas, eps, div_frac = out
-                jax.block_until_ready(lnps_y)
-                done_blocks = 1
-                if ck:
-                    self._nuts_ckpt_save(
-                        ck, fp, samples_y, lnps_y, alphas,
-                        np.atleast_1d(np.asarray(to_host(div_frac))),
-                        nstate, 1)
-            else:
-                (samples_y, lnps_y, alphas, div_frac, nstate,
-                 done_blocks) = resumed
-                eps = nstate[1]
-                self.log.info(
-                    "Resumed NUTS min-ess checkpoint (replica route): "
-                    "%d blocks (%d samples) — warmup skipped"
-                    % (done_blocks, int(samples_y.shape[0])))
-            if min_ess:
-                from lumfuncmcmc_tpu.parallel.sharding import (
-                    continue_nuts_sharded)
-                samples_y, lnps_y, alphas, div_frac = \
-                    self._nuts_min_ess_blocks(
-                        (samples_y, lnps_y, alphas, div_frac, nstate),
-                        to_theta, k_run, min_ess, max_blocks,
-                        lambda k, st: continue_nuts_sharded(
-                            lnp_y, st, k, self.mesh,
-                            num_samples=int(cfg.nsteps)),
-                        gather=to_host, done_blocks=done_blocks,
-                        save_cb=((lambda s, lp, al, df, st, nb:
-                                  self._nuts_ckpt_save(ck, fp, s, lp,
-                                                       al, df, st, nb))
-                                 if ck else None))
-            else:
-                div_frac = float(np.mean(np.asarray(to_host(div_frac))))
-            samples_y = jnp.asarray(to_host(samples_y))
-            alphas = to_host(alphas)
-            eps = to_host(eps)              # per-replica adapted eps
+            route = "stream_mesh" if stream_mesh else "native_mesh"
+            eff_pooled = ((True if pooled is None else bool(pooled))
+                          if stream_mesh else bool(pooled))
+            samples_y, lnps_y, alphas, eps, div_frac = \
+                self._nuts_mesh_engine(
+                    route, lnp_y, to_theta, y0, k_run, num_warmup,
+                    eff_pooled, min_ess, max_blocks, checkpoint_path,
+                    resume, fixed_ck)
         elif fixed_ck:
             samples_y, lnps_y, alphas, eps, div_frac = \
                 self._nuts_checkpointed(
