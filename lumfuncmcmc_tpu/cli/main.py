@@ -651,6 +651,33 @@ def cmd_compare_ic(args):
     return 0
 
 
+def cmd_stack_ic(args):
+    """Stacking weights over K models' pointwise-elpd artifacts: the
+    optimal predictive mixture, not just a pairwise ranking."""
+    from lumfuncmcmc_tpu.models.ic import stacking_weights
+    if len(args.npz) < 2:
+        print("stack-ic needs at least 2 ic_pointwise npz files")
+        return 1
+    cols = []
+    for p in args.npz:
+        cols.append(np.asarray(np.load(p)["elpd_loo_i"],
+                               dtype=np.float64))
+        if cols[-1].shape != cols[0].shape:
+            raise ValueError(
+                f"stacking needs the same sources: {args.npz[0]} has "
+                f"{cols[0].shape[0]} pointwise terms, {p} "
+                f"{cols[-1].shape[0]} — were all fits run on the same "
+                "catalog?")
+    w, info = stacking_weights(np.column_stack(cols))
+    for i, p in enumerate(args.npz):
+        print(f"  w={w[i]:.4f}  (pseudo-BMA {info['pseudo_bma'][i]:.4f},"
+              f" elpd_loo {info['log_score_single'][i]:.3f})  {p}")
+    print(f"stacked log score {info['log_score']:.3f} vs best single "
+          f"{info['log_score_single'].max():.3f} "
+          f"({len(cols[0])} paired sources)")
+    return 0
+
+
 def _run_evidence(model, args):
     """Run the tempered-evidence ladder. COLLECTIVE: under
     --distributed every process must call this (shard_map over the
@@ -1043,6 +1070,14 @@ def main(argv=None):
     p_cmp.add_argument("npz_b", type=str,
                        help="ic_pointwise npz of model B")
     p_cmp.set_defaults(func=cmd_compare_ic)
+
+    p_stk = sub.add_parser(
+        "stack-ic",
+        help="stacking weights for model averaging from K --ic runs "
+             "on the same catalog (Yao et al. 2018)")
+    p_stk.add_argument("npz", type=str, nargs="+",
+                       help="ic_pointwise npz artifacts (>= 2)")
+    p_stk.set_defaults(func=cmd_stack_ic)
 
     p_vmax = sub.add_parser("vmax", help="standalone 1/V_eff pipeline")
     _add_common_flags(p_vmax)

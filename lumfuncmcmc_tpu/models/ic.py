@@ -409,6 +409,53 @@ def information_criteria(samples, ctx: LFContext, layout,
     return out
 
 
+def stacking_weights(lpd, maxiter: int = 500):
+    """Stacking weights for model averaging (Yao et al. 2018).
+
+    ``lpd``: (N, K) pointwise log predictive densities — K models'
+    ``elpd_loo_i`` columns on the SAME N sources. Maximizes the
+    leave-one-out log score of the mixture predictive
+
+        sum_i log sum_k w_k exp(lpd_ik)
+
+    over the probability simplex (softmax parameterization, BFGS — one
+    jitted solve; the softmax's shift direction is flat and harmless).
+    Stacking finds the best predictive MIXTURE; unlike pseudo-BMA it
+    does not pile all weight on one model when several are close, and
+    it zeroes strictly-dominated ones.
+
+    Returns ``(w (K,), info)`` with ``info['log_score']`` (the stacked
+    total), ``info['log_score_single']`` (each model alone, (K,)) and
+    ``info['pseudo_bma']`` (exp-elpd weights, the cruder alternative,
+    for comparison).
+    """
+    lpd = jnp.asarray(np.asarray(lpd, dtype=np.float64))
+    n, k = lpd.shape
+    if k < 2:
+        raise ValueError("stacking needs at least 2 models")
+
+    def neg_score(a):
+        logw = jax.nn.log_softmax(a)
+        return -jnp.sum(jax.scipy.special.logsumexp(
+            lpd + logw[None, :], axis=1))
+
+    from jax.scipy.optimize import minimize
+    res = minimize(neg_score, jnp.zeros(k, lpd.dtype), method="BFGS",
+                   options={"maxiter": maxiter})
+    w = np.asarray(jax.nn.softmax(res.x), dtype=np.float64)
+    elpd_k = np.asarray(lpd.sum(axis=0), dtype=np.float64)
+    bma = np.exp(elpd_k - elpd_k.max())
+    info = {
+        "log_score": -float(res.fun),
+        "log_score_single": elpd_k,
+        "pseudo_bma": bma / bma.sum(),
+        "converged": bool(res.success) or bool(
+            np.linalg.norm(np.asarray(jax.grad(neg_score)(res.x)))
+            < 1e-4 * max(1.0, abs(float(res.fun)))),
+    }
+    return w, info
+
+
 def compare_ic(ic_a: dict, ic_b: dict, which: str = "loo"):
     """Paired elpd comparison of two models fitted to the SAME catalog.
 

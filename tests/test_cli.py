@@ -116,6 +116,15 @@ def test_compare_ic_cli(workdir, capsys):
     assert "elpd_waic(A) - elpd_waic(B)" in out
     assert ("preferred" in out) or ("no significant preference" in out)
 
+    # stacking over the same artifacts: weights on the simplex, stacked
+    # score at least the best single model's
+    assert main(["stack-ic", a, b]) == 0
+    out = capsys.readouterr().out
+    ws = [float(line.split("w=")[1].split()[0])
+          for line in out.splitlines() if "w=" in line]
+    assert len(ws) == 2 and abs(sum(ws) - 1.0) < 1e-6
+    assert "stacked log score" in out
+
 
 def test_fit_with_checkpointing_and_thin(workdir):
     """Regression: the checkpoint branch of cmd_fit must import

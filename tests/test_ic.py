@@ -347,3 +347,43 @@ def test_ic_pointwise_arrays_always_present(fitted):
                                ic["elpd_waic"], rtol=1e-12)
     np.testing.assert_allclose(ic["elpd_loo_i"].sum(),
                                ic["elpd_loo"], rtol=1e-12)
+
+
+def test_stacking_weights_mixture_oracle():
+    """Data from a 50/50 mixture of two predictives: stacking finds
+    w ~ (0.5, 0.5) (the optimal mixture), a strictly dominated third
+    model gets ~0 weight, and the stacked score beats every single
+    model — while pseudo-BMA, by construction, piles weight on one."""
+    from lumfuncmcmc_tpu.models.ic import stacking_weights
+
+    rng = np.random.default_rng(21)
+    N = 4000
+    comp = rng.integers(0, 2, size=N)
+    y = rng.normal(np.where(comp, 3.0, -3.0), 1.0)
+    lpd = np.column_stack([
+        _normal_logpdf(y, -3.0, 1.0),    # model A: left component
+        _normal_logpdf(y, 3.0, 1.0),     # model B: right component
+        _normal_logpdf(y, 20.0, 1.0),    # model C: nonsense
+    ])
+    w, info = stacking_weights(lpd)
+    assert info["converged"]
+    np.testing.assert_allclose(w.sum(), 1.0, atol=1e-8)
+    assert np.all(w >= -1e-12)
+    assert abs(w[0] - 0.5) < 0.05 and abs(w[1] - 0.5) < 0.05, w
+    assert w[2] < 1e-3
+    assert info["log_score"] > info["log_score_single"].max() + 100
+    # pseudo-BMA cannot mix: all its weight lands on one component
+    assert info["pseudo_bma"].max() > 0.99
+
+
+def test_stacking_true_model_takes_all():
+    """When one model IS the data-generating predictive, stacking
+    gives it ~all the weight."""
+    from lumfuncmcmc_tpu.models.ic import stacking_weights
+
+    rng = np.random.default_rng(22)
+    y = rng.normal(0.0, 1.0, size=3000)
+    lpd = np.column_stack([_normal_logpdf(y, 0.0, 1.0),
+                           _normal_logpdf(y, 1.5, 1.0)])
+    w, info = stacking_weights(lpd)
+    assert w[0] > 0.95, w
