@@ -37,7 +37,8 @@ from lumfuncmcmc_tpu.ops.completeness import fleming_root_logf_np
 from lumfuncmcmc_tpu.ops.schechter import true_lum_func, schechter_z
 from lumfuncmcmc_tpu.samplers.affine import de_schedule, run_stretch
 from lumfuncmcmc_tpu.samplers.diagnostics import (
-    burnin_steps, effective_sample_size, gelman_rubin)
+    burnin_steps, effective_sample_size, gelman_rubin,
+    rank_normalized_rhat)
 from lumfuncmcmc_tpu.utils.logging import setup_logging
 
 
@@ -534,6 +535,9 @@ class _BaseModel:
                       "Steps: %i" % (round(tau), burn))
         ess = effective_sample_size(chain[burn:])
         rhat = gelman_rubin(chain[burn:])
+        rrhat = rank_normalized_rhat(chain[burn:])
+        self.log.info("rank-normalized R-hat (bulk/tail max): %.4f"
+                      % rrhat.max())
         self.log.info("min ESS: %.0f; max R-hat: %.4f; ESS/sec: %.0f"
                       % (ess.min(), rhat.max(), ess.min() / elapsed))
 
@@ -1816,6 +1820,9 @@ class _BaseModel:
                 % (100.0 * float(div_frac)))
         ess = effective_sample_size(chain)
         rhat = gelman_rubin(chain)
+        rrhat = rank_normalized_rhat(chain)
+        self.log.info("rank-normalized R-hat (bulk/tail max): %.4f"
+                      % rrhat.max())
         self.log.info("min ESS: %.0f; max R-hat: %.4f; ESS/sec: %.0f"
                       % (ess.min(), rhat.max(), ess.min() / elapsed))
         self.chain = chain

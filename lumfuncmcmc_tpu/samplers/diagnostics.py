@@ -99,6 +99,49 @@ def gelman_rubin_ensembles(chains):
     return np.sqrt(var_post / np.maximum(w_within, 1e-300))
 
 
+def _norm_ppf(p):
+    """Standard-normal quantile via erfinv (scipy is test-oracle-only
+    in this codebase; these arrays are tiny host-side diagnostics)."""
+    import jax.scipy.special as jsp
+    return np.sqrt(2.0) * np.asarray(jsp.erfinv(2.0 * np.asarray(p)
+                                                - 1.0))
+
+
+def _rank_normalize(x):
+    """Rank-normalize samples jointly across chains (Vehtari et al.
+    2021 eq. 14: fractional ranks (r - 3/8)/(S + 1/4) through the
+    normal quantile). ``x``: (n, m, d)."""
+    n, m, d = x.shape
+    flat = x.reshape(n * m, d)
+    ranks = np.empty_like(flat)
+    order = np.argsort(flat, axis=0)
+    np.put_along_axis(ranks, order,
+                      np.broadcast_to(
+                          np.arange(1, n * m + 1, dtype=np.float64)
+                          [:, None], flat.shape).copy(), axis=0)
+    z = _norm_ppf((ranks - 0.375) / (n * m + 0.25))
+    return z.reshape(n, m, d)
+
+
+def rank_normalized_rhat(chain):
+    """Rank-normalized split-R-hat, max of bulk and tail (folded)
+    variants (Vehtari, Gelman, Simpson, Carpenter & Bürkner 2021).
+
+    The classic split-R-hat compares means, so chains that agree in
+    location but disagree in SCALE (or have heavy tails that swamp the
+    mean comparison) pass it; the folded variant runs the same
+    statistic on |x - median| and catches exactly those, and rank
+    normalization makes both defined for infinite-variance chains.
+    Same walker-interaction caveat as :func:`gelman_rubin` — for truly
+    independent chains use the ensembles variant's grouping.
+    """
+    x = np.asarray(chain, dtype=np.float64)
+    bulk = gelman_rubin(_rank_normalize(x))
+    folded = gelman_rubin(_rank_normalize(
+        np.abs(x - np.median(x, axis=(0, 1), keepdims=True))))
+    return np.maximum(bulk, folded)
+
+
 def burnin_steps(chain, nsteps: int):
     """Reference burn-in rule: min(3 * max tau, nsteps // 2)
     (``lumfuncmcmc.py:499-501``)."""

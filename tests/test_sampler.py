@@ -184,3 +184,29 @@ def test_run_stretch_de_sel_matches_host_schedule():
                     move="mix", de_prob=0.3,
                     de_sel=de_schedule(60, 0.3))
     np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+
+
+def test_rank_normalized_rhat_catches_scale_disagreement():
+    """The modern diagnostic's reason to exist: two walker groups with
+    the SAME location but different SCALES pass classic split-R-hat
+    (it compares means) while the folded rank-normalized variant flags
+    them; converged identical-distribution chains stay ~1 under both;
+    and rank normalization keeps the statistic finite on
+    infinite-variance (Cauchy) chains."""
+    from lumfuncmcmc_tpu.samplers.diagnostics import (
+        gelman_rubin, rank_normalized_rhat)
+
+    rng = np.random.default_rng(31)
+    n, w = 600, 8
+    good = rng.normal(size=(n, w, 2))
+    assert gelman_rubin(good).max() < 1.02
+    assert rank_normalized_rhat(good).max() < 1.02
+
+    scales = np.where(np.arange(w)[None, :, None] < w // 2, 1.0, 4.0)
+    scale_only = rng.normal(size=(n, w, 2)) * scales
+    assert gelman_rubin(scale_only).max() < 1.05      # blind to scale
+    assert rank_normalized_rhat(scale_only).max() > 1.2
+
+    cauchy = rng.standard_cauchy(size=(n, w, 2))
+    r = rank_normalized_rhat(cauchy)
+    assert np.all(np.isfinite(r)) and r.max() < 1.05
