@@ -57,8 +57,11 @@ def main():
     print("=== 1. MAP + Laplace (seconds) ===")
     for name, m in models.items():
         r = m.fit_map()
+        lnz_s = ("unavailable (Hessian not negative definite)"
+                 if r["lnz_laplace"] is None
+                 else f"{r['lnz_laplace']:.2f}")
         print(f"  {name:7s} lnpost={r['lnpost']:.2f} "
-              f"Laplace lnZ={r['lnz_laplace']:.2f}")
+              f"Laplace lnZ={lnz_s}")
 
     print("=== 2. fit + WAIC / PSIS-LOO (reuses the fit's draws) ===")
     ics = {}

@@ -385,6 +385,28 @@ def _resume_if_done(model, cfg, args, outdir):
     return True
 
 
+def _resumed_outputs(model, cfg, args, outdir):
+    """Post-fit analyses on a RESUMED posterior — without this, a
+    rerun adding --ic/--ppc/--map/--evidence would print 'regenerated
+    plots only' and silently produce nothing. Collective first: the
+    evidence ladder must run on EVERY process before any is_primary
+    gate (the documented deadlock pattern); --map has its own gate;
+    the remaining writers are primary-only."""
+    from lumfuncmcmc_tpu.parallel.distributed import is_primary
+    ev = (_run_evidence(model, args)
+          if getattr(args, "evidence", None) is not None else None)
+    if getattr(args, "map", False):
+        _map_quicklook(model, cfg, args, outdir)
+    if not is_primary():
+        return
+    if getattr(args, "ic", False):
+        _write_ic(model, cfg, args, outdir)
+    if getattr(args, "ppc", False):
+        _write_ppc(model, cfg, args, outdir)
+    if ev is not None:
+        _write_evidence(ev, cfg, args, outdir)
+
+
 def _dispatch_sampler(model, cfg, args, outdir):
     """Shared sampler dispatch for fit/fitz/fith: nuts / replicated
     ensembles / convergence-controlled / plain checkpointed fit, with
@@ -495,15 +517,7 @@ def cmd_fit(args):
                          mesh=_make_mesh_maybe(cfg))
     print("Initialized LumFuncModel")
     if _resume_if_done(model, cfg, args, outdir):
-        # post-fit analyses still run against the resumed posterior
-        # (--map needs no posterior at all); without this, a rerun
-        # adding --ic/--map would silently produce nothing
-        if getattr(args, "map", False):
-            _map_quicklook(model, cfg, args, outdir)
-        if getattr(args, "ic", False):
-            from lumfuncmcmc_tpu.parallel.distributed import is_primary
-            if is_primary():
-                _write_ic(model, cfg, args, outdir)
+        _resumed_outputs(model, cfg, args, outdir)
         return 0
     names = model.get_param_names()
     print("Labels:", names)
@@ -655,6 +669,10 @@ def cmd_stack_ic(args):
     """Stacking weights over K models' pointwise-elpd artifacts: the
     optimal predictive mixture, not just a pairwise ranking."""
     from lumfuncmcmc_tpu.models.ic import stacking_weights
+    # the only standalone JAX-using subcommand: apply the same
+    # precision policy the fit commands do (f64 on CPU) so the BFGS
+    # does not silently run the f64 elpd columns in f32
+    _apply_precision(LFConfig())
     if len(args.npz) < 2:
         print("stack-ic needs at least 2 ic_pointwise npz files")
         return 1
@@ -726,15 +744,7 @@ def cmd_fitz(args):
                           mesh=_make_mesh_maybe(cfg))
     print("Initialized LumFuncModelZ")
     if _resume_if_done(model, cfg, args, outdir):
-        # post-fit analyses still run against the resumed posterior
-        # (--map needs no posterior at all); without this, a rerun
-        # adding --ic/--map would silently produce nothing
-        if getattr(args, "map", False):
-            _map_quicklook(model, cfg, args, outdir)
-        if getattr(args, "ic", False):
-            from lumfuncmcmc_tpu.parallel.distributed import is_primary
-            if is_primary():
-                _write_ic(model, cfg, args, outdir)
+        _resumed_outputs(model, cfg, args, outdir)
         return 0
     names = model.get_param_names()
     print("Labels:", names)
@@ -780,15 +790,7 @@ def cmd_fith(args):
                           mesh=_make_mesh_maybe(cfg))
     print("Initialized LumFuncModelH")
     if _resume_if_done(model, cfg, args, outdir):
-        # post-fit analyses still run against the resumed posterior
-        # (--map needs no posterior at all); without this, a rerun
-        # adding --ic/--map would silently produce nothing
-        if getattr(args, "map", False):
-            _map_quicklook(model, cfg, args, outdir)
-        if getattr(args, "ic", False):
-            from lumfuncmcmc_tpu.parallel.distributed import is_primary
-            if is_primary():
-                _write_ic(model, cfg, args, outdir)
+        _resumed_outputs(model, cfg, args, outdir)
         return 0
     names = model.get_param_names()
     print("Labels:", names)

@@ -664,6 +664,10 @@ class _BaseModel:
         self.log.info("Total time taken: %0.2f s (%d steps, ESS/sec "
                       "%.0f)" % (elapsed, total_steps,
                                  ess_min / max(elapsed, 1e-9)))
+        if chain.shape[0] - burn >= 4:
+            self.log.info(
+                "rank-normalized R-hat (bulk/tail max): %.4f"
+                % rank_normalized_rhat(chain[burn:]).max())
         lnps = np.concatenate(lnps_parts)
         self.chain = chain
         full = np.concatenate([chain, lnps[:, :, None]], axis=2)
@@ -1107,6 +1111,14 @@ class _BaseModel:
                       "(%d ensembles); ESS/sec: %.0f"
                       % (ess.min(), rhat_ens.max(), nensembles,
                          ess.min() / elapsed))
+        if chains.shape[1] - burn >= 4:
+            from lumfuncmcmc_tpu.samplers.diagnostics import (
+                rank_normalized_rhat_ensembles)
+            self.log.info(
+                "rank-normalized cross-ensemble R-hat (bulk/tail "
+                "max): %.4f"
+                % rank_normalized_rhat_ensembles(
+                    chains[:, burn:]).max())
         self.rhat_ensembles = rhat_ens
         self.chain = pooled
         full = np.concatenate(

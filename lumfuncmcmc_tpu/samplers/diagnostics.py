@@ -101,10 +101,20 @@ def gelman_rubin_ensembles(chains):
 
 def _norm_ppf(p):
     """Standard-normal quantile via erfinv (scipy is test-oracle-only
-    in this codebase; these arrays are tiny host-side diagnostics)."""
+    in this codebase). PINNED to the CPU backend: this is a host-side
+    diagnostic on chain-sized arrays, and the default backend on the
+    deployment box is a remote TPU tunnel — shipping ranks through it
+    twice per fit is the exact remote-device trap schfit.py documents.
+    Forces f64 inputs so f32 TPU mode cannot downcast the ranks."""
+    import jax
     import jax.scipy.special as jsp
-    return np.sqrt(2.0) * np.asarray(jsp.erfinv(2.0 * np.asarray(p)
-                                                - 1.0))
+    arg = 2.0 * np.asarray(p, dtype=np.float64) - 1.0
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+        with jax.default_device(cpu):
+            return np.sqrt(2.0) * np.asarray(jsp.erfinv(arg))
+    except RuntimeError:
+        return np.sqrt(2.0) * np.asarray(jsp.erfinv(arg))
 
 
 def _rank_normalize(x):
@@ -139,6 +149,23 @@ def rank_normalized_rhat(chain):
     bulk = gelman_rubin(_rank_normalize(x))
     folded = gelman_rubin(_rank_normalize(
         np.abs(x - np.median(x, axis=(0, 1), keepdims=True))))
+    return np.maximum(bulk, folded)
+
+
+def rank_normalized_rhat_ensembles(chains):
+    """Rank-normalized (bulk + folded) variant of
+    :func:`gelman_rubin_ensembles` — independent ensembles as the
+    chain unit, ranks taken jointly over every sample."""
+    x = np.asarray(chains, dtype=np.float64)
+    c, n, w, d = x.shape
+
+    def z(v):
+        return _rank_normalize(v.reshape(c * n, w, d)).reshape(
+            c, n, w, d)
+
+    bulk = gelman_rubin_ensembles(z(x))
+    folded = gelman_rubin_ensembles(z(
+        np.abs(x - np.median(x, axis=(0, 1, 2), keepdims=True))))
     return np.maximum(bulk, folded)
 
 

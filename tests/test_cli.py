@@ -90,13 +90,15 @@ def test_ic_runs_on_resumed_posterior(workdir, capsys):
     assert not (workdir / "LFMCMCOut" / f"ic_{base}.dat").exists()
     capsys.readouterr()
     assert main(["fit"] + ARGS + ["--ic", "--ic-draws", "60",
-                                  "--map"]) == 0
+                                  "--map", "--ppc"]) == 0
     out = capsys.readouterr().out
     assert "Resumed from existing" in out
     assert "Finished writing information criteria" in out
     assert "Finished writing MAP/Laplace quick-look" in out
+    assert "Finished writing posterior predictive check" in out
     assert (workdir / "LFMCMCOut" / f"ic_{base}.dat").exists()
     assert (workdir / "LFMCMCOut" / f"map_{base}.dat").exists()
+    assert (workdir / "LFMCMCOut" / f"ppc_{base}.dat").exists()
 
 
 def test_compare_ic_cli(workdir, capsys):

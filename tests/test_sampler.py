@@ -210,3 +210,23 @@ def test_rank_normalized_rhat_catches_scale_disagreement():
     cauchy = rng.standard_cauchy(size=(n, w, 2))
     r = rank_normalized_rhat(cauchy)
     assert np.all(np.isfinite(r)) and r.max() < 1.05
+
+
+def test_rank_normalized_rhat_ensembles_scale_disagreement():
+    """Ensembles variant: scale-only disagreement between independent
+    ensembles passes the classic cross-ensemble statistic and is
+    flagged by the folded rank-normalized one."""
+    from lumfuncmcmc_tpu.samplers.diagnostics import (
+        gelman_rubin_ensembles, rank_normalized_rhat_ensembles)
+
+    rng = np.random.default_rng(33)
+    c, n, w = 4, 400, 6
+    good = rng.normal(size=(c, n, w, 2))
+    assert gelman_rubin_ensembles(good).max() < 1.02
+    assert rank_normalized_rhat_ensembles(good).max() < 1.02
+
+    scales = np.where(np.arange(c)[:, None, None, None] < c // 2,
+                      1.0, 4.0)
+    scale_only = rng.normal(size=(c, n, w, 2)) * scales
+    assert gelman_rubin_ensembles(scale_only).max() < 1.05
+    assert rank_normalized_rhat_ensembles(scale_only).max() > 1.2
