@@ -156,3 +156,21 @@ def test_init_map_nuts_start(fitted_map):
     assert np.all(np.isfinite(s))
     med = np.median(s[:, :3], axis=0)
     assert np.all(np.abs(med - m2.map_fit["theta"]) < 0.5)
+
+
+def test_init_map_fallback_keeps_uniform_semantics(fitted_map):
+    """When the mode Hessian is unusable, init_map falls back to the
+    DEFAULT uniform draws and records _init_from_map=False — the flag
+    fit_model_nuts' center-shrink gates on (a raw-corner NUTS start
+    from a silent fallback was a caught review finding)."""
+    from lumfuncmcmc_tpu.models.model import LumFuncModel
+    m, cat = fitted_map
+    cfg2 = m.cfg.replace(init_map=True)
+    m2 = LumFuncModel(cfg2, z=cat["z"], flux=cat["flux"],
+                      flux_e=cat["flux_e"], field_id=cat["field_id"])
+    m2.map_fit = {"hess_ok": False}      # poisoned cached Laplace
+    key = jax.random.PRNGKey(4)
+    pos = np.asarray(m2._initial_positions(key))
+    assert m2._init_from_map is False
+    np.testing.assert_array_equal(
+        pos, np.asarray(m2._default_positions(key)))
