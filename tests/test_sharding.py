@@ -720,8 +720,8 @@ def test_nuts_min_ess_checkpoint_resume_stream_mesh(tmp_path,
     ncells = int(np.prod(np.asarray(ctx.logL_grid).shape))
     monkeypatch.setattr(pk, "_VMEM_ARRAY_LIMIT", ncells * 5 * 4 + 16)
     cfg2 = cfg.replace(use_pallas=True, pallas_interpret=True,
-                       nwalkers=8, nsteps=8, fix_comp=False)
-    cat = apply_completeness_cut(make_catalog(cfg2, n_target=300,
+                       nwalkers=8, nsteps=5, fix_comp=False)
+    cat = apply_completeness_cut(make_catalog(cfg2, n_target=200,
                                               seed=9), cfg2)
 
     def model():
@@ -732,7 +732,7 @@ def test_nuts_min_ess_checkpoint_resume_stream_mesh(tmp_path,
     m = model()
     assert m._nuts_stream_mesh_route() is True
     ck = str(tmp_path / "stream_me.npz")
-    full = m.fit_model_nuts(num_warmup=40, nchains=4, min_ess=1e6,
+    full = m.fit_model_nuts(num_warmup=20, nchains=2, min_ess=1e6,
                             max_blocks=2, checkpoint_path=ck)
     saved = np.load(ck)
     assert int(saved["nblocks"]) == 2
@@ -740,7 +740,7 @@ def test_nuts_min_ess_checkpoint_resume_stream_mesh(tmp_path,
 
     # truncate to 1 block by rerunning with max_blocks=1
     ck2 = str(tmp_path / "stream_me2.npz")
-    model().fit_model_nuts(num_warmup=40, nchains=4, min_ess=1e6,
+    model().fit_model_nuts(num_warmup=20, nchains=2, min_ess=1e6,
                            max_blocks=1, checkpoint_path=ck2)
     assert int(np.load(ck2)["nblocks"]) == 1
 
@@ -748,7 +748,7 @@ def test_nuts_min_ess_checkpoint_resume_stream_mesh(tmp_path,
         raise AssertionError("resume must skip run_nuts_stream_sharded")
 
     monkeypatch.setattr(sh, "run_nuts_stream_sharded", no_warmup)
-    resumed = model().fit_model_nuts(num_warmup=40, nchains=4,
+    resumed = model().fit_model_nuts(num_warmup=20, nchains=2,
                                      min_ess=1e6, max_blocks=2,
                                      checkpoint_path=ck2, resume=True)
     np.testing.assert_array_equal(resumed, full)
@@ -902,9 +902,9 @@ def test_fit_model_nuts_fixed_ckpt_stream_mesh(tmp_path, monkeypatch,
     ncells = int(np.prod(np.asarray(ctx.logL_grid).shape))
     monkeypatch.setattr(pk, "_VMEM_ARRAY_LIMIT", ncells * 5 * 4 + 16)
     cfg2 = cfg.replace(use_pallas=True, pallas_interpret=True,
-                       nwalkers=8, nsteps=6, fix_comp=False,
-                       checkpoint_every=4)
-    cat = apply_completeness_cut(make_catalog(cfg2, n_target=300,
+                       nwalkers=8, nsteps=5, fix_comp=False,
+                       checkpoint_every=3)
+    cat = apply_completeness_cut(make_catalog(cfg2, n_target=200,
                                               seed=9), cfg2)
 
     def model(c):
@@ -914,13 +914,13 @@ def test_fit_model_nuts_fixed_ckpt_stream_mesh(tmp_path, monkeypatch,
 
     assert model(cfg2)._nuts_stream_mesh_route() is True
     plain = model(cfg2.replace(checkpoint_every=0)).fit_model_nuts(
-        num_warmup=30, nchains=4)
+        num_warmup=20, nchains=2)
     ck = str(tmp_path / "sfx.npz")
-    ckpt = model(cfg2).fit_model_nuts(num_warmup=30, nchains=4,
+    ckpt = model(cfg2).fit_model_nuts(num_warmup=20, nchains=2,
                                       checkpoint_path=ck)
     np.testing.assert_array_equal(ckpt, plain)
     saved = np.load(ck)
-    assert int(saved["nblocks"]) == 2          # 4 + 2
+    assert int(saved["nblocks"]) == 2          # 3 + 2
     assert saved["fingerprint"].shape == (8,)
 
     # truncate by poisoning the continuation of a fresh run after
@@ -933,7 +933,7 @@ def test_fit_model_nuts_fixed_ckpt_stream_mesh(tmp_path, monkeypatch,
 
     monkeypatch.setattr(sh, "continue_nuts_keys_stream_sharded", boom)
     with pytest.raises(RuntimeError, match="simulated crash"):
-        model(cfg2).fit_model_nuts(num_warmup=30, nchains=4,
+        model(cfg2).fit_model_nuts(num_warmup=20, nchains=2,
                                    checkpoint_path=ck2)
     monkeypatch.setattr(sh, "continue_nuts_keys_stream_sharded", orig)
     assert int(np.load(ck2)["nblocks"]) == 1
@@ -942,7 +942,7 @@ def test_fit_model_nuts_fixed_ckpt_stream_mesh(tmp_path, monkeypatch,
         raise AssertionError("resume must not re-run the first block")
 
     monkeypatch.setattr(sh, "run_nuts_stream_sharded", no_first)
-    resumed = model(cfg2).fit_model_nuts(num_warmup=30, nchains=4,
+    resumed = model(cfg2).fit_model_nuts(num_warmup=20, nchains=2,
                                          checkpoint_path=ck2,
                                          resume=True)
     np.testing.assert_array_equal(resumed, plain)
