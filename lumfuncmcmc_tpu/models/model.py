@@ -1224,8 +1224,13 @@ class _BaseModel:
         """
         samples_y, lnps_y, alphas, div_frac, nstate = first
         gather = gather or (lambda x: x)
-        blocks = [samples_y]
-        lnp_blocks, al_blocks = [lnps_y], [alphas]
+        # homogenize every block to HOST arrays as it arrives (gather
+        # is the collective to_host on sharded routes): resumed npz
+        # blocks and live global-mesh blocks would otherwise mix in
+        # jnp.concatenate, which multi-process arrays cannot do
+        blocks = [jnp.asarray(gather(samples_y))]
+        lnp_blocks = [jnp.asarray(gather(lnps_y))]
+        al_blocks = [jnp.asarray(gather(alphas))]
         df_parts = [np.atleast_1d(np.asarray(gather(div_frac)))]
         # a fresh fold_in stream: splitting k_run again would collide
         # with run_nuts's internal 3-way split (split children are
@@ -1247,9 +1252,9 @@ class _BaseModel:
                 k_blk = np.asarray(k_blk)
             s2, lp2, al2, df2, nstate = continue_fn(k_blk, nstate)
             jax.block_until_ready(lp2)
-            blocks.append(s2)
-            lnp_blocks.append(lp2)
-            al_blocks.append(al2)
+            blocks.append(jnp.asarray(gather(s2)))
+            lnp_blocks.append(jnp.asarray(gather(lp2)))
+            al_blocks.append(jnp.asarray(gather(al2)))
             df_parts.append(np.atleast_1d(np.asarray(gather(df2))))
             if save_cb is not None:
                 save_cb(jnp.concatenate(blocks),
@@ -1262,6 +1267,24 @@ class _BaseModel:
                 jnp.concatenate(al_blocks),
                 float(np.mean(np.concatenate(df_parts))))
 
+    @staticmethod
+    def _nuts_ckpt_consistency(done_local: int):
+        """COLLECTIVE (multi-process only): verify every process sees
+        the same checkpoint progress — process 0 is the only writer,
+        so divergent views mean the npz is not on shared storage and
+        the first collective after a resume would wedge."""
+        if jax.process_count() <= 1:
+            return
+        from jax.experimental import multihost_utils
+        dones = np.asarray(multihost_utils.process_allgather(
+            jnp.asarray([int(done_local)]))).ravel()
+        if not np.all(dones == dones[0]):
+            raise RuntimeError(
+                "NUTS checkpoint resume in a multi-process run "
+                "requires the npz on a SHARED filesystem: processes "
+                f"see {dones.tolist()} completed blocks — copy the "
+                "checkpoint to every host (or use shared storage)")
+
     def _nuts_ckpt_load(self, ck, fp, resume, desc):
         """Load a min-ess NUTS block checkpoint (any route) or None.
 
@@ -1270,8 +1293,14 @@ class _BaseModel:
         functions reshard inputs to their in_specs, so the same npz
         resumes the jit, per-device-replica, and stream routes).
         ``desc`` names the fingerprint fields in the mismatch error.
+        Multi-process: every process calls this (the consistency
+        check is a collective) and loads from shared storage.
         """
-        if not (ck and resume and os.path.exists(ck)):
+        have = bool(ck and resume and os.path.exists(ck))
+        if ck and resume:
+            self._nuts_ckpt_consistency(
+                int(np.load(ck)["nblocks"]) if have else 0)
+        if not have:
             return None
         saved = np.load(ck)
         if not np.array_equal(np.asarray(saved["fingerprint"]), fp):
@@ -1288,6 +1317,23 @@ class _BaseModel:
                  jnp.asarray(saved["eps"]),
                  jnp.asarray(saved["scale"])),
                 int(saved["nblocks"]))
+
+    def _reshard_nuts_state(self, state):
+        """Put a RESUMED (host) jit-route NUTS state back onto the
+        global mesh. The continuation must be partitioned exactly like
+        the uninterrupted run's: host inputs would compile a local
+        program whose different reduction order shifts lnp at float
+        level, and NUTS accept decisions are discrete — one flip and
+        the resumed chain silently diverges from the bit-identity
+        guarantee (caught by the 2-process resume test)."""
+        if self.mesh is None:
+            return state
+        from jax.sharding import NamedSharding, PartitionSpec
+        from lumfuncmcmc_tpu.parallel.mesh import AXIS_WALKERS
+        y = jax.device_put(
+            state[0], NamedSharding(self.mesh,
+                                    PartitionSpec(AXIS_WALKERS)))
+        return (y, state[1], state[2])
 
     def _nuts_mesh_ckpt(self, checkpoint_path, min_ess, resume, y0,
                         num_warmup):
@@ -1412,15 +1458,21 @@ class _BaseModel:
         return samples_y, lnps_y, alphas, eps, div_frac
 
     def _nuts_ckpt_save(self, ck, fp, s, lp, al, df, st, nb):
-        """Persist one min-ess NUTS block checkpoint. ``np.asarray``
-        gathers sharded (fully-addressable) arrays to host, so the
-        same saver serves the jit and single-process mesh routes."""
-        np.savez(ck, samples_y=np.asarray(s),
-                 lnps_y=np.asarray(lp), alphas=np.asarray(al),
+        """Persist one NUTS block checkpoint. The ``to_host`` gathers
+        are COLLECTIVE — every process must call this (true for every
+        caller: the block loops run on all processes); only process 0
+        writes. Single-process, ``to_host`` is a plain ``np.asarray``
+        (sharded fully-addressable arrays gather locally)."""
+        from lumfuncmcmc_tpu.parallel.distributed import (
+            is_primary, to_host)
+        arrs = [np.asarray(to_host(x)) for x in (s, lp, al)]
+        st_h = [np.asarray(to_host(x)) for x in st]
+        if not is_primary():
+            return
+        np.savez(ck, samples_y=arrs[0], lnps_y=arrs[1],
+                 alphas=arrs[2],
                  df=np.asarray(df, dtype=np.float64),
-                 y_run=np.asarray(st[0]),
-                 eps=np.asarray(st[1]),
-                 scale=np.asarray(st[2]),
+                 y_run=st_h[0], eps=st_h[1], scale=st_h[2],
                  nblocks=nb, fingerprint=fp)
 
     def _nuts_checkpointed(self, lnp_y, y0, k_run, num_warmup, every,
@@ -1508,7 +1560,12 @@ class _BaseModel:
         df = []                 # per-block divergence fractions
         done = 0
         nstate = None
-        if resume and os.path.exists(checkpoint_path):
+        have = bool(resume and os.path.exists(checkpoint_path))
+        if resume:
+            self._nuts_ckpt_consistency(
+                int(np.load(checkpoint_path)["nblocks"]) if have
+                else 0)
+        if have:
             saved = np.load(checkpoint_path)
             if (saved["fingerprint"].shape != fp.shape
                     or not np.array_equal(saved["fingerprint"], fp)):
@@ -1526,29 +1583,38 @@ class _BaseModel:
             nstate = (jnp.asarray(saved["y_run"]),
                       jnp.asarray(saved["eps"]),
                       jnp.asarray(saved["scale"]))
+            if route == "jit":
+                # partition the continuation like the uninterrupted
+                # run (host state would compile a local program whose
+                # reduction order can flip an accept decision)
+                nstate = self._reshard_nuts_state(nstate)
             self.log.info(
                 "Resumed NUTS checkpoint: %d/%d blocks (%d samples)"
                 % (done, nblocks, int(saved["samples_y"].shape[0])))
 
+        from lumfuncmcmc_tpu.parallel.distributed import to_host
+
         def save():
-            np.savez(checkpoint_path,
-                     samples_y=np.asarray(jnp.concatenate(blocks)),
-                     lnps_y=np.asarray(jnp.concatenate(lnp_blocks)),
-                     alphas=np.asarray(jnp.concatenate(al_blocks)),
-                     df=np.asarray(df, dtype=np.float64),
-                     nblocks=done,
-                     y_run=np.asarray(nstate[0]),
-                     eps=np.asarray(nstate[1]),
-                     scale=np.asarray(nstate[2]),
-                     fingerprint=fp)
+            # collective gathers + primary-only write (shared saver);
+            # blocks are already host arrays (gathered per block)
+            self._nuts_ckpt_save(
+                checkpoint_path, fp, jnp.concatenate(blocks),
+                jnp.concatenate(lnp_blocks),
+                jnp.concatenate(al_blocks),
+                np.asarray(df, dtype=np.float64), nstate, done)
 
         if done == 0:
             (s, lp, al, _eps, dfrac, nstate) = first(sizes[0])
             jax.block_until_ready(lp)
-            blocks, lnp_blocks, al_blocks = [s], [lp], [al]
+            # gather each block to host as it arrives (collective):
+            # resumed npz blocks and global-mesh blocks cannot mix in
+            # a multi-process jnp.concatenate
+            blocks = [jnp.asarray(to_host(s))]
+            lnp_blocks = [jnp.asarray(to_host(lp))]
+            al_blocks = [jnp.asarray(to_host(al))]
             # per-device fractions average exactly (equal chains and
             # transitions per device), keeping one npz schema per route
-            df = [float(np.mean(np.asarray(dfrac)))]
+            df = [float(np.mean(np.asarray(to_host(dfrac))))]
             done = 1
             save()
         for i in range(done, nblocks):
@@ -1556,10 +1622,10 @@ class _BaseModel:
             s, lp, al, dfrac, nstate = cont(nstate, start_i,
                                             start_i + sizes[i])
             jax.block_until_ready(lp)
-            blocks.append(s)
-            lnp_blocks.append(lp)
-            al_blocks.append(al)
-            df.append(float(np.mean(np.asarray(dfrac))))
+            blocks.append(jnp.asarray(to_host(s)))
+            lnp_blocks.append(jnp.asarray(to_host(lp)))
+            al_blocks.append(jnp.asarray(to_host(al)))
+            df.append(float(np.mean(np.asarray(to_host(dfrac)))))
             done = i + 1
             save()
         samples_y = (jnp.concatenate(blocks) if len(blocks) > 1
@@ -1609,8 +1675,12 @@ class _BaseModel:
         bit-identical key-slice protocol) also runs on every route:
         the mesh twins slice each device's own fold_in key stream
         (``continue_nuts_keys_sharded`` /
-        ``continue_nuts_keys_stream_sharded``). Single-process only
-        (the npz holds the gathered global state)."""
+        ``continue_nuts_keys_stream_sharded``). Multi-process runs
+        checkpoint too: saves gather COLLECTIVELY (every process) with
+        process 0 the only writer, and a resume verifies all
+        processes see the same npz progress (shared-filesystem
+        contract, as for the stretch checkpoints)."""
+        from lumfuncmcmc_tpu.parallel.distributed import to_host
         from lumfuncmcmc_tpu.samplers.nuts import (
             make_unconstrained, run_nuts)
         cfg = self.cfg
@@ -1640,11 +1710,6 @@ class _BaseModel:
         # jit auto-partitioning with globally-pooled adaptation
         native_mesh = (not stream_mesh and self.mesh is not None
                        and getattr(post, "engine", None) == "pallas")
-        if checkpoint_path and jax.process_count() > 1:
-            self.log.warning(
-                "NUTS checkpointing is single-process only; "
-                "running without checkpoints")
-            checkpoint_path = None
         # fixed-length blockwise checkpointing (bit-identical to the
         # uninterrupted run) — available on every single-process route
         fixed_ck = bool(checkpoint_path and not min_ess
@@ -1784,12 +1849,15 @@ class _BaseModel:
                 done_blocks = 1
                 if ck:
                     _save(ck, samples_y, lnps_y, alphas,
-                          np.atleast_1d(np.asarray(div_frac,
-                                                   dtype=np.float64)),
+                          np.atleast_1d(np.asarray(
+                              to_host(div_frac), dtype=np.float64)),
                           nstate, 1)
             else:
                 (samples_y, lnps_y, alphas, div_frac, nstate,
                  done_blocks) = resumed
+                # partition the continuations like the uninterrupted
+                # run's (see _reshard_nuts_state)
+                nstate = self._reshard_nuts_state(nstate)
                 eps = nstate[1]
                 t0 = time.time()
                 self.log.info(
@@ -1805,10 +1873,23 @@ class _BaseModel:
                         lambda k, st: continue_nuts(
                             lnp_y, st, k, num_samples=int(cfg.nsteps)),
                         done_blocks=done_blocks,
+                        # collective gather: under a multi-process
+                        # mesh the concatenated blocks are global
+                        # arrays the host-side ESS check cannot read
+                        gather=(to_host if jax.process_count() > 1
+                                else None),
                         save_cb=((lambda s, lp, al, df, st, nb:
                                   _save(ck, s, lp, al, df, st, nb))
                                  if ck else None))
         elapsed = time.time() - t0
+        if jax.process_count() > 1:
+            # the XLA-mesh jit route leaves outputs sharded over the
+            # GLOBAL mesh; gather (collective — every process is here)
+            # so the host-side theta/lnp conversions below can read
+            samples_y = jnp.asarray(to_host(samples_y))
+            alphas = np.asarray(to_host(alphas))
+            eps = np.asarray(to_host(eps))
+            div_frac = float(np.mean(np.asarray(to_host(div_frac))))
         chain_dev = jax.vmap(jax.vmap(to_theta))(samples_y)
         chain = np.asarray(chain_dev)
         # record the THETA-space lnprob (the y-space density includes the

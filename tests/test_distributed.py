@@ -230,3 +230,74 @@ def test_two_process_distributed_smoke(tmp_path):
         assert facts["local_device_count"] == 2
         assert facts["gathered_pids"] == [0, 1]
         assert facts["psum_total"] == 4.0
+
+
+# NUTS over a GLOBAL 2-process mesh with min-ess block checkpointing:
+# the full run, a truncated run, and a resume must all cooperate across
+# processes (collective gathers before the primary-only npz write) and
+# the resumed chain must equal the uninterrupted one
+_NUTS_CHILD = r"""
+import sys
+coord, nproc, pid, shared = (sys.argv[1], int(sys.argv[2]),
+                             int(sys.argv[3]), sys.argv[4])
+sys.path.insert(0, {repo!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+from lumfuncmcmc_tpu.parallel.distributed import init_distributed
+init_distributed(coord, nproc, pid, local_device_count=2)
+import numpy as np
+from lumfuncmcmc_tpu.config import LFConfig
+from lumfuncmcmc_tpu.models.model import LumFuncModel
+from lumfuncmcmc_tpu.parallel.mesh import make_mesh
+from lumfuncmcmc_tpu.utils.synth import make_catalog, apply_completeness_cut
+
+assert jax.process_count() == 2 and jax.device_count() == 4
+cfg = LFConfig(min_comp_frac=0.5, fix_comp=True, size_ln=21,
+               nwalkers=8, nsteps=6, seed=5)
+cat = apply_completeness_cut(make_catalog(cfg, n_target=120, seed=12),
+                             cfg)
+kw = dict(z=cat["z"], flux=cat["flux"], flux_e=cat["flux_e"],
+          field_id=cat["field_id"])
+
+def model():
+    return LumFuncModel(cfg, mesh=make_mesh(4, 1), **kw)
+
+ck = shared + "/nuts_dist.npz"
+full = model().fit_model_nuts(num_warmup=30, nchains=4, min_ess=1e6,
+                              max_blocks=2, checkpoint_path=ck)
+ck2 = shared + "/nuts_dist2.npz"
+model().fit_model_nuts(num_warmup=30, nchains=4, min_ess=1e6,
+                       max_blocks=1, checkpoint_path=ck2)
+resumed = model().fit_model_nuts(num_warmup=30, nchains=4, min_ess=1e6,
+                                 max_blocks=2, checkpoint_path=ck2,
+                                 resume=True)
+assert np.array_equal(resumed, full), "resume != uninterrupted"
+if pid == 0:
+    assert int(np.load(ck)["nblocks"]) == 2
+    np.save(shared + "/full.npy", full)
+print("NUTSCKPTDONE", flush=True)
+"""
+
+
+@pytest.mark.slow
+def test_two_process_nuts_min_ess_checkpoint(tmp_path):
+    """Multi-process NUTS with --min-ess checkpoints: both processes
+    run the collective gathers, only process 0 writes the npz, and the
+    cross-process resume reproduces the uninterrupted chain exactly.
+    Also pins multi-process NUTS end-to-end at all (the gather of the
+    global-mesh-sharded samples for the host-side conversions)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    child = _NUTS_CHILD.format(repo=repo)
+    shared = tmp_path / "shared"
+    shared.mkdir()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    outs = _run_pair(child, [str(shared)], env, timeout=560)
+    for out in outs:
+        assert "NUTSCKPTDONE" in out, out
+    import numpy as np
+    full = np.load(str(shared / "full.npy"))
+    assert full.shape[1] >= 4 and np.all(np.isfinite(full))
+    # 2 blocks x 6 samples x 4 chains
+    assert full.shape[0] == 2 * 6 * 4
