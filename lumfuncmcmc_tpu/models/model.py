@@ -251,6 +251,21 @@ class _BaseModel:
             return False
         return bool(cfg.use_pallas)
 
+    def _log_convergence(self, chain, rhat_line=True):
+        """One shared post-fit convergence report: rank-normalized
+        split-R-hat (bulk/tail max) and the Monte-Carlo SE of each
+        parameter's posterior median — so the percentile tables carry
+        a known sampling precision. One helper instead of per-path
+        copies (call-site sprawl was a review finding)."""
+        from lumfuncmcmc_tpu.samplers.diagnostics import mcse_quantile
+        if rhat_line:
+            self.log.info(
+                "rank-normalized R-hat (bulk/tail max): %.4f"
+                % rank_normalized_rhat(chain).max())
+        mcse = mcse_quantile(chain, 0.5)
+        self.log.info("median MCSE per param: %s"
+                      % np.array2string(mcse, precision=4))
+
     def lnprob_batch(self):
         if self._lnprob_batch is None:
             cfg = self.cfg.replace(use_pallas=self._resolve_use_pallas())
@@ -535,9 +550,7 @@ class _BaseModel:
                       "Steps: %i" % (round(tau), burn))
         ess = effective_sample_size(chain[burn:])
         rhat = gelman_rubin(chain[burn:])
-        rrhat = rank_normalized_rhat(chain[burn:])
-        self.log.info("rank-normalized R-hat (bulk/tail max): %.4f"
-                      % rrhat.max())
+        self._log_convergence(chain[burn:])
         self.log.info("min ESS: %.0f; max R-hat: %.4f; ESS/sec: %.0f"
                       % (ess.min(), rhat.max(), ess.min() / elapsed))
 
@@ -665,9 +678,7 @@ class _BaseModel:
                       "%.0f)" % (elapsed, total_steps,
                                  ess_min / max(elapsed, 1e-9)))
         if chain.shape[0] - burn >= 4:
-            self.log.info(
-                "rank-normalized R-hat (bulk/tail max): %.4f"
-                % rank_normalized_rhat(chain[burn:]).max())
+            self._log_convergence(chain[burn:])
         lnps = np.concatenate(lnps_parts)
         self.chain = chain
         full = np.concatenate([chain, lnps[:, :, None]], axis=2)
@@ -1119,6 +1130,7 @@ class _BaseModel:
                 "max): %.4f"
                 % rank_normalized_rhat_ensembles(
                     chains[:, burn:]).max())
+            self._log_convergence(pooled[burn:], rhat_line=False)
         self.rhat_ensembles = rhat_ens
         self.chain = pooled
         full = np.concatenate(
@@ -1913,9 +1925,7 @@ class _BaseModel:
                 % (100.0 * float(div_frac)))
         ess = effective_sample_size(chain)
         rhat = gelman_rubin(chain)
-        rrhat = rank_normalized_rhat(chain)
-        self.log.info("rank-normalized R-hat (bulk/tail max): %.4f"
-                      % rrhat.max())
+        self._log_convergence(chain)
         self.log.info("min ESS: %.0f; max R-hat: %.4f; ESS/sec: %.0f"
                       % (ess.min(), rhat.max(), ess.min() / elapsed))
         self.chain = chain

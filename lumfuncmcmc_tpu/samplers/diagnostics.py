@@ -169,6 +169,32 @@ def rank_normalized_rhat_ensembles(chains):
     return np.maximum(bulk, folded)
 
 
+def mcse_quantile(chain, q: float):
+    """Monte-Carlo standard error of the empirical q-quantile, in
+    VALUE units, per parameter.
+
+    The autocorrelation-aware ESS of the indicator ``I(x <= xi_q)``
+    gives the sampling sd of the quantile's probability level,
+    ``sigma_p = sqrt(q(1-q)/ESS_I)``; mapping ``q +- sigma_p`` through
+    the empirical quantile function converts it to value units with no
+    density estimate (the Vehtari et al. 2021 / posterior-package
+    construction). ``chain``: (nsteps, nwalkers, ndim).
+    """
+    x = np.asarray(chain, dtype=np.float64)
+    n, w, d = x.shape
+    flat = x.reshape(n * w, d)
+    xi = np.quantile(flat, q, axis=0)
+    ind = (x <= xi[None, None, :]).astype(np.float64)
+    ess = np.maximum(effective_sample_size(ind), 4.0)
+    sig_p = np.sqrt(q * (1.0 - q) / ess)
+    out = np.empty(d)
+    for j in range(d):
+        lo = np.quantile(flat[:, j], max(q - sig_p[j], 0.0))
+        hi = np.quantile(flat[:, j], min(q + sig_p[j], 1.0))
+        out[j] = 0.5 * (hi - lo)
+    return out
+
+
 def burnin_steps(chain, nsteps: int):
     """Reference burn-in rule: min(3 * max tau, nsteps // 2)
     (``lumfuncmcmc.py:499-501``)."""

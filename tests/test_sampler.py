@@ -230,3 +230,24 @@ def test_rank_normalized_rhat_ensembles_scale_disagreement():
     scale_only = rng.normal(size=(c, n, w, 2)) * scales
     assert gelman_rubin_ensembles(scale_only).max() < 1.05
     assert rank_normalized_rhat_ensembles(scale_only).max() > 1.2
+
+
+def test_mcse_quantile_iid_and_correlated():
+    """Median MCSE matches the analytic iid value sqrt(pi/2)*sigma/
+    sqrt(N) and inflates ~sqrt(k) when each draw is repeated k times
+    (the autocorrelation-aware ESS is what distinguishes it from a
+    naive order-statistic error)."""
+    from lumfuncmcmc_tpu.samplers.diagnostics import mcse_quantile
+
+    rng = np.random.default_rng(41)
+    n, w = 500, 16
+    x = rng.normal(size=(n, w, 2))
+    got = mcse_quantile(x, 0.5)
+    expect = np.sqrt(np.pi / 2.0) / np.sqrt(n * w)
+    assert np.all(np.abs(got / expect - 1.0) < 0.35), (got, expect)
+
+    k = 4
+    xc = np.repeat(rng.normal(size=(n // k, w, 2)), k, axis=0)
+    got_c = mcse_quantile(xc, 0.5)
+    ratio = got_c / got
+    assert np.all(ratio > 1.4) and np.all(ratio < 3.2), ratio
