@@ -36,6 +36,10 @@ PARAMS = ["Lstar", "phistar", "sch_al"]
 FREE = "--free" in sys.argv  # 9-parameter free-completeness model
 PALLAS = "--pallas" in sys.argv  # validate the native-tier engine
 MOVE = "mix" if "--mix" in sys.argv else "stretch"  # ensemble proposal
+# --init-map: Laplace warm start + HALF the chain length — validates
+# that the warm start stays calibrated even when the budget saved on
+# burn-in is actually taken away from the run
+INITMAP = "--init-map" in sys.argv
 
 
 def one_replicate(k, rng):
@@ -65,7 +69,29 @@ def one_replicate(k, rng):
                                     != "tpu")
     else:
         lnprob = jax.vmap(make_lnprob(ctx, layout))
-    pos0 = sample_init(jax.random.PRNGKey(2 * k), layout, cfg.nwalkers)
+    if INITMAP:
+        import jax.numpy as jnp
+        from lumfuncmcmc_tpu.models.mapfit import laplace_fit
+        lo, hi = layout.bounds_arrays()
+        res = laplace_fit(make_lnprob(ctx, layout), lo, hi,
+                          key=jax.random.PRNGKey(5 * k + 3), nstarts=4)
+        u = sample_init(jax.random.PRNGKey(3 * k + 7), layout,
+                        cfg.nwalkers)
+        if res["hess_ok"]:
+            chol = np.linalg.cholesky(res["cov"])
+            z = jax.random.normal(jax.random.PRNGKey(2 * k),
+                                  (cfg.nwalkers, layout.ndim),
+                                  dtype=lo.dtype)
+            pos0 = (jnp.asarray(res["theta"], lo.dtype)[None, :]
+                    + 2.0 * (z @ jnp.asarray(chol, lo.dtype).T))
+            mid = (lo + hi) / 2.0
+            pos0 = jnp.where((pos0 > lo) & (pos0 < hi), pos0,
+                             0.8 * mid[None, :] + 0.2 * u)
+        else:
+            pos0 = u
+    else:
+        pos0 = sample_init(jax.random.PRNGKey(2 * k), layout,
+                           cfg.nwalkers)
     _, chain, _, _ = run_stretch(lnprob, pos0,
                                  jax.random.PRNGKey(2 * k + 1),
                                  cfg.nsteps, move=MOVE)

@@ -31,7 +31,8 @@ import numpy as np
 
 
 def laplace_fit(lnpost, lo, hi, key=None, nstarts: int = 8,
-                maxiter: int = 500, gtol: float = 1e-6):
+                maxiter: int = 500, gtol: float = 1e-6,
+                restarts: int = 3):
     """Maximize ``lnpost`` over the box ``[lo, hi]`` and Laplace-expand.
 
     The box constraint is removed by ``theta = lo + (hi-lo)*sigmoid(y)``
@@ -65,8 +66,8 @@ def laplace_fit(lnpost, lo, hi, key=None, nstarts: int = 8,
         p = jnp.clip((theta - lo) / span, 1e-6, 1.0 - 1e-6)
         return jnp.log(p) - jnp.log1p(-p)
 
-    def obj(y):
-        return -lnpost(to_theta(y))
+    def obj(y, sc):
+        return -lnpost(to_theta(y)) / sc
 
     u = jax.random.uniform(key, (nstarts, d), dtype=dt)
     mid = (lo + hi) / 2.0
@@ -76,9 +77,24 @@ def laplace_fit(lnpost, lo, hi, key=None, nstarts: int = 8,
     @jax.jit
     def solve(y0_batch):
         def one(y):
-            res = minimize(obj, y, method="BFGS",
-                           options={"maxiter": maxiter, "gtol": gtol})
-            return res.x, res.fun, res.success
+            # scale the objective to O(1): |lnpost| is O(1e4) on real
+            # catalogs and the unscaled magnitude breaks BFGS's line
+            # search mid-valley (measured: 2/4 starts stalled at
+            # |grad| ~ 1e3). RESTARTS reset the Hessian approximation
+            # and rescue both stalled line searches and the sigmoid
+            # saturation trap, where a start that dives toward a box
+            # corner sees vanishing y-space gradients (d theta/d y ->
+            # 0) and "converges" at the corner; with scale + restarts
+            # every probed start reaches the true mode.
+            sc = jnp.maximum(1.0, jnp.abs(lnpost(to_theta(y))))
+            f = jnp.asarray(jnp.inf, dt)
+            ok = jnp.asarray(False)
+            for _ in range(max(int(restarts), 1)):
+                res = minimize(obj, y, args=(sc,), method="BFGS",
+                               options={"maxiter": maxiter,
+                                        "gtol": gtol})
+                y, f, ok = res.x, res.fun, res.success
+            return y, f * sc, ok
         return jax.vmap(one)(y0_batch)
 
     ys, funs, succ = solve(y0)
@@ -93,10 +109,13 @@ def laplace_fit(lnpost, lo, hi, key=None, nstarts: int = 8,
     theta = to_theta(ys[best])
     # BFGS's success flag is pessimistic (a failed final line search
     # reports False even at |grad| ~ 1e-8); convergence is defined by
-    # BFGS's own gradient criterion on the winning start
-    g_y = np.asarray(jax.grad(obj)(ys[best]), dtype=np.float64)
+    # BFGS's own gradient criterion on the winning start, in the same
+    # scaled units the solver used
+    g_y = np.asarray(jax.grad(
+        lambda y: -lnpost(to_theta(y)))(ys[best]), dtype=np.float64)
+    sc_best = max(1.0, abs(float(funs[best])))
     converged = bool(np.asarray(succ)[best]) or bool(
-        np.max(np.abs(g_y)) <= 10.0 * gtol)
+        np.max(np.abs(g_y)) / sc_best <= 10.0 * gtol)
 
     g = jax.grad(lnpost)(theta)
     H = jax.hessian(lnpost)(theta)
