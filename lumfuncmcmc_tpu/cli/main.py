@@ -606,6 +606,13 @@ def _map_quicklook(model, cfg, args, outdir):
     write_fixed_width_two_line(
         artifact_path(outdir, "map", args.output_filename, cfg,
                       ext="dat"), cols)
+    if np.asarray(res["boundary"]).any():
+        pinned = [nm for nm, b in zip(model.layout.names,
+                                      res["boundary"]) if b]
+        print("NOTE: MAP pinned at the prior bound for "
+              f"{', '.join(pinned)} — those columns carry no Laplace "
+              "error and ln Z is omitted (edge mass is not Gaussian); "
+              "widen the box if they should be free")
     print("Finished writing MAP/Laplace quick-look "
           f"(lnpost={res['lnpost']:.3f}"
           + ("" if res["lnz_laplace"] is None

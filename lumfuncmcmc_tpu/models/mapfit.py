@@ -43,10 +43,15 @@ def laplace_fit(lnpost, lo, hi, key=None, nstarts: int = 8,
     minimize; the best finite optimum wins.
 
     Returns a dict: ``theta`` (MAP), ``lnpost``, ``grad_norm``, ``cov``
-    / ``se`` (Laplace, None if the negative Hessian is not positive
-    definite), ``ln_int`` = ``ln integral exp(lnpost) dtheta`` under the
-    Gaussian expansion, ``hess_ok``, ``converged`` (BFGS success of the
-    winning start), ``n_finite`` (starts that found a finite optimum).
+    / ``se`` (Laplace; NaN entries for ``boundary`` directions — a
+    posterior monotone toward a prior-box edge pins the MAP there, the
+    pinned axes are profiled out and the interior block keeps honest
+    errors; None when even the interior block is not negative
+    definite), ``ln_int`` = ``ln integral exp(lnpost) dtheta`` under
+    the Gaussian expansion (None for boundary modes — edge mass is not
+    Gaussian), ``hess_ok``, ``boundary`` (bool per dim), ``converged``
+    (BFGS's own gradient criterion on the winning start),
+    ``n_finite`` (starts that found a finite optimum).
     """
     from jax.scipy.optimize import minimize
 
@@ -119,28 +124,49 @@ def laplace_fit(lnpost, lo, hi, key=None, nstarts: int = 8,
 
     g = jax.grad(lnpost)(theta)
     H = jax.hessian(lnpost)(theta)
-    negH = -0.5 * (H + H.T)
-    eigval, eigvec = jnp.linalg.eigh(negH)
-    eigval = np.asarray(eigval, dtype=np.float64)
-    hess_ok = bool(np.all(eigval > 0) and np.all(np.isfinite(eigval)))
+    negH = np.asarray(-0.5 * (H + H.T), dtype=np.float64)
+    th = np.asarray(theta, dtype=np.float64)
+    lo_np = np.asarray(lo, dtype=np.float64)
+    hi_np = np.asarray(hi, dtype=np.float64)
+    span_np = hi_np - lo_np
+    # BOUNDARY modes: a posterior monotone in some direction pins the
+    # MAP to the prior box edge — the full Laplace expansion is then
+    # invalid (near-zero/negative curvature along the pinned axis),
+    # but the interior block still carries honest standard errors.
+    # Profile the pinned directions out instead of returning nothing.
+    boundary = ((th - lo_np < 1e-4 * span_np)
+                | (hi_np - th < 1e-4 * span_np))
+    free = ~boundary
+    sub = negH[np.ix_(free, free)]
+    eigval, eigvec = (np.linalg.eigh(sub) if free.any()
+                      else (np.empty(0), np.empty((0, 0))))
+    hess_ok = bool(free.any() and np.all(eigval > 0)
+                   and np.all(np.isfinite(eigval)))
     lnpost_map = float(lnpost(theta))
     if hess_ok:
-        V = np.asarray(eigvec, dtype=np.float64)
-        cov = (V / eigval) @ V.T
-        se = np.sqrt(np.diag(cov))
-        ln_int = (lnpost_map + 0.5 * d * math.log(2.0 * math.pi)
-                  - 0.5 * float(np.sum(np.log(eigval))))
+        cov_sub = (eigvec / eigval) @ eigvec.T
+        cov = np.full((d, d), np.nan)
+        cov[np.ix_(free, free)] = cov_sub
+        se = np.full(d, np.nan)
+        se[free] = np.sqrt(np.diag(cov_sub))
+        if boundary.any():
+            # half-space mass at the edge is not Gaussian: no ln_int
+            ln_int = None
+        else:
+            ln_int = (lnpost_map + 0.5 * d * math.log(2.0 * math.pi)
+                      - 0.5 * float(np.sum(np.log(eigval))))
     else:
         cov = se = ln_int = None
     return {
-        "theta": np.asarray(theta, dtype=np.float64),
+        "theta": th,
         "lnpost": lnpost_map,
         "grad_norm": float(jnp.linalg.norm(g)),
         "cov": cov,
         "se": se,
         "ln_int": ln_int,
-        "hess_eigvals": eigval,
+        "hess_eigvals": np.asarray(eigval, dtype=np.float64),
         "hess_ok": hess_ok,
+        "boundary": boundary,
         "converged": converged,
         "n_finite": n_finite,
         "nstarts": int(nstarts),

@@ -135,11 +135,14 @@ class _BaseModel:
         if getattr(self, "map_fit", None) is None:
             self.fit_map()
         res = self.map_fit
-        if not res["hess_ok"]:
+        if (not res["hess_ok"]
+                or np.asarray(res.get("boundary", False)).any()):
             self.log.warning(
-                "init_map: Laplace covariance unavailable (Hessian not "
-                "negative definite at the mode) — using uniform box "
-                "starts")
+                "init_map: Laplace covariance unavailable (%s) — "
+                "using uniform box starts"
+                % ("MAP pinned at a prior bound"
+                   if res["hess_ok"] else
+                   "Hessian not negative definite at the mode"))
             self._init_from_map = False
             return self._default_positions(key)
         lo, hi = self.layout.bounds_arrays()
@@ -893,10 +896,15 @@ class _BaseModel:
                          else "; Hessian NOT negative definite — no "
                               "Laplace covariance"))
         for i, name in enumerate(self.layout.names):
+            if res["boundary"][i]:
+                tail = "  (AT PRIOR BOUND — no Laplace error; widen " \
+                       "the box if this parameter should be free)"
+            elif se is not None and np.isfinite(se[i]):
+                tail = " +- %.4f" % se[i]
+            else:
+                tail = ""
             self.log.info("  %-12s = %10.4f%s"
-                          % (name, res["theta"][i],
-                             (" +- %.4f" % se[i]) if se is not None
-                             else ""))
+                          % (name, res["theta"][i], tail))
         if res["lnz_laplace"] is not None:
             self.log.info("  Laplace ln Z = %.3f (cross-check "
                           "log_evidence's stepping-stone)"

@@ -38,20 +38,36 @@ def test_fit_writes_all_artifacts(workdir):
 
 def test_fit_map_quicklook(workdir, capsys):
     """--map produces the MAP/Laplace artifact WITHOUT sampling (no
-    fitposterior written), for fit and fith (the latter with no
-    Laplace ln Z — its prior normalization is not analytic)."""
+    fitposterior written). The free-completeness smoke catalog pins
+    alpha_c at its prior bound — the boundary axis is profiled out
+    (interior SEs stay finite, ln Z omitted, loud NOTE); a
+    fixed-completeness run has an interior mode and everything is
+    finite. fith reports no Laplace ln Z either way (its prior
+    normalization is not analytic)."""
     assert main(["fit"] + ARGS + ["--map"]) == 0
     out = capsys.readouterr().out
     assert "Finished writing MAP/Laplace quick-look" in out
+    assert "MAP pinned at the prior bound" in out
     base = "t_nb50_nw16_ns60_mcf50"
     tab = read_fixed_width_two_line(
         str(workdir / "LFMCMCOut" / f"map_{base}.dat"))
+    for k in ("Lstar", "Lstar_se", "phistar", "phistar_se", "sch_al",
+              "lnpost"):
+        assert np.isfinite(tab[k][0]), k
+    assert tab["Lstar_se"][0] > 0
+    assert np.isnan(tab["alpha_se"][0])      # the pinned axis
+    assert np.isnan(tab["lnz_laplace"][0])   # boundary: no Laplace Z
+    assert not (workdir / "LFMCMCOut"
+                / f"fitposterior_{base}.dat").exists()
+
+    assert main(["fit"] + ARGS + ["--map", "-fc", "-o", "f.dat"]) == 0
+    out = capsys.readouterr().out
+    assert "MAP pinned" not in out
+    tab = read_fixed_width_two_line(
+        str(workdir / "LFMCMCOut" / f"map_f_nb50_nw16_ns60_mcf50.dat"))
     for k in ("Lstar", "Lstar_se", "phistar", "sch_al", "lnpost",
               "lnz_laplace"):
         assert np.isfinite(tab[k][0]), k
-    assert tab["Lstar_se"][0] > 0
-    assert not (workdir / "LFMCMCOut"
-                / f"fitposterior_{base}.dat").exists()
 
     assert main(["fith"] + ARGS + ["--map"]) == 0
     tab = read_fixed_width_two_line(

@@ -39,10 +39,11 @@ def test_laplace_gaussian_oracle():
     assert res["grad_norm"] < 1e-3
 
 
-def test_laplace_rejects_saddle():
-    """A maximum in one direction, minimum in another: no finite
-    optimum claim with a covariance — hess_ok must be False at any
-    stationary point BFGS wanders to, or no finite optimum exists."""
+def test_laplace_boundary_mode_profiled():
+    """A posterior monotone in one direction pins the MAP at the prior
+    box edge: that axis is flagged ``boundary``, profiled OUT of the
+    covariance (interior errors stay honest, pinned one is NaN), and
+    ln_int is withheld — edge mass is not Gaussian."""
 
     def lnpost(th):
         return -th[0] ** 2 + th[1] ** 2   # unbounded above in th[1]
@@ -50,10 +51,14 @@ def test_laplace_rejects_saddle():
     lo = jnp.asarray([-3.0, -3.0])
     hi = jnp.asarray([3.0, 3.0])
     res = laplace_fit(lnpost, lo, hi, key=jax.random.PRNGKey(2))
-    # the mode runs to the box edge in th[1]; whatever point wins, the
-    # Hessian there is not negative definite
-    assert not res["hess_ok"]
-    assert res["cov"] is None and res["ln_int"] is None
+    assert res["boundary"][1] and not res["boundary"][0]
+    assert res["hess_ok"]
+    # interior block: curvature 2 -> sd = 1/sqrt(2)
+    np.testing.assert_allclose(res["se"][0], 1 / np.sqrt(2.0),
+                               rtol=1e-3)
+    assert np.isnan(res["se"][1])
+    assert res["ln_int"] is None
+    assert abs(abs(res["theta"][1]) - 3.0) < 1e-3
 
 
 @pytest.fixture(scope="module")
