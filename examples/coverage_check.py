@@ -77,7 +77,9 @@ def one_replicate(k, rng):
                           key=jax.random.PRNGKey(5 * k + 3), nstarts=4)
         u = sample_init(jax.random.PRNGKey(3 * k + 7), layout,
                         cfg.nwalkers)
-        if res["hess_ok"]:
+        if res["hess_ok"] and not np.asarray(res["boundary"]).any():
+            # boundary modes leave NaN rows in cov, which cholesky
+            # silently propagates — same guard as _map_init_positions
             chol = np.linalg.cholesky(res["cov"])
             z = jax.random.normal(jax.random.PRNGKey(2 * k),
                                   (cfg.nwalkers, layout.ndim),

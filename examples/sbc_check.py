@@ -80,11 +80,15 @@ def one_replicate(k, rng):
     burn, tau = burnin_steps(chain, 600)
     post = chain[burn:]
 
-    # M draws from distinct walkers, steps >= 2*tau apart
-    gap = max(int(2 * tau), 1)
-    steps = (burn + gap * np.arange(M)) % post.shape[0]
+    # M draws from distinct walkers, steps ~2*tau apart but capped so
+    # they NEVER wrap onto the same step (post is already burn-sliced;
+    # same-step draws from an interacting ensemble are strongly
+    # correlated and would bias the rank histogram)
+    gap = max(min(int(2 * tau), post.shape[0] // M), 1)
+    steps = gap * np.arange(M)
+    assert steps[-1] < post.shape[0]
     walkers = rng.choice(chain.shape[1], size=M, replace=False)
-    draws = post[steps % post.shape[0], walkers]          # (M, ndim)
+    draws = post[steps, walkers]                          # (M, ndim)
 
     tvec = np.asarray([truth[nm] for nm in PARAMS])
     ranks = (draws < tvec[None, :]).sum(axis=0)           # (ndim,)

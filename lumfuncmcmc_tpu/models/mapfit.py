@@ -92,17 +92,24 @@ def laplace_fit(lnpost, lo, hi, key=None, nstarts: int = 8,
             # 0) and "converges" at the corner; with scale + restarts
             # every probed start reaches the true mode.
             sc = jnp.maximum(1.0, jnp.abs(lnpost(to_theta(y))))
-            f = jnp.asarray(jnp.inf, dt)
-            ok = jnp.asarray(False)
-            for _ in range(max(int(restarts), 1)):
-                res = minimize(obj, y, args=(sc,), method="BFGS",
+
+            def restart(_, carry):
+                yy, _, _ = carry
+                res = minimize(obj, yy, args=(sc,), method="BFGS",
                                options={"maxiter": maxiter,
                                         "gtol": gtol})
-                y, f, ok = res.x, res.fun, res.success
-            return y, f * sc, ok
+                return res.x, res.fun, res.success
+
+            # fori_loop, not an unrolled Python loop: the minimize
+            # body is large and would otherwise trace `restarts` times
+            # (the dev-notes long-loops-inside-jit rule)
+            y, f, ok = jax.lax.fori_loop(
+                0, max(int(restarts), 1), restart,
+                (y, jnp.asarray(jnp.inf, dt), jnp.asarray(False)))
+            return y, f * sc, ok, sc
         return jax.vmap(one)(y0_batch)
 
-    ys, funs, succ = solve(y0)
+    ys, funs, succ, scales = solve(y0)
     funs = np.asarray(funs, dtype=np.float64)
     funs_rank = np.where(np.isfinite(funs), funs, np.inf)
     n_finite = int(np.isfinite(funs).sum())
@@ -118,7 +125,9 @@ def laplace_fit(lnpost, lo, hi, key=None, nstarts: int = 8,
     # scaled units the solver used
     g_y = np.asarray(jax.grad(
         lambda y: -lnpost(to_theta(y)))(ys[best]), dtype=np.float64)
-    sc_best = max(1.0, abs(float(funs[best])))
+    # the solver's own per-start scale, not |lnpost(mode)| — the check
+    # must mirror the criterion BFGS actually ran under
+    sc_best = float(np.asarray(scales)[best])
     converged = bool(np.asarray(succ)[best]) or bool(
         np.max(np.abs(g_y)) / sc_best <= 10.0 * gtol)
 

@@ -1731,7 +1731,8 @@ class _BaseModel:
         native_mesh = (not stream_mesh and self.mesh is not None
                        and getattr(post, "engine", None) == "pallas")
         # fixed-length blockwise checkpointing (bit-identical to the
-        # uninterrupted run) — available on every single-process route
+        # uninterrupted run) — every route, multi-process included
+        # (saves gather collectively; process 0 writes)
         fixed_ck = bool(checkpoint_path and not min_ess
                         and 0 < int(cfg.checkpoint_every or 0)
                         < int(cfg.nsteps))
