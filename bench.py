@@ -12,19 +12,144 @@ Prints ONE JSON line:
   the same catalog and the same 101x101x5 likelihood grid.
 
 Details go to stderr; stdout carries only the JSON line.
+
+Capture hardening (round 4): the axon TPU tunnel can raise UNAVAILABLE
+or hang indefinitely in backend init (BENCH_r03 was lost to exactly
+that). ``python bench.py`` therefore runs a SUPERVISOR that
+  1. probes the backend in a bounded subprocess (retries + backoff),
+  2. runs the measurement payload as a ``--_worker`` subprocess under a
+     wall-clock watchdog,
+  3. on any failure retries the payload with a forced-CPU backend and a
+     reduced workload, and
+  4. if even that fails, emits a degraded-but-valid JSON line itself.
+Every emitted line carries ``detail.backend`` and
+``detail.capture_error`` so a degraded artifact is self-describing, and
+TPU-gated sections that did not run leave explicit ``*_skipped``
+markers instead of silently vanishing.
 """
 
 import argparse
 import json
+import os
+import subprocess
 import sys
 import time
 
 import numpy as np
 
+METRIC = "lnprob_evals_per_sec_100walker_chain"
+
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
+
+def _inject_fail(stage):
+    """Test hook: LFTPU_BENCH_FORCE_FAIL=<stage> simulates the axon
+    tunnel failing at that stage (tests/test_bench_capture.py)."""
+    if os.environ.get("LFTPU_BENCH_FORCE_FAIL") == stage:
+        raise RuntimeError(f"injected {stage} failure "
+                           "(LFTPU_BENCH_FORCE_FAIL)")
+
+
+# --------------------------------------------------------------------
+# supervisor: bounded probe -> watchdogged worker -> CPU retry -> JSON
+# --------------------------------------------------------------------
+
+_PROBE_SRC = """
+import os, sys
+if os.environ.get("LFTPU_BENCH_FORCE_FAIL") == "backend":
+    sys.exit(3)
+import jax
+dev = jax.devices()[0]
+sys.stdout.write("probe|" + jax.default_backend() + "|" + str(dev))
+"""
+
+
+def probe_backend(timeout_s, retries):
+    """Check backend init in a subprocess so a hung axon tunnel cannot
+    stall the capture (observed: 9.5 min in backend init, VERDICT r3)."""
+    err = "no attempts"
+    for attempt in range(max(1, retries)):
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", _PROBE_SRC],
+                capture_output=True, text=True, timeout=timeout_s)
+            line = (out.stdout or "").strip().splitlines()
+            line = line[-1] if line else ""
+            if out.returncode == 0 and line.startswith("probe|"):
+                _, backend, dev = line.split("|", 2)
+                log(f"backend probe ok: {backend} ({dev})")
+                return {"ok": True, "backend": backend, "device": dev}
+            err = (f"rc={out.returncode}: "
+                   f"{(out.stderr or '').strip()[-300:]}")
+        except subprocess.TimeoutExpired:
+            err = f"probe timed out after {timeout_s}s"
+        log(f"backend probe attempt {attempt + 1}/{retries} failed: "
+            f"{err}")
+        if attempt + 1 < retries:
+            time.sleep(min(5.0 * (attempt + 1), 15.0))
+    return {"ok": False, "error": err}
+
+
+def run_worker(passthrough, extra, timeout_s):
+    """Run the measurement payload as a subprocess; return (result,
+    error). The worker's stderr streams through; its stdout is parsed
+    for the JSON line."""
+    cmd = ([sys.executable, os.path.abspath(__file__), "--_worker"]
+           + passthrough + extra)
+    try:
+        out = subprocess.run(cmd, stdout=subprocess.PIPE, text=True,
+                             timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        return None, f"worker timed out after {timeout_s}s"
+    for line in reversed((out.stdout or "").splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line), None
+            except json.JSONDecodeError:
+                pass
+    return None, f"worker exited rc={out.returncode} with no JSON line"
+
+
+def supervise(args, passthrough):
+    attempts = []
+    result = None
+    if not args.cpu:
+        probe = probe_backend(args.probe_timeout, args.probe_retries)
+        attempts.append({"stage": "probe", **probe})
+        if probe["ok"]:
+            result, err = run_worker(passthrough, [],
+                                     args.worker_timeout)
+            attempts.append({"stage": "worker",
+                             "ok": result is not None, "error": err})
+            if result is None:
+                log(f"primary worker failed ({err}); retrying with a "
+                    "forced-CPU backend")
+    if result is None:
+        result, err = run_worker(passthrough, ["--_force-cpu"],
+                                 args.cpu_timeout)
+        attempts.append({"stage": "cpu_worker",
+                         "ok": result is not None, "error": err})
+    if result is None:
+        last_err = "; ".join(
+            f"{a['stage']}: {a.get('error')}" for a in attempts
+            if not a.get("ok"))
+        result = {
+            "metric": METRIC, "value": 0.0, "unit": "evals/s",
+            "vs_baseline": 0.0,
+            "detail": {"backend": "none",
+                       "capture_error": f"all capture attempts failed "
+                                        f"({last_err})"},
+        }
+    result.setdefault("detail", {})["capture_attempts"] = attempts
+    return result
+
+
+# --------------------------------------------------------------------
+# serial reference baseline (the emcee-on-CPU execution model)
+# --------------------------------------------------------------------
 
 def numpy_reference_lnprob_factory(ctx, layout, cfg):
     """Serial float64 transcription of the reference lnprob (free-comp
@@ -114,33 +239,11 @@ def numpy_stretch_chain(lnprob, pos0, nsteps, seed=0, a=2.0):
     return chain
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=10000)
-    ap.add_argument("--walkers", type=int, default=100)
-    ap.add_argument("--nsrc", type=int, default=1000)
-    ap.add_argument("--baseline-evals", type=int, default=30)
-    ap.add_argument("--baseline-tau-steps", type=int, default=300,
-                    help="serial-baseline chain length for the measured "
-                         "tau (0 disables; ~0.3 s/step of host time)")
-    ap.add_argument("--ab-reps", type=int, default=5,
-                    help="interleaved paired XLA/Pallas timings per "
-                         "config (median reported)")
-    ap.add_argument("--mega", action="store_true",
-                    help="also run the 1e6-source x 1000-walker "
-                         "mega-catalog configuration (BASELINE.json)")
-    ap.add_argument("--stream-vg-nsrc", type=int, default=600_000,
-                    help="catalog size for the default streaming "
-                         "value+grad A/B (must exceed the VMEM gate; "
-                         "0 disables)")
-    ap.add_argument("--evidence-rungs", type=int, default=16,
-                    help="tempered evidence-ladder rungs for the "
-                         "detail.evidence_* timing (0 disables)")
-    ap.add_argument("--nuts-chains", type=int, default=256,
-                    help="chain count for the NUTS throughput "
-                         "measurement (0 disables)")
-    args = ap.parse_args()
+# --------------------------------------------------------------------
+# worker: the actual measurement payload
+# --------------------------------------------------------------------
 
+def worker_main(args):
     import jax
     try:  # persistent compile cache: repeat bench runs skip the ~3 min
         jax.config.update("jax_compilation_cache_dir",
@@ -148,6 +251,11 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     except Exception:
         pass
+    if args._force_cpu:
+        # the axon sitecustomize force-sets jax_platforms="axon,cpu"
+        # and IGNORES the JAX_PLATFORMS env var; this config update is
+        # the one supported way to keep the capture off the tunnel
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from lumfuncmcmc_tpu.config import LFConfig
     from lumfuncmcmc_tpu.models.context import build_context
@@ -159,9 +267,12 @@ def main():
     from lumfuncmcmc_tpu.utils.synth import (
         make_catalog, apply_completeness_cut)
 
+    _inject_fail("backend")
     dev = jax.devices()[0]
-    log(f"backend: {jax.default_backend()}  device: {dev}")
-    if jax.default_backend() == "cpu" and args.steps == 10000:
+    backend = jax.default_backend()
+    on_tpu = backend == "tpu"
+    log(f"backend: {backend}  device: {dev}")
+    if not on_tpu and args.steps == 10000:
         # defensive: the full TPU workload would take ~an hour on a CPU
         # backend; shrink so the benchmark still completes and reports
         args.steps = 500
@@ -195,6 +306,40 @@ def main():
         jax.block_until_ready(out[0].pos)
         return timed_once(fn, pos, steps, jax.random.PRNGKey(2), **kw)
 
+    def ab_medians(engines, pos, steps, label):
+        """Interleaved paired timings: warm every engine with the
+        FULL-length program first (the scan trip count is a static jit
+        arg — a short warmup would leave a fresh multi-minute compile
+        inside the timed call), then alternate engines args.ab_reps
+        times so shared-chip drift hits all engines equally; report the
+        per-engine MEDIAN (single paired runs left the trapz margin
+        inside the noise band — VERDICT r2)."""
+        walls = {name: [] for name, _ in engines}
+        keep = {}
+        for name, fn in engines:
+            t0 = time.time()
+            out = run_stretch(fn, pos, jax.random.PRNGKey(1), steps)
+            jax.block_until_ready(out[0].pos)
+            log(f"compile+warmup [{label}:{name}] (full-length "
+                f"program): {time.time() - t0:.1f}s")
+        for rep in range(max(1, args.ab_reps)):
+            for name, fn in engines:
+                w, _, ch, lp, ac = timed_once(fn, pos, steps,
+                                              jax.random.PRNGKey(2))
+                walls[name].append(w)
+                if name not in keep:
+                    keep[name] = (ch, lp, ac)
+        med = {name: float(np.median(ws)) for name, ws in walls.items()}
+        spread = {name: (round(min(ws), 3), round(max(ws), 3))
+                  for name, ws in walls.items()}
+        nevals = steps * pos.shape[0]
+        for name in med:
+            log(f"{label}:{name}: median {med[name]:.3f}s over "
+                f"{len(walls[name])} runs (min {spread[name][0]}, max "
+                f"{spread[name][1]}) -> {nevals / med[name]:,.0f} "
+                "evals/s")
+        return med, spread, keep
+
     evals = args.steps * args.walkers
 
     # production quadrature mode: split-panel GL-32 (equal semantics,
@@ -210,13 +355,15 @@ def main():
     # (1,1)-mesh-composed Pallas path on TPU (Mosaic-compiled — no CPU
     # fallback here)
     engines = [("xla_trapz", lnprob), ("xla_gauss", lnprob_g)]
+    pallas_detail = {}
     pal = pal_g = None
-    if jax.default_backend() == "tpu":
+    if on_tpu:
         from lumfuncmcmc_tpu.ops.pallas_lnlike import make_pallas_lnprob
         pal = make_pallas_lnprob(ctx, layout)
         if getattr(pal, "engine", "pallas") != "pallas":
             log("pallas kernel unavailable for this workload (VMEM "
                 "gate) — skipping the A/B")
+            pallas_detail = {"pallas_skipped": "VMEM gate"}
             pal = None
         else:
             pal_g = make_pallas_lnprob(ctx_g, layout)
@@ -230,48 +377,21 @@ def main():
                 ctx_g, layout, make_mesh(1, 1))
             if pal_m is not None:
                 engines.append(("pallas_gauss_mesh11", pal_m))
+    else:
+        pallas_detail = {"pallas_skipped": f"no tpu backend ({backend})"}
 
-    # interleaved paired timings: warm every engine with the FULL-length
-    # program first (the scan trip count is a static jit arg — a short
-    # warmup would leave a fresh multi-minute compile inside the timed
-    # call), then alternate engines args.ab_reps times so shared-chip
-    # drift hits all engines equally; report the per-engine MEDIAN
-    # (single paired runs left the trapz margin inside the noise band —
-    # VERDICT r2)
-    walls = {name: [] for name, _ in engines}
-    chain = lnps = acc = None
-    for name, fn in engines:
-        t0 = time.time()
-        out = run_stretch(fn, pos0, jax.random.PRNGKey(1), args.steps)
-        jax.block_until_ready(out[0].pos)
-        log(f"compile+warmup [{name}] (full-length program): "
-            f"{time.time() - t0:.1f}s")
-    for rep in range(max(1, args.ab_reps)):
-        for name, fn in engines:
-            w, _, ch, lp, ac = timed_once(fn, pos0, args.steps,
-                                          jax.random.PRNGKey(2))
-            walls[name].append(w)
-            if name == "xla_trapz" and chain is None:
-                chain, lnps, acc = ch, lp, ac
-
-    med = {name: float(np.median(ws)) for name, ws in walls.items()}
-    spread = {name: (round(min(ws), 3), round(max(ws), 3))
-              for name, ws in walls.items()}
-    for name in med:
-        log(f"{name}: median {med[name]:.3f}s over {len(walls[name])} "
-            f"runs (min {spread[name][0]}, max {spread[name][1]}) -> "
-            f"{evals / med[name]:,.0f} evals/s")
+    med, spread, keep = ab_medians(engines, pos0, args.steps, "main")
+    chain, lnps, acc = keep["xla_trapz"]
     wall = med["xla_trapz"]
     wall_g = med["xla_gauss"]
     evals_per_sec = evals / wall
 
-    pallas_detail = {}
     wall_best, engine = wall, "xla"
     if pal is not None:
         wall_p = med["pallas_trapz"]
         wall_pg = med["pallas_gauss"]
         pallas_detail = {
-            "ab_reps": len(walls["pallas_trapz"]),
+            "ab_reps": max(1, args.ab_reps),
             "pallas_trapz101_evals_per_sec": round(evals / wall_p, 1),
             "pallas_trapz101_vs_xla": round(wall / wall_p, 3),
             "pallas_gauss32_evals_per_sec": round(evals / wall_pg, 1),
@@ -313,20 +433,29 @@ def main():
         f" acc={np.mean(np.asarray(acc)) / args.steps:.2f};"
         f" tau={tau:.1f}; min ESS={ess:.0f} ({ess / wall:,.0f}/s)")
 
-    # serial CPU baseline (reference execution model)
+    # serial CPU baseline (reference execution model): median over
+    # --baseline-reps repeated timings with the min/max spread recorded
+    # — a single 30-eval sample wandered 120-380 evals/s between rounds
+    # on host noise (VERDICT r3 #6)
     ref_lnprob = numpy_reference_lnprob_factory(ctx, layout, cfg)
     thetas = np.asarray(sample_init(jax.random.PRNGKey(3), layout,
                                     args.baseline_evals))
     # match the sampler's in-bounds workload: evaluate midpoint-ish thetas
     mid = 0.5 * (np.asarray(layout.lo) + np.asarray(layout.hi))
     thetas = 0.9 * mid[None, :] + 0.1 * thetas
-    t0 = time.time()
-    vals = [ref_lnprob(th) for th in thetas]
-    base_wall = time.time() - t0
-    base_rate = len(thetas) / base_wall
+    base_rates = []
+    sample_lnp = None
+    for rep in range(max(1, args.baseline_reps)):
+        t0 = time.time()
+        vals = [ref_lnprob(th) for th in thetas]
+        base_rates.append(len(thetas) / (time.time() - t0))
+        sample_lnp = vals[0]
+    base_rate = float(np.median(base_rates))
+    base_spread = (round(min(base_rates), 2), round(max(base_rates), 2))
     log(f"baseline (serial numpy f64, reference lnprob): "
-        f"{base_rate:,.1f} evals/s "
-        f"(sample lnp {vals[0]:.1f})")
+        f"{base_rate:,.1f} evals/s median of {len(base_rates)} reps "
+        f"(min {base_spread[0]}, max {base_spread[1]}; "
+        f"sample lnp {sample_lnp:.1f})")
 
     # measured baseline tau (VERDICT r2 #4): actually run the serial
     # stretch sampler instead of asserting ESS-per-eval equality. Both
@@ -360,24 +489,53 @@ def main():
             f"length: {jtau:.1f}); MEASURED matched-ESS ratio "
             f"{measured_ratio:,.0f}x")
 
-    # streaming value+grad A/B (default-on, compact): free-completeness
-    # NUTS gradients past the VMEM gate — one HBM pass per leapfrog vs
-    # XLA's forward+backward two
-    stream_vg_detail = {}
-    if args.stream_vg_nsrc > 0 and jax.default_backend() == "tpu":
+    # mega-catalog streaming tier, default-on and budget-bounded
+    # (VERDICT r3 #2: the 4.1x forward / 6.9x value+grad claims must
+    # land in the driver artifact, not only in PERFORMANCE.md). One
+    # over-VMEM free-completeness catalog serves both A/Bs:
+    #   - forward: the HBM-streaming lnprob kernel vs XLA, in-chain
+    #   - value+grad: one fused HBM pass per leapfrog vs XLA's
+    #     forward+backward two
+    stream_detail = {}
+    if args.stream_nsrc <= 0:
+        stream_detail = {"stream_skipped": "disabled by --stream-nsrc 0"}
+    elif not on_tpu:
+        stream_detail = {"stream_skipped": f"no tpu backend ({backend})"}
+    else:
         from lumfuncmcmc_tpu.ops.pallas_lnlike import (
-            free_comp_over_vmem, make_pallas_lnprob_and_grad)
+            free_comp_over_vmem, make_pallas_lnprob,
+            make_pallas_lnprob_and_grad)
         cfg_s = cfg.replace(quadrature="gauss")
         cat_s = apply_completeness_cut(
-            make_catalog(cfg_s, n_target=args.stream_vg_nsrc, seed=7,
+            make_catalog(cfg_s, n_target=args.stream_nsrc, seed=7,
                          lum_err_dex=0.0), cfg_s)
         _, ctx_s = build_context(cfg_s, z=cat_s["z"], flux=cat_s["flux"],
                                  flux_e=cat_s["flux_e"],
                                  field_id=cat_s["field_id"])
+        nsrc_s = len(cat_s["z"])
         if not free_comp_over_vmem(ctx_s):
-            log(f"stream-vg: {len(cat_s['z'])} sources fit in VMEM — "
-                "skipping (raise --stream-vg-nsrc)")
+            stream_detail = {
+                "stream_skipped": f"{nsrc_s} sources fit in VMEM "
+                                  "(raise --stream-nsrc)"}
         else:
+            pal_s = make_pallas_lnprob(ctx_s, layout)
+            xla_s = jax.vmap(make_lnprob(ctx_s, layout))
+            SS = args.stream_steps
+            med_s, spread_s, _ = ab_medians(
+                [("stream_pallas", pal_s), ("stream_xla", xla_s)],
+                pos0, SS, "stream")
+            nevals_s = SS * args.walkers
+            stream_detail = {
+                "stream_sources": nsrc_s,
+                "stream_fwd_steps": SS,
+                "stream_fwd_pallas_evals_per_sec": round(
+                    nevals_s / med_s["stream_pallas"], 1),
+                "stream_fwd_xla_evals_per_sec": round(
+                    nevals_s / med_s["stream_xla"], 1),
+                "stream_fwd_pallas_vs_xla": round(
+                    med_s["stream_xla"] / med_s["stream_pallas"], 3),
+            }
+            # value+grad A/B: interleaved reps of 10-call batches
             pal_vg = make_pallas_lnprob_and_grad(ctx_s, layout)
             mid_s = 0.5 * (np.asarray(layout.lo)
                            + np.asarray(layout.hi))
@@ -385,28 +543,32 @@ def main():
                                          layout, 8))
             th8 = jnp.asarray(0.8 * mid_s[None, :] + 0.2 * th8,
                               jnp.float32)
-            vg_walls = {}
-            for name, fn in (("pallas", pal_vg),
-                             ("xla", make_lnprob(ctx_s, layout))):
+            vg_engines = [("pallas", pal_vg),
+                          ("xla", make_lnprob(ctx_s, layout))]
+            vg_fns = {}
+            for name, fn in vg_engines:
                 vgf = jax.jit(jax.vmap(jax.value_and_grad(fn)))
                 jax.block_until_ready(vgf(th8)[0])
-                t0 = time.time()
-                for _ in range(10):
-                    out_vg = vgf(th8)
-                jax.block_until_ready(out_vg[0])
-                vg_walls[name] = (time.time() - t0) / 10
-            stream_vg_detail = {
-                "stream_vg_sources": len(cat_s["z"]),
-                "stream_vg_pallas_ms": round(
-                    1e3 * vg_walls["pallas"], 3),
-                "stream_vg_xla_ms": round(1e3 * vg_walls["xla"], 3),
+                vg_fns[name] = vgf
+            vg_walls = {name: [] for name, _ in vg_engines}
+            for rep in range(max(1, args.ab_reps)):
+                for name, _ in vg_engines:
+                    t0 = time.time()
+                    for _ in range(10):
+                        out_vg = vg_fns[name](th8)
+                    jax.block_until_ready(out_vg[0])
+                    vg_walls[name].append((time.time() - t0) / 10)
+            vg_med = {n: float(np.median(w)) for n, w in vg_walls.items()}
+            stream_detail.update({
+                "stream_vg_pallas_ms": round(1e3 * vg_med["pallas"], 3),
+                "stream_vg_xla_ms": round(1e3 * vg_med["xla"], 3),
                 "stream_vg_pallas_vs_xla": round(
-                    vg_walls["xla"] / vg_walls["pallas"], 3),
-            }
-            log(f"stream-vg (8 chains, {len(cat_s['z']):,} srcs): "
-                f"pallas {1e3 * vg_walls['pallas']:.2f} ms vs xla "
-                f"{1e3 * vg_walls['xla']:.2f} ms "
-                f"({vg_walls['xla'] / vg_walls['pallas']:.2f}x)")
+                    vg_med["xla"] / vg_med["pallas"], 3),
+            })
+            log(f"stream-vg (8 chains, {nsrc_s:,} srcs): "
+                f"pallas {1e3 * vg_med['pallas']:.2f} ms vs xla "
+                f"{1e3 * vg_med['xla']:.2f} ms "
+                f"({vg_med['xla'] / vg_med['pallas']:.2f}x)")
 
     # NUTS throughput (iterative while_loop transitions): large-batch
     # gradient-based sampling on the production gauss grid. At 256
@@ -414,7 +576,11 @@ def main():
     # small grid (docs/PERFORMANCE.md) and ESS/s matches the stretch
     # ensemble with far better per-sample mixing.
     nuts_detail = {}
-    if args.nuts_chains > 0 and jax.default_backend() == "tpu":
+    if args.nuts_chains <= 0:
+        nuts_detail = {"nuts_skipped": "disabled by --nuts-chains 0"}
+    elif not on_tpu:
+        nuts_detail = {"nuts_skipped": f"no tpu backend ({backend})"}
+    else:
         from lumfuncmcmc_tpu.samplers.nuts import (
             make_unconstrained, run_nuts)
         lnp_scalar_g = make_lnprob(ctx_g, layout)
@@ -459,7 +625,11 @@ def main():
     # batch — the marginal-likelihood capability's TPU cost is one
     # K-fold wider run, not K sequential runs
     ev_detail = {}
-    if args.evidence_rungs > 0 and jax.default_backend() == "tpu":
+    if args.evidence_rungs <= 0:
+        ev_detail = {"evidence_skipped": "disabled by --evidence-rungs 0"}
+    elif not on_tpu:
+        ev_detail = {"evidence_skipped": f"no tpu backend ({backend})"}
+    else:
         from lumfuncmcmc_tpu.models.likelihood import (
             lnlike_single_epoch, lnprior)
         from lumfuncmcmc_tpu.samplers.tempering import (
@@ -518,7 +688,7 @@ def main():
         # mega free-completeness NUTS gradient A/B: the streaming
         # value+grad kernel (one HBM pass per leapfrog) vs XLA
         # forward+backward, 8 vmapped chains at the full catalog
-        if jax.default_backend() == "tpu":
+        if on_tpu:
             from lumfuncmcmc_tpu.ops.pallas_lnlike import (
                 make_pallas_lnprob_and_grad)
             cfg_fm = cfg_m.replace(fix_comp=False)
@@ -590,12 +760,14 @@ def main():
     ess_per_sec = ess / wall_best
     base_ess_per_sec = (ess / evals) * base_rate
     result = {
-        "metric": "lnprob_evals_per_sec_100walker_chain",
+        "metric": METRIC,
         "value": round(evals / wall_best, 1),
         "unit": "evals/s",
         "vs_baseline": round(evals / wall_best / base_rate, 2),
         "detail": {
             "device": str(dev),
+            "backend": backend,
+            "capture_error": None,
             "engine": engine,
             "wall_s": round(wall_best, 3),
             "xla_wall_s": round(wall, 3),
@@ -603,6 +775,8 @@ def main():
             "steps": args.steps,
             "walkers": args.walkers,
             "baseline_evals_per_sec": round(base_rate, 2),
+            "baseline_evals_per_sec_spread": list(base_spread),
+            "baseline_reps": max(1, args.baseline_reps),
             "min_ess_full_chain": round(ess, 1),
             "tau_steps": round(float(tau), 2),
             "min_ess_per_sec": round(ess_per_sec, 1),
@@ -615,12 +789,79 @@ def main():
             **vpu_detail,
             **base_tau_detail,
             **mix_detail,
-            **stream_vg_detail,
+            **stream_detail,
             **nuts_detail,
             **ev_detail,
             **mega_detail,
         },
     }
+    print(json.dumps(result), flush=True)
+
+
+def build_parser():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=10000)
+    ap.add_argument("--walkers", type=int, default=100)
+    ap.add_argument("--nsrc", type=int, default=1000)
+    ap.add_argument("--baseline-evals", type=int, default=30)
+    ap.add_argument("--baseline-reps", type=int, default=5,
+                    help="repeated serial-baseline timings (median + "
+                         "spread reported)")
+    ap.add_argument("--baseline-tau-steps", type=int, default=300,
+                    help="serial-baseline chain length for the measured "
+                         "tau (0 disables; ~0.3 s/step of host time)")
+    ap.add_argument("--ab-reps", type=int, default=5,
+                    help="interleaved paired XLA/Pallas timings per "
+                         "config (median reported)")
+    ap.add_argument("--mega", action="store_true",
+                    help="also run the 1.2e6-source x 1000-walker "
+                         "mega-catalog configuration (BASELINE.json)")
+    ap.add_argument("--stream-nsrc", type=int, default=600_000,
+                    help="catalog size for the default-on streaming "
+                         "forward and value+grad A/Bs (must exceed the "
+                         "VMEM gate; 0 disables)")
+    ap.add_argument("--stream-steps", type=int, default=500,
+                    help="chain length for the streaming forward A/B")
+    ap.add_argument("--evidence-rungs", type=int, default=16,
+                    help="tempered evidence-ladder rungs for the "
+                         "detail.evidence_* timing (0 disables)")
+    ap.add_argument("--nuts-chains", type=int, default=256,
+                    help="chain count for the NUTS throughput "
+                         "measurement (0 disables)")
+    # capture-hardening knobs (supervisor only)
+    ap.add_argument("--cpu", action="store_true",
+                    help="skip the TPU probe/attempt and capture on a "
+                         "forced-CPU backend")
+    ap.add_argument("--probe-timeout", type=float, default=90.0,
+                    help="seconds per backend-init probe attempt")
+    ap.add_argument("--probe-retries", type=int, default=3)
+    ap.add_argument("--worker-timeout", type=float, default=2400.0,
+                    help="wall-clock watchdog for the primary capture")
+    ap.add_argument("--cpu-timeout", type=float, default=1200.0,
+                    help="wall-clock watchdog for the CPU fallback")
+    # internal
+    ap.add_argument("--_worker", action="store_true",
+                    help=argparse.SUPPRESS)
+    ap.add_argument("--_force-cpu", dest="_force_cpu",
+                    action="store_true", help=argparse.SUPPRESS)
+    return ap
+
+
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    args = build_parser().parse_args(argv)
+    if args._worker:
+        worker_main(args)
+        return
+    passthrough = [a for a in argv
+                   if a not in ("--_worker", "--_force-cpu", "--cpu")]
+    try:
+        result = supervise(args, passthrough)
+    except Exception as e:  # the JSON line must land on EVERY path
+        result = {"metric": METRIC, "value": 0.0, "unit": "evals/s",
+                  "vs_baseline": 0.0,
+                  "detail": {"backend": "none",
+                             "capture_error": f"supervisor: {e!r}"}}
     print(json.dumps(result), flush=True)
 
 
