@@ -816,10 +816,12 @@ def build_parser():
     ap.add_argument("--mega", action="store_true",
                     help="also run the 1.2e6-source x 1000-walker "
                          "mega-catalog configuration (BASELINE.json)")
-    ap.add_argument("--stream-nsrc", type=int, default=600_000,
-                    help="catalog size for the default-on streaming "
-                         "forward and value+grad A/Bs (must exceed the "
-                         "VMEM gate; 0 disables)")
+    ap.add_argument("--stream-nsrc", type=int, default=1_200_000,
+                    help="pre-cut catalog size for the default-on "
+                         "streaming forward and value+grad A/Bs "
+                         "(~1.02e6 sources survive the completeness "
+                         "cut — the scale PERFORMANCE.md's 4.1x/6.9x "
+                         "claims were measured at; 0 disables)")
     ap.add_argument("--stream-steps", type=int, default=500,
                     help="chain length for the streaming forward A/B")
     ap.add_argument("--evidence-rungs", type=int, default=16,

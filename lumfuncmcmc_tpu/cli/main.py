@@ -522,7 +522,7 @@ def cmd_fit(args):
     names = model.get_param_names()
     print("Labels:", names)
     if getattr(args, "map", False):
-        return _map_quicklook(model, cfg, args, outdir)
+        return _map_only_outputs(model, cfg, args, outdir)
     _dispatch_sampler(model, cfg, args, outdir)
     # collective: every process runs the ladder; process 0 writes
     ev = (_run_evidence(model, args)
@@ -581,6 +581,30 @@ def _write_ppc(model, cfg, args, outdir):
     print("Finished writing posterior predictive check "
           f"(N_obs={ppc['total_observed']}, "
           f"E[N_pred]={ppc['total_predicted']:.1f})")
+
+
+def _map_only_outputs(model, cfg, args, outdir):
+    """Fresh-run --map path: no sampling happens, so the
+    sampling-dependent flags (--ic/--ppc) cannot run — warn instead of
+    silently ignoring them. --evidence needs no posterior, so it DOES
+    run, making a fresh `--map --evidence` invocation produce the same
+    artifacts as the resumed one (`_resumed_outputs`). Collective
+    first: the ladder must run on every process before any
+    is_primary-gated writer (the documented deadlock pattern)."""
+    from lumfuncmcmc_tpu.parallel.distributed import is_primary
+    skipped = [f for f in ("ic", "ppc") if getattr(args, f, False)]
+    if skipped:
+        print("WARNING: --map skips sampling, so "
+              + "/".join("--" + f for f in skipped)
+              + " cannot run (they need a posterior); rerun without "
+              "--map, or rerun with the same output file once a "
+              "posterior exists to add them")
+    ev = (_run_evidence(model, args)
+          if getattr(args, "evidence", None) is not None else None)
+    rc = _map_quicklook(model, cfg, args, outdir)
+    if ev is not None and is_primary():
+        _write_evidence(ev, cfg, args, outdir)
+    return rc
 
 
 def _map_quicklook(model, cfg, args, outdir):
@@ -756,7 +780,7 @@ def cmd_fitz(args):
     names = model.get_param_names()
     print("Labels:", names)
     if getattr(args, "map", False):
-        return _map_quicklook(model, cfg, args, outdir)
+        return _map_only_outputs(model, cfg, args, outdir)
     _dispatch_sampler(model, cfg, args, outdir)
     ev = (_run_evidence(model, args)
           if getattr(args, "evidence", None) is not None else None)
@@ -802,7 +826,7 @@ def cmd_fith(args):
     names = model.get_param_names()
     print("Labels:", names)
     if getattr(args, "map", False):
-        return _map_quicklook(model, cfg, args, outdir)
+        return _map_only_outputs(model, cfg, args, outdir)
     _dispatch_sampler(model, cfg, args, outdir)
     ev = (_run_evidence(model, args)
           if getattr(args, "evidence", None) is not None else None)

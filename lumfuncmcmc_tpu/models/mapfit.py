@@ -94,11 +94,19 @@ def laplace_fit(lnpost, lo, hi, key=None, nstarts: int = 8,
             sc = jnp.maximum(1.0, jnp.abs(lnpost(to_theta(y))))
 
             def restart(_, carry):
-                yy, _, _ = carry
+                yy, ff, ok = carry
                 res = minimize(obj, yy, args=(sc,), method="BFGS",
                                options={"maxiter": maxiter,
                                         "gtol": gtol})
-                return res.x, res.fun, res.success
+                # keep the new iterate only where it IMPROVES: a
+                # restart whose line search fails can end at a worse
+                # point than an earlier restart's optimum, and the
+                # best-so-far must not be discarded (nan/inf res.fun
+                # compares False and is rejected) — ADVICE r3
+                better = res.fun < ff
+                return (jnp.where(better, res.x, yy),
+                        jnp.where(better, res.fun, ff),
+                        jnp.where(better, res.success, ok))
 
             # fori_loop, not an unrolled Python loop: the minimize
             # body is large and would otherwise trace `restarts` times

@@ -117,18 +117,37 @@ def _norm_ppf(p):
         return np.sqrt(2.0) * np.asarray(jsp.erfinv(arg))
 
 
+def _average_ranks(v):
+    """1-based ranks with ties sharing their AVERAGE rank (scipy
+    'average' method). MCMC chains contain many exact ties (rejected
+    proposals repeat walker positions); argsort-order tie-breaking
+    would hand tied samples artificially distinct normal scores and
+    perturb the rank-normalized R-hat relative to the Vehtari et al.
+    2021 definition (ADVICE r3)."""
+    order = np.argsort(v, kind="stable")
+    sv = v[order]
+    new_grp = np.empty(len(v), dtype=bool)
+    new_grp[0] = True
+    np.not_equal(sv[1:], sv[:-1], out=new_grp[1:])
+    grp = np.cumsum(new_grp) - 1
+    counts = np.bincount(grp)
+    csum = np.cumsum(counts)
+    # group spans sorted positions [csum-count, csum): ranks
+    # csum-count+1 .. csum, whose average is (csum-count+csum+1)/2
+    avg = (2.0 * csum - counts + 1.0) / 2.0
+    ranks = np.empty(len(v), dtype=np.float64)
+    ranks[order] = avg[grp]
+    return ranks
+
+
 def _rank_normalize(x):
     """Rank-normalize samples jointly across chains (Vehtari et al.
-    2021 eq. 14: fractional ranks (r - 3/8)/(S + 1/4) through the
-    normal quantile). ``x``: (n, m, d)."""
+    2021 eq. 14: fractional average ranks (r - 3/8)/(S + 1/4) through
+    the normal quantile). ``x``: (n, m, d)."""
     n, m, d = x.shape
     flat = x.reshape(n * m, d)
-    ranks = np.empty_like(flat)
-    order = np.argsort(flat, axis=0)
-    np.put_along_axis(ranks, order,
-                      np.broadcast_to(
-                          np.arange(1, n * m + 1, dtype=np.float64)
-                          [:, None], flat.shape).copy(), axis=0)
+    ranks = np.stack([_average_ranks(flat[:, j]) for j in range(d)],
+                     axis=1)
     z = _norm_ppf((ranks - 0.375) / (n * m + 0.25))
     return z.reshape(n, m, d)
 

@@ -251,3 +251,24 @@ def test_mcse_quantile_iid_and_correlated():
     got_c = mcse_quantile(xc, 0.5)
     ratio = got_c / got
     assert np.all(ratio > 1.4) and np.all(ratio < 3.2), ratio
+
+
+def test_average_ranks_match_scipy_on_ties():
+    """Tied samples (MCMC chains repeat walker positions on rejection)
+    must share their AVERAGE rank (Vehtari et al. 2021), not get
+    argsort-order-distinct ranks; oracle = scipy.stats.rankdata."""
+    from scipy.stats import rankdata
+
+    from lumfuncmcmc_tpu.samplers.diagnostics import _average_ranks
+
+    rng = np.random.default_rng(37)
+    # heavy ties: values drawn from a tiny discrete set, plus a block
+    # of literal repeats (the rejected-proposal pattern)
+    v = rng.choice([0.0, 1.0, 1.0, 2.5, -3.0], size=200)
+    v[50:70] = v[49]
+    np.testing.assert_allclose(_average_ranks(v),
+                               rankdata(v, method="average"))
+    # tie-free data reduces to ordinary 1-based ranks
+    u = rng.normal(size=101)
+    np.testing.assert_allclose(_average_ranks(u),
+                               rankdata(u, method="average"))
