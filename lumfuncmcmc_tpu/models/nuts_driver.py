@@ -236,28 +236,30 @@ class _NutsDriverMixin:
         return (y, state[1], state[2])
 
     def _nuts_mesh_ckpt(self, checkpoint_path, min_ess, resume, y0,
-                        num_warmup):
+                        num_warmup, route):
         """Checkpoint plumbing for the shard_map NUTS routes: returns
-        ``(ck, fp, resumed)``. The fingerprint additionally pins the
-        MESH SHAPE — both shard_map routes fold the RNG by a device/row
-        index, so resuming under a different mesh would splice chains
-        from different key streams (the jit route has no such axis).
+        ``(ck, fp, resumed)``. The fingerprints are ELASTIC — the
+        sampling-phase keys fold by the GLOBAL chain index and the
+        saved ``(y_run, eps, scale)`` state is per chain, so a
+        checkpoint written under mesh (4, 2) resumes bit-identically
+        under (2, 4) or (8, 1) and the mesh shape is NOT pinned. The
+        one exception: the stream route pins the SOURCE axis size —
+        its per-leapfrog psum's reduction order is part of the
+        arithmetic, so refactoring the source axis would shift lnp at
+        float level and flip accept decisions.
         """
-        from lumfuncmcmc_tpu.parallel.mesh import (
-            AXIS_SOURCES, AXIS_WALKERS)
+        from lumfuncmcmc_tpu.parallel.mesh import AXIS_SOURCES
         ck = checkpoint_path if min_ess else None
         if ck and not ck.endswith(".npz"):
             ck += ".npz"
-        fp = np.asarray([y0.shape[0], int(num_warmup),
-                         int(self.cfg.nsteps), y0.shape[1],
-                         self.cfg.seed,
-                         self.mesh.shape[AXIS_WALKERS],
-                         self.mesh.shape[AXIS_SOURCES]],
-                        dtype=np.float64)
-        resumed = self._nuts_ckpt_load(
-            ck, fp, resume,
-            "(nchains, num_warmup, block_steps, ndim, seed, "
-            "mesh_walkers, mesh_sources)")
+        fp_list = [y0.shape[0], int(num_warmup), int(self.cfg.nsteps),
+                   y0.shape[1], self.cfg.seed]
+        desc = "(nchains, num_warmup, block_steps, ndim, seed"
+        if route == "stream_mesh":
+            fp_list.append(self.mesh.shape[AXIS_SOURCES])
+            desc += ", mesh_sources"
+        fp = np.asarray(fp_list, dtype=np.float64)
+        resumed = self._nuts_ckpt_load(ck, fp, resume, desc + ")")
         return ck, fp, resumed
 
     def _nuts_mesh_engine(self, route, lnp_y, to_theta, y0, k_run,
@@ -315,7 +317,8 @@ class _NutsDriverMixin:
                     resume, route=route, pooled=pooled)
         else:
             ck, fp, resumed = self._nuts_mesh_ckpt(
-                checkpoint_path, min_ess, resume, y0, num_warmup)
+                checkpoint_path, min_ess, resume, y0, num_warmup,
+                route)
             if resumed is None:
                 out = first(bool(min_ess))
                 if min_ess:
@@ -392,13 +395,14 @@ class _NutsDriverMixin:
         every knob that changes the transition program.
 
         ``route``: "jit" (meshless/XLA-mesh), "native_mesh"
-        (per-device replicas — ``continue_nuts_keys_sharded`` slices
-        each device's own fold_in key stream), or "stream_mesh"
-        (source-sharded streaming vg — keys fold by the walker-row
-        index only). The mesh fingerprints additionally pin the mesh
-        shape, which the key folding depends on. ``pooled`` only
-        shapes the first block's warmup (the continuation state is
-        frozen either way).
+        (per-device replicas), or "stream_mesh" (source-sharded
+        streaming vg). The mesh continuations slice PER-GLOBAL-CHAIN
+        counter-stable key streams and the state is per chain, so a
+        truncated checkpoint resumes bit-identically under a
+        DIFFERENT mesh shape (elastic) — only the stream route pins
+        the SOURCE axis size (its per-leapfrog psum's reduction order
+        is part of the arithmetic). ``pooled`` only shapes the first
+        block's warmup (the continuation state is frozen either way).
         """
         from lumfuncmcmc_tpu.samplers.nuts import (
             continue_nuts_keys, run_nuts, sampling_keys)
@@ -421,14 +425,16 @@ class _NutsDriverMixin:
                                 num_samples=n, return_state=True)
 
             def cont(st, a, b):
-                return continue_nuts_keys(lnp_y, st,
-                                          sampling_keys(k_run, a, b))
+                ids = jnp.arange(nchains, dtype=jnp.uint32)
+                return continue_nuts_keys(
+                    lnp_y, st, sampling_keys(k_run, a, b, ids))
         else:
-            from lumfuncmcmc_tpu.parallel.mesh import (
-                AXIS_SOURCES, AXIS_WALKERS)
+            from lumfuncmcmc_tpu.parallel.mesh import AXIS_SOURCES
             from lumfuncmcmc_tpu.parallel import sharding as sh
-            fp_list += [self.mesh.shape[AXIS_WALKERS],
-                        self.mesh.shape[AXIS_SOURCES]]
+            if route == "stream_mesh":
+                # the stream route's psum order pins the source axis;
+                # the walker axis regroups freely (elastic resume)
+                fp_list += [self.mesh.shape[AXIS_SOURCES]]
             if route == "native_mesh":
                 def first(n):
                     return sh.run_nuts_sharded(
@@ -473,8 +479,8 @@ class _NutsDriverMixin:
                     "nuts-checkpoint fingerprint mismatch: the "
                     "checkpoint was written under different (nchains, "
                     "num_warmup, nsteps, checkpoint_every, ndim, seed"
-                    "[, mesh_walkers, mesh_sources]) — delete %s or "
-                    "restore the original settings" % checkpoint_path)
+                    "[, mesh_sources]) — delete %s or restore the "
+                    "original settings" % checkpoint_path)
             done = int(saved["nblocks"])
             blocks = [jnp.asarray(saved["samples_y"])]
             lnp_blocks = [jnp.asarray(saved["lnps_y"])]
@@ -569,11 +575,14 @@ class _NutsDriverMixin:
         accumulated chain plus the live ``(y_run, eps, scale)`` state,
         so a resume skips warmup and replays the continuation key
         stream to the identical chain — on EVERY route (jit,
-        per-device-replica mesh, source-sharded stream; the mesh
-        fingerprints additionally pin the mesh shape, whose device
-        indices fold the RNG). Fixed-length checkpointing (the
+        per-device-replica mesh, source-sharded stream). The mesh
+        checkpoints are ELASTIC: the sampling keys fold by the GLOBAL
+        chain index and the state is per chain, so a checkpoint
+        written under mesh (4, 2) resumes bit-identically under
+        (2, 4) or (8, 1) — only the stream route pins the SOURCE axis
+        size (psum reduction order). Fixed-length checkpointing (the
         bit-identical key-slice protocol) also runs on every route:
-        the mesh twins slice each device's own fold_in key stream
+        the mesh twins slice the same per-global-chain streams
         (``continue_nuts_keys_sharded`` /
         ``continue_nuts_keys_stream_sharded``). Multi-process runs
         checkpoint too: saves gather COLLECTIVELY (every process) with

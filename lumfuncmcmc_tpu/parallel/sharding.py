@@ -172,10 +172,20 @@ def run_nuts_sharded(lnp_y, y0, key, mesh, num_warmup, num_samples,
     equal). Returns ``(samples (S, C, D), lnps (S, C), alphas (S, C),
     eps (ndev,), div_frac (ndev,))``.
 
-    ``return_state=True`` appends the per-device frozen-adaptation
-    state ``(y_run (C, D), eps (ndev,), scale (ndev, D))`` — feed it
-    to :func:`continue_nuts_sharded` to extend every replica without
-    re-warmup (the sharded twin of ``continue_nuts``).
+    ``return_state=True`` appends the frozen-adaptation state
+    ``(y_run (C, D), eps (C,), scale (C, D))`` — PER CHAIN, each chain
+    carrying the step size/mass its own device's warmup adapted, so the
+    state regroups freely onto a different mesh shape (elastic
+    checkpoints). Feed it to :func:`continue_nuts_sharded` to extend
+    every replica without re-warmup (the sharded twin of
+    ``continue_nuts``).
+
+    RNG layout: warmup keys fold by the device index (devices must
+    warm up on distinct transition streams), but the recorded sampling
+    phase uses PER-GLOBAL-CHAIN streams
+    (``run_nuts(sampling_key=key, chain_ids=<block's global ids>)``),
+    so the sampled chains are a function of (key, chain index) only —
+    independent of the mesh factorization.
     """
     from lumfuncmcmc_tpu.samplers.nuts import run_nuts
 
@@ -187,21 +197,25 @@ def run_nuts_sharded(lnp_y, y0, key, mesh, num_warmup, num_samples,
         raise ValueError(
             f"chain count {C} must be a multiple of the mesh device "
             f"count {ndev} (whole chain blocks per device)")
+    blk = C // ndev
     axes = (AXIS_WALKERS, AXIS_SOURCES)
 
     def local(y0_blk):
         i = (jax.lax.axis_index(AXIS_WALKERS) * ns
              + jax.lax.axis_index(AXIS_SOURCES))
-        k_local = jax.random.fold_in(key, i)
-        out = run_nuts(lnp_y, y0_blk, k_local,
+        k_warm = jax.random.fold_in(key, i)
+        ids = i * blk + jnp.arange(blk, dtype=jnp.uint32)
+        out = run_nuts(lnp_y, y0_blk, k_warm,
                        num_warmup=num_warmup,
                        num_samples=num_samples,
                        pool_axes=axes if pooled else None,
-                       return_state=return_state, **kw)
+                       return_state=return_state,
+                       sampling_key=key, chain_ids=ids, **kw)
         if return_state:
             s, lp, al, eps, dv, (y_run, eps_s, scale) = out
-            return (s, lp, al, eps[None], dv[None],
-                    y_run, eps_s[None], scale[None])
+            return (s, lp, al, eps[None], dv[None], y_run,
+                    jnp.broadcast_to(eps_s, (blk,)),
+                    jnp.broadcast_to(scale, (blk,) + scale.shape))
         s, lp, al, eps, dv = out
         return s, lp, al, eps[None], dv[None]
 
@@ -222,14 +236,17 @@ def continue_nuts_sharded(lnp_y, state, key, mesh, num_samples,
                           max_doublings=8):
     """Extend warmed-up per-device NUTS replicas without re-warmup.
 
-    ``state`` is the ``(y_run (C, D), eps (ndev,), scale (ndev, D))``
-    tuple from ``run_nuts_sharded(..., return_state=True)`` (or a
-    previous call). Each device runs the meshless
+    ``state`` is the PER-CHAIN ``(y_run (C, D), eps (C,), scale
+    (C, D))`` tuple from ``run_nuts_sharded(..., return_state=True)``
+    (or a previous call). Each device runs the meshless
     :func:`~lumfuncmcmc_tpu.samplers.nuts.continue_nuts` on its local
-    chain block with its own frozen eps/scale and the block key folded
-    by the device index — so the sharded continuation is EXACTLY
-    per-device ``continue_nuts`` (the host-side oracle the parity test
-    uses). This is the mesh engine of convergence-controlled NUTS
+    chain block with each chain's own frozen eps/scale and
+    PER-GLOBAL-CHAIN key streams (``chain_ids`` = the block's global
+    indices) — so the sharded continuation is EXACTLY the meshless
+    ``continue_nuts`` of the same chains, under ANY mesh shape whose
+    device count divides C (elastic checkpoints: a state written under
+    mesh (4,2) resumes bit-identically under (2,4) or (8,1)). This is
+    the mesh engine of convergence-controlled NUTS
     (``fit_model_nuts(min_ess=...)`` on the per-device-replica route).
 
     Returns ``(samples (S, C, D), lnps, alphas, div_frac (ndev,),
@@ -240,16 +257,17 @@ def continue_nuts_sharded(lnp_y, state, key, mesh, num_samples,
     y_run, eps, scale = state
     ns = mesh.shape[AXIS_SOURCES]
     axes = (AXIS_WALKERS, AXIS_SOURCES)
+    blk = y_run.shape[0] // (mesh.shape[AXIS_WALKERS] * ns)
 
     def local(y_blk, eps_blk, scale_blk):
         i = (jax.lax.axis_index(AXIS_WALKERS) * ns
              + jax.lax.axis_index(AXIS_SOURCES))
-        k_local = jax.random.fold_in(key, i)
+        ids = i * blk + jnp.arange(blk, dtype=jnp.uint32)
         s, lp, al, dv, (y_end, eps_e, scale_e) = continue_nuts(
-            lnp_y, (y_blk, eps_blk[0], scale_blk[0]), k_local,
-            num_samples=int(num_samples), max_doublings=max_doublings)
-        return (s, lp, al, dv[None], y_end, eps_e[None],
-                scale_e[None])
+            lnp_y, (y_blk, eps_blk, scale_blk), key,
+            num_samples=int(num_samples), max_doublings=max_doublings,
+            chain_ids=ids)
+        return s, lp, al, dv[None], y_end, eps_e, scale_e
 
     fn = jax.shard_map(
         local, mesh=mesh,
@@ -265,15 +283,18 @@ def continue_nuts_keys_sharded(lnp_y, state, key, mesh, start, stop,
                                max_doublings=8):
     """Blockwise BIT-IDENTICAL continuation of :func:`run_nuts_sharded`
     — the mesh twin of :func:`~lumfuncmcmc_tpu.samplers.nuts.
-    continue_nuts_keys`. Each device slices its OWN counter-stable
-    sampling-key stream, ``sampling_keys(fold_in(key, i), start,
-    stop)`` with ``key`` the run key ``run_nuts_sharded`` was given and
-    ``i`` this device's fold index — precisely the keys its local
-    ``run_nuts``'s sampling scan would have consumed at transitions
-    ``[start, stop)``. Concatenated blocks therefore equal the
-    uninterrupted ``run_nuts_sharded(num_samples=stop)`` run
-    bit-for-bit (the fixed-length checkpoint protocol, per device).
-    Returns ``(samples, lnps, alphas, div_frac (ndev,), state')``.
+    continue_nuts_keys`. Each device slices its chains' counter-stable
+    PER-GLOBAL-CHAIN streams, ``sampling_keys(key, start, stop, ids)``
+    with ``key`` the run key ``run_nuts_sharded`` was given and ``ids``
+    the block's global chain indices — precisely the keys the
+    uninterrupted sampling scan would have consumed at transitions
+    ``[start, stop)``, under ANY mesh factorization (the streams fold
+    by the global chain index, not the device). Concatenated blocks
+    therefore equal the uninterrupted
+    ``run_nuts_sharded(num_samples=stop)`` run bit-for-bit (the
+    fixed-length checkpoint protocol), even when the resume mesh shape
+    differs from the writer's. Returns ``(samples, lnps, alphas,
+    div_frac (ndev,), state')``.
     """
     from lumfuncmcmc_tpu.samplers.nuts import (
         continue_nuts_keys, sampling_keys)
@@ -281,16 +302,16 @@ def continue_nuts_keys_sharded(lnp_y, state, key, mesh, start, stop,
     y_run, eps, scale = state
     ns = mesh.shape[AXIS_SOURCES]
     axes = (AXIS_WALKERS, AXIS_SOURCES)
+    blk = y_run.shape[0] // (mesh.shape[AXIS_WALKERS] * ns)
 
     def local(y_blk, eps_blk, scale_blk):
         i = (jax.lax.axis_index(AXIS_WALKERS) * ns
              + jax.lax.axis_index(AXIS_SOURCES))
-        keys = sampling_keys(jax.random.fold_in(key, i), start, stop)
+        ids = i * blk + jnp.arange(blk, dtype=jnp.uint32)
+        keys = sampling_keys(key, start, stop, ids)
         s, lp, al, dv, (y_end, eps_e, scale_e) = continue_nuts_keys(
-            lnp_y, (y_blk, eps_blk[0], scale_blk[0]), keys,
-            max_doublings)
-        return (s, lp, al, dv[None], y_end, eps_e[None],
-                scale_e[None])
+            lnp_y, (y_blk, eps_blk, scale_blk), keys, max_doublings)
+        return s, lp, al, dv[None], y_end, eps_e, scale_e
 
     fn = jax.shard_map(
         local, mesh=mesh,
@@ -410,11 +431,14 @@ def run_nuts_stream_sharded(ctx: LFContext, layout, mesh, y0, key,
     model/grids do not fit the streaming kernel (fixed completeness,
     or resident grids past the VMEM budget).
 
-    ``return_state=True`` (via ``kw``) appends the per-walker-row
-    frozen-adaptation state ``(y_run (C, D), eps (nw,), scale (nw,
-    D))`` — feed it to :func:`continue_nuts_stream_sharded`. The state
-    is replicated along the source axis (bit-identical replicas), so
-    one copy per walker row is the whole state.
+    ``return_state=True`` (via ``kw``) appends the PER-CHAIN
+    frozen-adaptation state ``(y_run (C, D), eps (C,), scale (C,
+    D))`` — feed it to :func:`continue_nuts_stream_sharded`, under the
+    same OR a differently-factored walker axis (the sampling keys fold
+    by the global chain index; the SOURCE axis size must stay fixed —
+    its psum order is part of the arithmetic). The state is replicated
+    along the source axis (bit-identical replicas), so one copy per
+    walker row is the whole state.
     """
     from lumfuncmcmc_tpu.samplers.nuts import make_unconstrained, run_nuts
 
@@ -430,23 +454,30 @@ def run_nuts_stream_sharded(ctx: LFContext, layout, mesh, y0, key,
         raise ValueError(
             f"chain count {C} must be a multiple of the mesh walker "
             f"axis {nw_shards} (whole chain blocks per walker row)")
+    blk = C // nw_shards
     lo = jnp.asarray(layout.lo, jnp.float32)
     hi = jnp.asarray(layout.hi, jnp.float32)
 
     def local(y0_blk, s_blk):
         scalar = make_scalar(s_blk)
         lnp_y, _, _ = make_unconstrained(scalar, lo, hi)
-        k_local = jax.random.fold_in(key,
-                                     jax.lax.axis_index(AXIS_WALKERS))
+        w = jax.lax.axis_index(AXIS_WALKERS)
+        # warmup folds by the walker-row index ONLY (source-row devices
+        # must stay bit-identical replicas for psum coherence); the
+        # sampling phase uses per-global-chain streams
+        k_warm = jax.random.fold_in(key, w)
+        ids = w * blk + jnp.arange(blk, dtype=jnp.uint32)
         out = run_nuts(
-            lnp_y, y0_blk, k_local, num_warmup=num_warmup,
+            lnp_y, y0_blk, k_warm, num_warmup=num_warmup,
             num_samples=num_samples,
             pool_axes=(AXIS_WALKERS,) if pooled else None,
-            return_state=return_state, **kw)
+            return_state=return_state,
+            sampling_key=key, chain_ids=ids, **kw)
         if return_state:
             s, lp, al, eps, dv, (y_run, eps_s, scale) = out
-            return (s, lp, al, eps[None], dv[None],
-                    y_run, eps_s[None], scale[None])
+            return (s, lp, al, eps[None], dv[None], y_run,
+                    jnp.broadcast_to(eps_s, (blk,)),
+                    jnp.broadcast_to(scale, (blk,) + scale.shape))
         s, lp, al, eps, dv = out
         return s, lp, al, eps[None], dv[None]
 
@@ -474,13 +505,16 @@ def continue_nuts_stream_sharded(ctx: LFContext, layout, mesh, state,
     re-warmup — the stream-route twin of :func:`continue_nuts_sharded`.
 
     ``state`` comes from ``run_nuts_stream_sharded(...,
-    return_state=True)``. The gradient surface is rebuilt the same way
-    (per-device source slabs + one vg-row ``psum`` per leapfrog), and
-    the block key is folded by the WALKER-AXIS index only, so devices
-    along the source axis stay bit-identical replicas (the psum-
-    coherence invariant). Returns ``(samples, lnps, alphas, div_frac
-    (nw,), state')`` or ``None`` when the streaming kernel is gated
-    off (callers hold a state, so this only happens on misuse).
+    return_state=True)`` — per-chain, so it regroups freely when the
+    WALKER axis is refactored (the SOURCE axis size must stay fixed:
+    its psum order is part of the arithmetic). The gradient surface is
+    rebuilt the same way (per-device source slabs + one vg-row
+    ``psum`` per leapfrog), and the sampling keys fold by the GLOBAL
+    chain index — identical along the source axis, so those devices
+    stay bit-identical replicas (the psum-coherence invariant).
+    Returns ``(samples, lnps, alphas, div_frac (nw,), state')`` or
+    ``None`` when the streaming kernel is gated off (callers hold a
+    state, so this only happens on misuse).
     """
     from lumfuncmcmc_tpu.samplers.nuts import (
         continue_nuts, make_unconstrained)
@@ -493,17 +527,18 @@ def continue_nuts_stream_sharded(ctx: LFContext, layout, mesh, state,
     lo = jnp.asarray(layout.lo, jnp.float32)
     hi = jnp.asarray(layout.hi, jnp.float32)
     y_run, eps, scale = state
+    blk = y_run.shape[0] // mesh.shape[AXIS_WALKERS]
 
     def local(y_blk, eps_blk, scale_blk, s_blk):
         scalar = make_scalar(s_blk)
         lnp_y, _, _ = make_unconstrained(scalar, lo, hi)
-        k_local = jax.random.fold_in(key,
-                                     jax.lax.axis_index(AXIS_WALKERS))
+        ids = (jax.lax.axis_index(AXIS_WALKERS) * blk
+               + jnp.arange(blk, dtype=jnp.uint32))
         s, lp, al, dv, (y_end, eps_e, scale_e) = continue_nuts(
-            lnp_y, (y_blk, eps_blk[0], scale_blk[0]), k_local,
-            num_samples=int(num_samples), max_doublings=max_doublings)
-        return (s, lp, al, dv[None], y_end, eps_e[None],
-                scale_e[None])
+            lnp_y, (y_blk, eps_blk, scale_blk), key,
+            num_samples=int(num_samples), max_doublings=max_doublings,
+            chain_ids=ids)
+        return s, lp, al, dv[None], y_end, eps_e, scale_e
 
     fn = jax.shard_map(
         local, mesh=mesh,
@@ -524,9 +559,11 @@ def continue_nuts_keys_stream_sharded(ctx: LFContext, layout, mesh,
                                       max_doublings=8):
     """Blockwise BIT-IDENTICAL continuation of
     :func:`run_nuts_stream_sharded` (the stream-route twin of
-    :func:`continue_nuts_keys_sharded`). Keys fold by the WALKER-AXIS
-    index only — devices along the source axis slice the same stream
-    and stay bit-identical replicas (the psum-coherence invariant).
+    :func:`continue_nuts_keys_sharded`). Keys fold by the GLOBAL chain
+    index — identical along the source axis, so those devices slice
+    the same stream and stay bit-identical replicas (the
+    psum-coherence invariant), and the walker axis may be refactored
+    between blocks (the source axis size is pinned: psum order).
     Returns ``(samples, lnps, alphas, div_frac (nw,), state')`` or
     ``None`` when the streaming kernel is gated off (misuse: callers
     hold a state from the run, so the gate must already have passed).
@@ -542,18 +579,17 @@ def continue_nuts_keys_stream_sharded(ctx: LFContext, layout, mesh,
     lo = jnp.asarray(layout.lo, jnp.float32)
     hi = jnp.asarray(layout.hi, jnp.float32)
     y_run, eps, scale = state
+    blk = y_run.shape[0] // mesh.shape[AXIS_WALKERS]
 
     def local(y_blk, eps_blk, scale_blk, s_blk):
         scalar = make_scalar(s_blk)
         lnp_y, _, _ = make_unconstrained(scalar, lo, hi)
-        k_local = jax.random.fold_in(key,
-                                     jax.lax.axis_index(AXIS_WALKERS))
-        keys = sampling_keys(k_local, start, stop)
+        ids = (jax.lax.axis_index(AXIS_WALKERS) * blk
+               + jnp.arange(blk, dtype=jnp.uint32))
+        keys = sampling_keys(key, start, stop, ids)
         s, lp, al, dv, (y_end, eps_e, scale_e) = continue_nuts_keys(
-            lnp_y, (y_blk, eps_blk[0], scale_blk[0]), keys,
-            max_doublings)
-        return (s, lp, al, dv[None], y_end, eps_e[None],
-                scale_e[None])
+            lnp_y, (y_blk, eps_blk, scale_blk), keys, max_doublings)
+        return s, lp, al, dv[None], y_end, eps_e, scale_e
 
     fn = jax.shard_map(
         local, mesh=mesh,

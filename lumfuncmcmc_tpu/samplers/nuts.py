@@ -257,7 +257,8 @@ def run_nuts(lnpost_y: Callable, y0, key, num_warmup: int,
              num_samples: int, max_doublings: int = 8,
              target_accept: float = 0.8, init_step: float = 0.1,
              adapt_mass: bool = True, pool_axes=None,
-             return_state: bool = False):
+             return_state: bool = False, sampling_key=None,
+             chain_ids=None):
     """Run NUTS chains.
 
     ``y0``: (C, D) initial unconstrained positions — C chains vmapped.
@@ -284,6 +285,17 @@ def run_nuts(lnpost_y: Callable, y0, key, num_warmup: int,
     ``return_state``: append the post-sampling ``(y_run, eps, scale)``
     tuple to the return — feed it to :func:`continue_nuts` to extend
     the chain without re-warmup (convergence-controlled sampling).
+
+    ``sampling_key``/``chain_ids``: the sampling-phase key streams are
+    PER GLOBAL CHAIN — chain ``c`` consumes
+    ``split(fold_in(k_s(sampling_key), chain_ids[c]), n)`` — so the
+    recorded chain depends only on (sampling_key, global chain index),
+    not on how chains are grouped per device. The sharded routes pass
+    the GLOBAL run key as ``sampling_key`` with a device-folded ``key``
+    for warmup (warmup transitions must differ across devices) and
+    their block's global indices as ``chain_ids``; defaults
+    (``sampling_key=key``, ``chain_ids=arange(C)``) reproduce the
+    meshless convention.
     """
     nchains = y0.shape[0]
     step = jax.vmap(_nuts_step, in_axes=(None, None, None, 0, 0))
@@ -349,8 +361,15 @@ def run_nuts(lnpost_y: Callable, y0, key, num_warmup: int,
         scale = jnp.ones(y0.shape[1], y0.dtype)
 
     # --- sampling ---
+    # the per-chain streams come from the (possibly global) sampling
+    # key; k_s from the local 3-way split is unused in that case but
+    # the split stays — warmup key derivation must not change with it
+    del k_s
     y_run, (samples, lnps, alphas, divs) = _sample_phase(
-        lnpost_y, scale, y_run, eps, k_s, num_samples, max_doublings)
+        lnpost_y, scale, y_run, eps,
+        key if sampling_key is None else sampling_key,
+        num_samples, max_doublings,
+        chain_ids=_default_ids(chain_ids, nchains))
     # divergent transitions truncate trajectories and bias the
     # posterior — surface the fraction instead of discarding it
     div_frac = jnp.mean(divs.astype(samples.dtype))
@@ -362,59 +381,87 @@ def run_nuts(lnpost_y: Callable, y0, key, num_warmup: int,
 
 def _sample_phase_keys(lnpost_y, scale, y_run, eps, keys_s,
                        max_doublings):
-    """The post-warmup sampling scan over EXPLICIT per-sample keys
-    (``keys_s``: one transition key per recorded sample). ``y_run``
-    lives in the mass-rescaled coordinates (``y = y_run * scale``);
-    ``scale`` is all ones when warmup skipped mass adaptation."""
-    nchains = y_run.shape[0]
-    step = jax.vmap(_nuts_step, in_axes=(None, None, None, 0, 0))
+    """The post-warmup sampling scan over EXPLICIT per-chain,
+    per-sample keys (``keys_s``: one transition key per recorded
+    sample PER CHAIN, shape ``(n, C)`` — :func:`sampling_keys`).
+    ``y_run`` lives in the mass-rescaled coordinates
+    (``y = y_run * scale``); ``scale`` is all ones when warmup skipped
+    mass adaptation.
 
-    def lnpost_scaled(yp):
-        return lnpost_y(yp * scale)
+    ``eps``/``scale`` may be shared (scalar / ``(D,)``) or PER-CHAIN
+    (``(C,)`` / ``(C, D)``): a resumed elastic checkpoint regroups
+    chains across devices, so each chain must carry the step size and
+    mass its own warmup adapted, whatever device it lands on."""
+    nchains, ndim = y_run.shape
+    dt = y_run.dtype
+    eps_c = jnp.broadcast_to(jnp.asarray(eps, dt), (nchains,))
+    scale_c = jnp.broadcast_to(jnp.asarray(scale, dt), (nchains, ndim))
 
-    vg_run = jax.value_and_grad(lnpost_scaled)
+    def one(y, k, ep, sc):
+        vg = jax.value_and_grad(lambda yp: lnpost_y(yp * sc))
+        y_new, alpha, div = _nuts_step(vg, max_doublings, ep, k, y)
+        return y_new, y_new * sc, lnpost_y(y_new * sc), alpha, div
 
-    def samp_body(yc, k):
-        keys = jax.random.split(k, nchains)
-        y_new, alpha, div = step(vg_run, max_doublings, eps, keys, yc)
-        lnp = jax.vmap(lnpost_y)(y_new * scale)
-        return y_new, (y_new * scale, lnp, alpha, div)
+    step = jax.vmap(one)
+
+    def samp_body(yc, ks):
+        y_new, ys, lnp, alpha, div = step(yc, ks, eps_c, scale_c)
+        return y_new, (ys, lnp, alpha, div)
 
     return jax.lax.scan(samp_body, y_run, keys_s)
 
 
 def _sample_phase(lnpost_y, scale, y_run, eps, key_s, num_samples,
-                  max_doublings):
+                  max_doublings, chain_ids=None):
     """The post-warmup sampling scan, shared by :func:`run_nuts` and
     :func:`continue_nuts` so a continuation runs the exact same
-    transition program as the first block."""
-    keys_s = jax.random.split(key_s, num_samples)
+    transition program as the first block. ``key_s`` is the
+    PRE-3-way-split sampling key (``sampling_keys`` applies the split
+    itself)."""
+    keys_s = sampling_keys(key_s, 0, num_samples,
+                           _default_ids(chain_ids, y_run.shape[0]))
     return _sample_phase_keys(lnpost_y, scale, y_run, eps, keys_s,
                               max_doublings)
 
 
-def sampling_keys(key, start: int, stop: int):
-    """Per-sample transition keys ``[start, stop)`` of the
-    :func:`run_nuts` call keyed by ``key``.
+def _default_ids(chain_ids, nchains):
+    if chain_ids is None:
+        return jnp.arange(nchains, dtype=jnp.uint32)
+    return jnp.asarray(chain_ids)
 
-    These are the EXACT keys run_nuts's sampling scan consumes: split
+
+def sampling_keys(key, start: int, stop: int, chain_ids):
+    """Per-chain transition keys for samples ``[start, stop)`` of the
+    :func:`run_nuts` call keyed by ``key``: shape ``(stop-start, C)``.
+
+    Chain ``c``'s stream is ``split(fold_in(k_s, chain_ids[c]), stop)``
+    — a function of the run key and the chain's GLOBAL index ONLY,
+    never of how the chain batch is grouped onto devices. Split
     children are counter-stable across widths (``split(k, n)[:m] ==
     split(k, m)``), so ``run_nuts(..., num_samples=m)`` runs precisely
     the first ``m`` transitions of the ``num_samples=n`` run, and a
     :func:`continue_nuts_keys` block driven by ``sampling_keys(key, m,
-    n)`` replays the remainder bit-for-bit. This is the engine of the
-    NUTS checkpoint/resume protocol (checkpointed == uninterrupted,
-    exactly)."""
+    n, ids)`` replays the remainder bit-for-bit. This is the engine of
+    the NUTS checkpoint/resume protocol (checkpointed ==
+    uninterrupted, exactly), and the per-GLOBAL-chain fold is what
+    makes mesh-route checkpoints ELASTIC: a checkpoint written under
+    one mesh shape resumes bit-identically under any other grouping of
+    the same chains (the sharded routes derive each device's
+    ``chain_ids`` from its block offset)."""
     _, _, k_s = jax.random.split(key, 3)
-    return jax.random.split(k_s, stop)[start:]
+
+    def one(c):
+        return jax.random.split(jax.random.fold_in(k_s, c), stop)[start:]
+
+    return jnp.swapaxes(jax.vmap(one)(jnp.asarray(chain_ids)), 0, 1)
 
 
 @partial(jax.jit, static_argnames=("lnpost_y", "max_doublings"))
 def continue_nuts_keys(lnpost_y, state, keys, max_doublings: int = 8):
-    """:func:`continue_nuts` with explicit per-sample keys (from
-    :func:`sampling_keys`) instead of a block key — the checkpoint
-    protocol's continuation: block i replays the same transitions the
-    uninterrupted run would have made.
+    """:func:`continue_nuts` with explicit per-chain, per-sample keys
+    (``(n, C)`` from :func:`sampling_keys`) instead of a block key —
+    the checkpoint protocol's continuation: block i replays the same
+    transitions the uninterrupted run would have made.
 
     Returns ``(samples, lnps, alphas, div_frac, state')``.
     """
@@ -428,21 +475,29 @@ def continue_nuts_keys(lnpost_y, state, keys, max_doublings: int = 8):
 @partial(jax.jit, static_argnames=("lnpost_y", "num_samples",
                                    "max_doublings"))
 def continue_nuts(lnpost_y, state, key, num_samples: int,
-                  max_doublings: int = 8):
+                  max_doublings: int = 8, chain_ids=None):
     """Extend a warmed-up NUTS run without re-warmup.
 
     ``state`` is the ``(y_run, eps, scale)`` tuple returned by
     ``run_nuts(..., return_state=True)`` (or by a previous
-    ``continue_nuts`` call). The adapted step size and mass are frozen
-    — exactly the post-warmup sampling regime — so blocks compose into
+    ``continue_nuts`` call); ``eps``/``scale`` may be shared or
+    per-chain (elastic resumes regroup chains whose warmups adapted on
+    different devices). The adapted step size and mass are frozen —
+    exactly the post-warmup sampling regime — so blocks compose into
     one valid chain. This is the engine of convergence-controlled NUTS
     (``fit_model_nuts(min_ess=...)``): sample in blocks until the
     pooled ESS target is reached instead of guessing ``nsteps``.
+
+    ``chain_ids``: global chain indices for the per-chain key streams
+    (default ``arange(C)``) — the sharded continuations pass their
+    block's global indices so the same block key produces the same
+    chains under ANY mesh grouping.
 
     Returns ``(samples, lnps, alphas, div_frac, state')``.
     """
     y_run, eps, scale = state
     y_end, (samples, lnps, alphas, divs) = _sample_phase(
-        lnpost_y, scale, y_run, eps, key, num_samples, max_doublings)
+        lnpost_y, scale, y_run, eps, key, num_samples, max_doublings,
+        chain_ids=chain_ids)
     div_frac = jnp.mean(divs.astype(samples.dtype))
     return samples, lnps, alphas, div_frac, (y_end, eps, scale)

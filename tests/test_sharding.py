@@ -547,7 +547,9 @@ def test_continue_nuts_sharded_matches_per_device(setup):
     """continue_nuts_sharded is EXACTLY per-device continue_nuts:
     requesting the state does not change the first block, and the
     sharded continuation equals the meshless continue_nuts applied to
-    each device's local chain block/state with the device-folded key."""
+    each device's local chain block/state with the block's GLOBAL
+    chain ids (the per-global-chain key streams that make mesh
+    checkpoints elastic)."""
     from lumfuncmcmc_tpu.parallel.sharding import (
         continue_nuts_sharded, run_nuts_sharded)
     from lumfuncmcmc_tpu.samplers.nuts import (
@@ -579,13 +581,14 @@ def test_continue_nuts_sharded_matches_per_device(setup):
     ndev = 4
     blk = y0.shape[0] // ndev
     for d in range(ndev):
-        st_d = (jnp.asarray(y_run[d * blk:(d + 1) * blk]),
-                jnp.asarray(eps_s[d]), jnp.asarray(scale[d]))
+        sl = slice(d * blk, (d + 1) * blk)
+        st_d = (jnp.asarray(y_run[sl]), jnp.asarray(eps_s[sl]),
+                jnp.asarray(scale[sl]))
         sd, _, _, _, _ = continue_nuts(
-            lnp_y, st_d, jax.random.fold_in(k_blk, d), num_samples=6,
-            max_doublings=5)
+            lnp_y, st_d, k_blk, num_samples=6, max_doublings=5,
+            chain_ids=d * blk + jnp.arange(blk, dtype=jnp.uint32))
         np.testing.assert_array_equal(
-            np.asarray(s2)[:, d * blk:(d + 1) * blk], np.asarray(sd))
+            np.asarray(s2)[:, sl], np.asarray(sd))
 
 
 def test_fit_model_nuts_min_ess_native_mesh():
@@ -643,11 +646,13 @@ def test_fit_model_nuts_stream_mesh_route(setup, monkeypatch):
 def test_nuts_min_ess_checkpoint_resume_native_mesh(tmp_path,
                                                     monkeypatch):
     """min-ess NUTS checkpointing on the per-device-replica mesh route:
-    each block saves the gathered chain + live per-device state; a
+    each block saves the gathered chain + live PER-CHAIN state; a
     crash mid-loop resumes WITHOUT re-warmup (run_nuts_sharded is
-    poisoned on the resume) to the identical chain, and a different
-    mesh shape is fingerprint-rejected (device indices fold the RNG,
-    so the mesh shape is chain-affecting)."""
+    poisoned on the resume) to the identical chain — including under a
+    DIFFERENT mesh shape (elastic checkpoints: the sampling keys fold
+    by the global chain index and each chain carries its own adapted
+    eps/mass, so a (4,2) checkpoint resumes bit-identically under
+    (2,4) and (8,1))."""
     import lumfuncmcmc_tpu.parallel.sharding as sh
     from lumfuncmcmc_tpu.models.model import LumFuncModel
 
@@ -668,8 +673,8 @@ def test_nuts_min_ess_checkpoint_resume_native_mesh(tmp_path,
                                   max_blocks=3, checkpoint_path=ck)
     saved = np.load(ck)
     assert int(saved["nblocks"]) == 3
-    assert saved["fingerprint"].shape == (7,)   # mesh dims pinned
-    assert saved["eps"].shape == (8,)           # per-device state
+    assert saved["fingerprint"].shape == (5,)   # NO mesh dims (elastic)
+    assert saved["eps"].shape == (8,)           # per-CHAIN state
 
     ck2 = str(tmp_path / "mesh_me2.npz")
     orig = sh.continue_nuts_sharded
@@ -695,13 +700,21 @@ def test_nuts_min_ess_checkpoint_resume_native_mesh(tmp_path,
     resumed = model().fit_model_nuts(num_warmup=40, nchains=8,
                                      min_ess=1e6, max_blocks=3,
                                      checkpoint_path=ck2, resume=True)
-    monkeypatch.undo()
     np.testing.assert_array_equal(resumed, full)
 
-    with pytest.raises(ValueError, match="nuts-min-ess"):
-        model(mesh_shape=(2, 4)).fit_model_nuts(
-            num_warmup=40, nchains=8, min_ess=1e6,
-            checkpoint_path=ck2, resume=True)
+    # ELASTIC: the same truncated (4,2) checkpoint resumes under
+    # (2,4) and (8,1) to the bit-identical chain (same device count
+    # -> same per-device chain-block width -> same compiled per-chain
+    # arithmetic; the key streams and eps/mass are per global chain)
+    for shp in [(2, 4), (8, 1)]:
+        import shutil
+        ck3 = ck2.replace(".npz", "_%d%d.npz" % shp)
+        shutil.copy(ck2, ck3)
+        res_e = model(mesh_shape=shp).fit_model_nuts(
+            num_warmup=40, nchains=8, min_ess=1e6, max_blocks=3,
+            checkpoint_path=ck3, resume=True)
+        np.testing.assert_array_equal(res_e, full)
+    monkeypatch.undo()
 
 
 def test_nuts_min_ess_checkpoint_resume_stream_mesh(tmp_path,
@@ -736,7 +749,7 @@ def test_nuts_min_ess_checkpoint_resume_stream_mesh(tmp_path,
                             max_blocks=2, checkpoint_path=ck)
     saved = np.load(ck)
     assert int(saved["nblocks"]) == 2
-    assert saved["eps"].shape == (2,)   # per-walker-row state
+    assert saved["eps"].shape == (2,)   # per-chain state
 
     # truncate to 1 block by rerunning with max_blocks=1
     ck2 = str(tmp_path / "stream_me2.npz")
@@ -758,7 +771,9 @@ def test_continue_nuts_keys_sharded_bit_identical_blocks(setup):
     """The fixed-length checkpoint protocol on the per-device-replica
     route: run_nuts_sharded(4) + two continue_nuts_keys_sharded blocks
     over [4,8) and [8,12) equals run_nuts_sharded(12) BIT-FOR-BIT —
-    each device slices its own counter-stable fold_in key stream."""
+    each chain slices its own counter-stable PER-GLOBAL-CHAIN key
+    stream, so the blocks may run under DIFFERENT mesh shapes of the
+    same device count (here (2,2) -> (4,1) -> (1,4)): elastic."""
     from lumfuncmcmc_tpu.parallel.sharding import (
         continue_nuts_keys_sharded, run_nuts_sharded)
     from lumfuncmcmc_tpu.samplers.nuts import make_unconstrained
@@ -777,10 +792,13 @@ def test_continue_nuts_keys_sharded_bit_identical_blocks(setup):
     s1, lp1, al1, _, _, st = run_nuts_sharded(
         lnp_y, y0, key, mesh, num_warmup=40, num_samples=4,
         max_doublings=5, return_state=True)
+    # host round-trip between blocks, as a real npz resume would do
+    host = tuple(jnp.asarray(np.asarray(x)) for x in st)
     s2, lp2, al2, _, st = continue_nuts_keys_sharded(
-        lnp_y, st, key, mesh, 4, 8, max_doublings=5)
+        lnp_y, host, key, make_mesh(4, 1), 4, 8, max_doublings=5)
+    host = tuple(jnp.asarray(np.asarray(x)) for x in st)
     s3, lp3, al3, _, st = continue_nuts_keys_sharded(
-        lnp_y, st, key, mesh, 8, 12, max_doublings=5)
+        lnp_y, host, key, make_mesh(1, 4), 8, 12, max_doublings=5)
     np.testing.assert_array_equal(
         np.concatenate([np.asarray(s1), np.asarray(s2),
                         np.asarray(s3)]), np.asarray(full[0]))
@@ -792,7 +810,8 @@ def test_continue_nuts_keys_sharded_bit_identical_blocks(setup):
 def test_continue_nuts_keys_stream_sharded_bit_identical(setup,
                                                          monkeypatch):
     """Same protocol on the source-sharded streaming route (keys fold
-    by the walker-row index; source-axis devices stay replicas)."""
+    by the GLOBAL chain index — identical along the source axis, so
+    those devices stay bit-identical replicas)."""
     import lumfuncmcmc_tpu.ops.pallas_lnlike as pk
     from lumfuncmcmc_tpu.parallel.sharding import (
         continue_nuts_keys_stream_sharded, run_nuts_stream_sharded)
@@ -843,8 +862,8 @@ def test_fit_model_nuts_fixed_ckpt_native_mesh(tmp_path, monkeypatch):
     cat = apply_completeness_cut(make_catalog(cfg, n_target=200, seed=8),
                                  cfg)
 
-    def model(c):
-        return LumFuncModel(c, mesh=make_mesh(4, 2), z=cat["z"],
+    def model(c, shp=(4, 2)):
+        return LumFuncModel(c, mesh=make_mesh(*shp), z=cat["z"],
                             flux=cat["flux"], flux_e=cat["flux_e"],
                             field_id=cat["field_id"])
 
@@ -856,7 +875,7 @@ def test_fit_model_nuts_fixed_ckpt_native_mesh(tmp_path, monkeypatch):
     np.testing.assert_array_equal(ckpt, plain)
     saved = np.load(ck)
     assert int(saved["nblocks"]) == 3          # 4 + 4 + 1
-    assert saved["fingerprint"].shape == (8,)  # mesh dims pinned
+    assert saved["fingerprint"].shape == (6,)  # NO mesh dims (elastic)
 
     # crash after block 2, resume without re-running the first block
     ck2 = str(tmp_path / "fx2.npz")
@@ -884,6 +903,16 @@ def test_fit_model_nuts_fixed_ckpt_native_mesh(tmp_path, monkeypatch):
                                         checkpoint_path=ck2,
                                         resume=True)
     np.testing.assert_array_equal(resumed, plain)
+
+    # ELASTIC: the truncated (4,2) checkpoint also completes under a
+    # (2,4) mesh to the bit-identical chain (same device count; keys
+    # and state are per global chain, not per device)
+    import shutil
+    ck3 = str(tmp_path / "fx3.npz")
+    shutil.copy(ck2, ck3)
+    res_e = model(cfg, shp=(2, 4)).fit_model_nuts(
+        num_warmup=40, nchains=8, checkpoint_path=ck3, resume=True)
+    np.testing.assert_array_equal(res_e, plain)
 
 
 def test_fit_model_nuts_fixed_ckpt_stream_mesh(tmp_path, monkeypatch,
@@ -921,7 +950,9 @@ def test_fit_model_nuts_fixed_ckpt_stream_mesh(tmp_path, monkeypatch,
     np.testing.assert_array_equal(ckpt, plain)
     saved = np.load(ck)
     assert int(saved["nblocks"]) == 2          # 3 + 2
-    assert saved["fingerprint"].shape == (8,)
+    # nchains, warmup, nsteps, every, ndim, seed + the PINNED source
+    # axis (psum order); the walker axis is NOT pinned (elastic)
+    assert saved["fingerprint"].shape == (7,)
 
     # truncate by poisoning the continuation of a fresh run after
     # block 1, then resume with the warmup runner poisoned instead
