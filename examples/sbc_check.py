@@ -46,53 +46,15 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
 
 import numpy as np
 
-from lumfuncmcmc_tpu.config import LFConfig
-from lumfuncmcmc_tpu.models.context import build_context
-from lumfuncmcmc_tpu.models.likelihood import (
-    ThetaLayout, make_lnprob, sample_init)
-from lumfuncmcmc_tpu.samplers.affine import run_stretch
-from lumfuncmcmc_tpu.samplers.diagnostics import burnin_steps
-from lumfuncmcmc_tpu.utils.synth import apply_completeness_cut, make_catalog
+from lumfuncmcmc_tpu.utils.calibration import (
+    PARAMS, SBC_BOX, sbc_replicate)
 
-PARAMS = ["Lstar", "phistar", "sch_al"]
-# prior == generating box (load-bearing for the uniformity theorem)
-BOX = {"Lstar_lims": (42.3, 42.7), "phistar_lims": (-2.9, -2.3),
-       "sch_al_lims": (-1.8, -1.4)}
 M = 7                     # posterior draws per rank -> M+1 rank bins
 
 
 def one_replicate(k, rng):
-    truth = {nm: rng.uniform(*BOX[nm + "_lims"]) for nm in PARAMS}
-    cfg = LFConfig(min_comp_frac=0.5, fix_comp=True, quadrature="gauss",
-                   nwalkers=64, nsteps=600, seed=k, **BOX, **truth)
-    cat = apply_completeness_cut(
-        make_catalog(cfg, n_target=None, seed=1000 + k,
-                     lum_err_dex=0.0), cfg)
-    _, ctx = build_context(cfg, z=cat["z"], flux=cat["flux"],
-                           flux_e=cat["flux_e"],
-                           field_id=cat["field_id"])
-    layout = ThetaLayout.from_config(cfg)
-    lnprob = jax.vmap(make_lnprob(ctx, layout))
-    pos0 = sample_init(jax.random.PRNGKey(2000 + k), layout, 64)
-    _, chain, _, _ = run_stretch(lnprob, pos0,
-                                 jax.random.PRNGKey(3000 + k), 600)
-    chain = np.asarray(chain)
-    burn, tau = burnin_steps(chain, 600)
-    post = chain[burn:]
-
-    # M draws from distinct walkers, steps ~2*tau apart but capped so
-    # they NEVER wrap onto the same step (post is already burn-sliced;
-    # same-step draws from an interacting ensemble are strongly
-    # correlated and would bias the rank histogram)
-    gap = max(min(int(2 * tau), post.shape[0] // M), 1)
-    steps = gap * np.arange(M)
-    assert steps[-1] < post.shape[0]
-    walkers = rng.choice(chain.shape[1], size=M, replace=False)
-    draws = post[steps, walkers]                          # (M, ndim)
-
-    tvec = np.asarray([truth[nm] for nm in PARAMS])
-    ranks = (draws < tvec[None, :]).sum(axis=0)           # (ndim,)
-    return ranks, len(cat["z"]), tau
+    ranks, _cover, nsrc, tau = sbc_replicate(k, rng, M=M)
+    return ranks, nsrc, tau
 
 
 def main():
