@@ -635,7 +635,8 @@ def _map_quicklook(model, cfg, args, outdir):
                                       res["boundary"]) if b]
         print("NOTE: MAP pinned at the prior bound for "
               f"{', '.join(pinned)} — those columns carry no Laplace "
-              "error and ln Z is omitted (edge mass is not Gaussian); "
+              "error (edge mass is not Gaussian; ln Z integrates the "
+              "posterior slice along each pinned axis numerically); "
               "widen the box if they should be free")
     print("Finished writing MAP/Laplace quick-look "
           f"(lnpost={res['lnpost']:.3f}"

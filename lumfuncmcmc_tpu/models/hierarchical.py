@@ -149,3 +149,86 @@ def make_lnprob_h(ctx: LFContext, layout: ThetaLayoutH):
         lnl = lnlike_h(theta, ctx, layout)
         return jnp.where(jnp.isfinite(lp), lp + lnl, NEG_INF)
     return lnprob
+
+
+def _gauss_cdf(x):
+    # np.vectorize(math.erf): exact f64 on the host, no scipy (test
+    # oracles only) and no device round-trip for a one-time precompute
+    import math
+    erf = np.vectorize(math.erf, otypes=[np.float64])
+    return 0.5 * (1.0 + erf(np.asarray(x, np.float64) / math.sqrt(2.0)))
+
+
+def _box_mass_integral(m0, m1, s0, s1, a, b, F, n_mu=32, n_sig=48):
+    """``I = int_{m0}^{m1} dmu int_{s0}^{s1} dsig G(mu, sig)^F`` with
+    ``G = Phi((b-mu)/sig) - Phi((a-mu)/sig)`` — the total mass the
+    box-truncated Gaussian hyperprior block contributes to the prior
+    normalization (F fields share one (mu, sig); [a, b] is the FIELD
+    parameter box, [m0, m1] x [s0, s1] the hyper box).
+
+    Deterministic split-panel Gauss-Legendre: G is analytic in sigma,
+    but in mu it has erf boundary layers of width ~sigma around the
+    field-box edges, so for each sigma node the mu integral runs over
+    panels split at ``a +- 10 sigma`` / ``b +- 10 sigma`` (clipped to
+    the hyper box) — the same split-at-the-kink rule the likelihood's
+    GL quadrature uses. 48x(4x32) nodes resolve the layers to ~1e-12
+    (pinned vs scipy.dblquad in tests/test_mapfit.py).
+    """
+    xg, wg = np.polynomial.legendre.leggauss(int(n_mu))
+    xs, ws = np.polynomial.legendre.leggauss(int(n_sig))
+
+    def g_pow(mu, sig):
+        return (_gauss_cdf((b - mu) / sig)
+                - _gauss_cdf((a - mu) / sig)) ** F
+
+    total = 0.0
+    for t, w_s in zip(xs, ws):
+        sig = 0.5 * (s1 + s0) + 0.5 * (s1 - s0) * t
+        w_sig = 0.5 * (s1 - s0) * w_s
+        cuts = sorted({m0, m1,
+                       *(min(max(c, m0), m1)
+                         for c in (a - 10.0 * sig, a + 10.0 * sig,
+                                   b - 10.0 * sig, b + 10.0 * sig))})
+        acc = 0.0
+        for p0, p1 in zip(cuts[:-1], cuts[1:]):
+            if p1 <= p0:
+                continue
+            mu = 0.5 * (p1 + p0) + 0.5 * (p1 - p0) * xg
+            acc += 0.5 * (p1 - p0) * float(np.dot(wg, g_pow(mu, sig)))
+        total += w_sig * acc
+    return total
+
+
+def lnz0_prior(layout: ThetaLayoutH, n_mu=32, n_sig=48):
+    """ln of the hierarchical prior normalization
+    ``Z0 = int_box dtheta prod_f N(Lstar_f|mu_L,sig_L)
+    N(phistar_f|mu_p,sig_p)``.
+
+    The stepping-stone ladder's beta=0 measure is exactly this
+    unnormalized density (``_prior_like_fns``: box + hyperprior), and
+    telescoping divides by its total mass — so ``lnz_ss`` is the
+    evidence under the NORMALIZED prior automatically. The Laplace
+    estimator integrates ``exp(lnpost)`` (the same joint), so
+    ``lnz_laplace = ln_int - lnz0_prior`` puts both estimators in one
+    convention (the hier twin of the flat-box models' ``- ln V``).
+
+    The integral factorizes: sch_al (when free) is an independent
+    uniform (width factor); the (mu_L, sig_L) x {Lstar_f} and
+    (mu_p, sig_p) x {phistar_f} blocks each reduce to the 2-D
+    erf-product integral of :func:`_box_mass_integral` because every
+    field shares the hyper-mean's own box.
+    """
+    F = layout.nfields
+    lo = np.asarray(layout.lo, np.float64)
+    hi = np.asarray(layout.hi, np.float64)
+    # layout order: mu_L, sig_L, mu_p, sig_p [, sch_al], Lstar_*, phi*_*
+    kf = 4 + (0 if layout.fix_sch_al else 1)
+    i_l = _box_mass_integral(lo[0], hi[0], lo[1], hi[1],
+                             lo[kf], hi[kf], F, n_mu=n_mu, n_sig=n_sig)
+    i_p = _box_mass_integral(lo[2], hi[2], lo[3], hi[3],
+                             lo[kf + F], hi[kf + F], F,
+                             n_mu=n_mu, n_sig=n_sig)
+    out = float(np.log(i_l) + np.log(i_p))
+    if not layout.fix_sch_al:
+        out += float(np.log(hi[4] - lo[4]))
+    return out

@@ -517,10 +517,13 @@ class _BaseModel(_EnsembleDriverMixin, _NutsDriverMixin):
         Laplace ``lnz_laplace`` in the SAME normalized-prior convention
         as :meth:`log_evidence`, so the two estimators cross-check
         (|Laplace − stepping-stone| grows with posterior
-        non-Gaussianity). The hierarchical model reports
-        ``lnz_laplace=None``: its prior measure includes box-truncated
-        Gaussian hyperprior terms whose normalization over the box is
-        not analytic. Stored as ``self.map_fit``.
+        non-Gaussianity). Flat-box models subtract ``ln V``; the
+        hierarchical model subtracts
+        :func:`~lumfuncmcmc_tpu.models.hierarchical.lnz0_prior` — the
+        box-truncated Gaussian hyperprior mass by deterministic
+        split-panel Gauss-Legendre over the hyper box, which is the
+        exact normalization of the ladder's beta=0 measure. Stored as
+        ``self.map_fit``.
         """
         from lumfuncmcmc_tpu.models.mapfit import laplace_fit
         cfg = self.cfg
@@ -533,8 +536,9 @@ class _BaseModel(_EnsembleDriverMixin, _NutsDriverMixin):
         res = laplace_fit(lnpost, lo, hi, key=key, nstarts=int(nstarts),
                           maxiter=int(maxiter))
         elapsed = time.time() - t0
-        if self.model_kind == "hier":
-            res["lnz_laplace"] = None
+        if res["ln_int"] is not None and self.model_kind == "hier":
+            from lumfuncmcmc_tpu.models.hierarchical import lnz0_prior
+            res["lnz_laplace"] = res["ln_int"] - lnz0_prior(self.layout)
         elif res["ln_int"] is not None:
             ln_v = float(np.sum(np.log(np.asarray(hi, dtype=np.float64)
                                        - np.asarray(lo,

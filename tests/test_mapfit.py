@@ -43,7 +43,13 @@ def test_laplace_boundary_mode_profiled():
     """A posterior monotone in one direction pins the MAP at the prior
     box edge: that axis is flagged ``boundary``, profiled OUT of the
     covariance (interior errors stay honest, pinned one is NaN), and
-    ln_int is withheld — edge mass is not Gaussian."""
+    ln_int integrates the ACTUAL pinned-axis slice numerically —
+    here a slice that GROWS toward the edge (e^{t^2}), whose exact
+    factorized mass is sqrt(pi) * int_-3^3 e^{u^2} du (scipy.quad
+    oracle); a Gaussian or linearized-tail edge model would be nats
+    off."""
+    import math
+    from scipy.integrate import quad
 
     def lnpost(th):
         return -th[0] ** 2 + th[1] ** 2   # unbounded above in th[1]
@@ -57,8 +63,13 @@ def test_laplace_boundary_mode_profiled():
     np.testing.assert_allclose(res["se"][0], 1 / np.sqrt(2.0),
                                rtol=1e-3)
     assert np.isnan(res["se"][1])
-    assert res["ln_int"] is None
     assert abs(abs(res["theta"][1]) - 3.0) < 1e-3
+    grow, _ = quad(lambda u: math.exp(u * u), -3.0, 3.0)
+    exact = 0.5 * math.log(math.pi) + math.log(grow)
+    # the interior axis contributes its exact Gaussian (the Laplace
+    # expansion is exact for -t0^2); the slice quadrature carries the
+    # f32-mode slight edge offset, hence the loose 1e-2 band
+    np.testing.assert_allclose(res["ln_int"], exact, atol=2e-2)
 
 
 @pytest.fixture(scope="module")
@@ -104,20 +115,89 @@ def test_laplace_lnz_cross_checks_tempering(fitted_map):
         res["lnz_laplace"], ev["lnz_ss"])
 
 
-def test_map_hier_has_no_laplace_lnz():
-    """The hierarchical prior normalization over the box is not
-    analytic: lnz_laplace must be None (not a wrong number), while the
-    MAP itself is still produced."""
+def test_boundary_lnint_matches_analytic_edge_mass():
+    """Boundary-mode ln_int: a posterior monotone along one axis pins
+    the MAP at the box edge; the edge-slice quadrature must recover
+    the EXACT one-sided mass. Oracle: lnpost = -3 t0 - t1^2/2 on
+    [0,1]x[-5,5] has mode (0, 0) and
+    ln_int = ln[(1-e^-3)/3] + ln sqrt(2 pi) in closed form."""
+    import math
+    from lumfuncmcmc_tpu.models.mapfit import laplace_fit
+    lnp = lambda th: -3.0 * th[0] - 0.5 * th[1] ** 2  # noqa: E731
+    res = laplace_fit(lnp, jnp.asarray([0.0, -5.0]),
+                      jnp.asarray([1.0, 5.0]),
+                      key=jax.random.PRNGKey(1))
+    assert res["boundary"].tolist() == [True, False]
+    exact = (math.log((1.0 - math.exp(-3.0)) / 3.0)
+             + 0.5 * math.log(2.0 * math.pi))
+    assert abs(res["ln_int"] - exact) < 1e-3, (res["ln_int"], exact)
+
+
+def test_hier_prior_lnz0_vs_dblquad_oracle():
+    """The hierarchical prior normalization (box-truncated Gaussian
+    hyperprior mass): the split-panel GL integral must match an
+    independent scipy.integrate.dblquad transcription at ~1e-9, and
+    lnz0_prior must compose the two blocks + the sch_al width."""
+    import math
+    from scipy.integrate import dblquad
+    from lumfuncmcmc_tpu.models.hierarchical import (
+        ThetaLayoutH, _box_mass_integral, lnz0_prior)
+
+    cfg = LFConfig(min_comp_frac=0.5, fix_comp=True)
+    layout = ThetaLayoutH.from_config(cfg)
+    lo = np.asarray(layout.lo)
+    hi = np.asarray(layout.hi)
+    F = layout.nfields
+    kf = 4 + (0 if layout.fix_sch_al else 1)
+
+    def g_pow(mu, sig, a, b):
+        G = 0.5 * (math.erf((b - mu) / (sig * math.sqrt(2.0)))
+                   - math.erf((a - mu) / (sig * math.sqrt(2.0))))
+        return G ** F
+
+    parts = []
+    for jm, js, jx in ((0, 1, kf), (2, 3, kf + F)):
+        got = _box_mass_integral(lo[jm], hi[jm], lo[js], hi[js],
+                                 lo[jx], hi[jx], F)
+        ref, err = dblquad(
+            lambda sig, mu: g_pow(mu, sig, lo[jx], hi[jx]),
+            lo[jm], hi[jm], lo[js], hi[js], epsabs=1e-11,
+            epsrel=1e-11)
+        np.testing.assert_allclose(got, ref, rtol=1e-8)
+        parts.append(math.log(got))
+    expect = sum(parts) + (0.0 if layout.fix_sch_al
+                           else math.log(hi[4] - lo[4]))
+    np.testing.assert_allclose(lnz0_prior(layout), expect, rtol=1e-12)
+
+
+def test_map_hier_laplace_lnz_real_and_convention_tied():
+    """fith --map's third evidence estimator: the hierarchical MAP
+    pins the funnel sigma axes at their lower bound, the edge-slice
+    quadrature still yields a real ln_int, and lnz_laplace subtracts
+    the EXACT normalization of the ladder's beta=0 measure
+    (lnz0_prior) — the identity is pinned so a convention drift (the
+    ~6-nat dropped-Z0 bug class) cannot pass."""
     cfg = LFConfig(min_comp_frac=0.5, fix_comp=True, quadrature="gauss",
                    nwalkers=16, seed=4)
     cat = apply_completeness_cut(make_catalog(cfg, n_target=400, seed=6),
                                  cfg)
+    from lumfuncmcmc_tpu.models.hierarchical import lnz0_prior
     from lumfuncmcmc_tpu.models.model import LumFuncModelH
     m = LumFuncModelH(cfg, z=cat["z"], flux=cat["flux"],
                       flux_e=cat["flux_e"], field_id=cat["field_id"])
     res = m.fit_map()
     assert np.all(np.isfinite(res["theta"]))
-    assert res["lnz_laplace"] is None
+    # the funnel: sigma hyper-axes sit at the lower bound
+    assert res["boundary"][1] and res["boundary"][3]
+    assert res["ln_int"] is not None and np.isfinite(res["ln_int"])
+    assert np.isfinite(res["lnz_laplace"])
+    np.testing.assert_allclose(
+        res["lnz_laplace"], res["ln_int"] - lnz0_prior(m.layout),
+        rtol=1e-12)
+    # scale sanity: ln Z sits below the max lnpost and within the
+    # posterior's own order of magnitude
+    assert res["lnz_laplace"] < res["lnpost"]
+    assert abs(res["lnz_laplace"]) < 3.0 * abs(res["lnpost"]) + 100.0
 
 
 def test_init_map_walker_start(fitted_map):
