@@ -656,6 +656,7 @@ def worker_main(args):
             "evidence_steps": ES,
             "evidence_wall_s": round(wall_t, 3),
             "evidence_lnz_ss": round(ev["lnz_ss"], 2),
+            "evidence_lnz_ss_err": round(ev["lnz_ss_err"], 3),
         }
         log(f"evidence ladder ({K} rungs x {args.walkers} walkers x "
             f"{ES} steps, gauss-32): {wall_t:.2f}s "

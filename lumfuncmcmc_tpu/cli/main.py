@@ -751,10 +751,12 @@ def _write_evidence(ev, cfg, args, outdir):
          # scalar summaries replicated per row: the two-line format
          # has no header fields, and one flat table round-trips
          "LnZ_SS": np.full(K, ev["lnz_ss"]),
+         "LnZ_SS_err": np.full(K, ev["lnz_ss_err"]),
          "LnZ_TI": np.full(K, ev["lnz_ti"]),
          "LnZ_TI_err": np.full(K, ev["lnz_ti_err"])})
     print("Finished writing evidence ladder "
-          f"(ln Z = {ev['lnz_ss']:.3f} stepping-stone, "
+          f"(ln Z = {ev['lnz_ss']:.3f} +- {ev['lnz_ss_err']:.3f} "
+          f"stepping-stone, "
           f"{ev['lnz_ti']:.3f} +- {ev['lnz_ti_err']:.3f} TI)")
 
 

@@ -453,10 +453,20 @@ class _BaseModel(_EnsembleDriverMixin, _NutsDriverMixin):
         if swap_frac is not None:
             ev["swap_frac"] = swap_frac
         self.log.info(
-            "ln Z = %.3f (stepping-stone; TI %.3f +- %.3f; |SS-TI| "
-            "%.3f is the ladder-resolution check) in %.2f s"
-            % (ev["lnz_ss"], ev["lnz_ti"], ev["lnz_ti_err"],
-               abs(ev["lnz_ss"] - ev["lnz_ti"]), elapsed))
+            "ln Z = %.3f +- %.3f (stepping-stone; TI %.3f +- %.3f; "
+            "|SS-TI| %.3f is the ladder-resolution check) in %.2f s"
+            % (ev["lnz_ss"], ev["lnz_ss_err"], ev["lnz_ti"],
+               ev["lnz_ti_err"], abs(ev["lnz_ss"] - ev["lnz_ti"]),
+               elapsed))
+        gap = abs(ev["lnz_ss"] - ev["lnz_ti"])
+        if gap > 3.0 * (ev["lnz_ss_err"] + ev["lnz_ti_err"]) + 2.0:
+            self.log.warning(
+                "evidence ladder looks UNDER-RESOLVED: |SS-TI| = %.1f "
+                "nats exceeds the combined MC error band — raise "
+                "nrungs (SS should move < O(1) nats between K and 2K "
+                "rungs before you trust a Bayes factor); high-"
+                "dimensional priors (fith) typically need several "
+                "times the default ladder" % gap)
         self.evidence = ev
         return ev
 

@@ -224,9 +224,17 @@ def evidence_from_ladder(lnls, betas, burn_frac: float = 0.5):
     ladder order; ``betas``: (K,) ascending, β₀ = 0, β_{K−1} = 1.
     ``burn_frac``: leading fraction of each rung's chain discarded.
 
-    Returns a dict with ``lnz_ss`` (primary), ``lnz_ti``,
-    ``lnz_ti_err`` (autocorrelation-aware standard error of the TI
-    quadrature), the per-rung ``mean_lnl`` curve, and the ladder.
+    Returns a dict with ``lnz_ss`` (primary), ``lnz_ss_err`` (delta-
+    method standard error: each stepping-stone ratio is ln of a sample
+    mean of y = exp(dbeta lnl), so var(ln m) ~ var(y)/(n_eff m^2) with
+    n_eff the autocorrelation-aware ESS of the y series; rung chains
+    are independent, so the per-ratio variances add — Xie et al. 2011
+    sec 3.2 form. A huge ``lnz_ss_err`` is the honest signal that the
+    near-prior rungs are dominated by a few samples and the ladder
+    needs more rungs, exactly the failure mode the 15-parameter
+    hierarchical posterior hits at small K), ``lnz_ti``, ``lnz_ti_err``
+    (autocorrelation-aware standard error of the TI quadrature), the
+    per-rung ``mean_lnl`` curve, and the ladder.
     """
     from lumfuncmcmc_tpu.samplers.diagnostics import (
         effective_sample_size)
@@ -252,9 +260,21 @@ def evidence_from_ladder(lnls, betas, burn_frac: float = 0.5):
 
     db = np.diff(betas)
     lnz_ss = 0.0
+    var_ss = 0.0
     for k in range(K - 1):
         # ln (1/n) Σ exp(dβ_k · lnl_i) over rung-k samples
         lnz_ss += log_mean_exp(db[k] * flat[k])
+        # delta-method variance of this ratio: shift by the max so the
+        # exp is finite, the ratio var(y)/mean(y)^2 is shift-invariant
+        x = db[k] * post[k]                       # (S', W)
+        m = np.max(x)
+        if np.isfinite(m):
+            y = np.exp(x - m)
+            ess_y = float(effective_sample_size(
+                y[:, :, None]).min()) if y.std() > 0 else y.size
+            mu = float(y.mean())
+            var_ss += float(y.var()) / (max(ess_y, 1.0) * mu * mu)
+    lnz_ss_err = float(np.sqrt(var_ss))
 
     # TI error: trapz is Σ w_k E_k with w from the trapezoid rule;
     # each E_k carries sem_k = std / sqrt(ESS) with the ESS of the
@@ -271,6 +291,7 @@ def evidence_from_ladder(lnls, betas, burn_frac: float = 0.5):
 
     return {
         "lnz_ss": lnz_ss,
+        "lnz_ss_err": lnz_ss_err,
         "lnz_ti": lnz_ti,
         "lnz_ti_err": lnz_ti_err,
         "betas": betas,

@@ -46,6 +46,11 @@ def test_gaussian_evidence_matches_analytic():
                      - np.log((2 * half) ** 2))
     assert abs(ev["lnz_ss"] - lnz_true) < 0.15, (ev["lnz_ss"], lnz_true)
     assert abs(ev["lnz_ti"] - lnz_true) < 0.6
+    # the delta-method SS error is an honest band on a converged
+    # ladder: positive, small, and covering the true value at ~5 sigma
+    # (the looser factor absorbs the ESS estimate's own noise)
+    assert 0.0 < ev["lnz_ss_err"] < 0.5
+    assert abs(ev["lnz_ss"] - lnz_true) < 5.0 * ev["lnz_ss_err"] + 0.05
     # E_beta[lnl] is increasing in beta in expectation
     # (d/dbeta = Var >= 0); adjacent tiny-beta rungs are nearly the
     # same distribution, so only the well-separated top half is
