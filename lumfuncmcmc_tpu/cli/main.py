@@ -139,6 +139,14 @@ def _add_common_flags(p):
                         "inherit mode-hopping from the hot rungs; "
                         "composes with a device mesh via ghost-rung "
                         "exchange; 0 = no swaps)")
+    p.add_argument("--evidence-tune", dest="evidence_tune", type=int,
+                   default=0, metavar="T",
+                   help="with --evidence-swap: T short adaptation "
+                        "legs before the main run, re-spacing the "
+                        "ladder to equalize measured swap rejection "
+                        "across pairs (communication-barrier "
+                        "schedule, Syed et al. 2021); 0 = fixed "
+                        "power-law ladder")
     p.add_argument("--exact-bounds", dest="exact_bounds",
                    action="store_true", default=None,
                    help="free completeness: re-derive the integration "
@@ -733,9 +741,14 @@ def _run_evidence(model, args):
     --distributed every process must call this (shard_map over the
     global mesh + the collective to_host live inside) — only the
     artifact write (:func:`_write_evidence`) is primary-only."""
-    return model.log_evidence(
-        nrungs=int(args.evidence),
-        swap_every=int(getattr(args, "evidence_swap", 0) or 0))
+    swap = int(getattr(args, "evidence_swap", 0) or 0)
+    tune = int(getattr(args, "evidence_tune", 0) or 0)
+    if tune and not swap:
+        raise SystemExit("--evidence-tune needs --evidence-swap M "
+                         "(the ladder is tuned from measured swap "
+                         "rates)")
+    return model.log_evidence(nrungs=int(args.evidence),
+                              swap_every=swap, tune_rounds=tune)
 
 
 def _write_evidence(ev, cfg, args, outdir):

@@ -352,7 +352,8 @@ class _BaseModel(_EnsembleDriverMixin, _NutsDriverMixin):
 
     def log_evidence(self, nrungs: int = 16, nsteps: int = None,
                      key=None, power: float = 5.0, move: str = None,
-                     burn_frac: float = 0.5, swap_every: int = 0):
+                     burn_frac: float = 0.5, swap_every: int = 0,
+                     tune_rounds: int = 0, tune_steps: int = None):
         """Marginal likelihood ln Z of this model under its normalized
         prior, by simultaneous parallel tempering (new capability — no
         reference counterpart; see
@@ -373,6 +374,18 @@ class _BaseModel(_EnsembleDriverMixin, _NutsDriverMixin):
         which matters for multimodal posteriors. Composes with the
         device mesh (``run_parallel_tempering_sharded``: ghost-rung
         boundary exchange, bit-identical to the meshless run).
+
+        ``tune_rounds > 0`` (requires ``swap_every > 0``) prepends
+        that many SHORT adaptation legs (``tune_steps`` each, default
+        nsteps//4 rounded to whole swap rounds): after each leg the
+        ladder is re-spaced to equalize the measured swap rejection
+        across pairs (:func:`~lumfuncmcmc_tpu.samplers.tempering.
+        tune_ladder`, the Syed et al. 2021 communication-barrier
+        schedule), and walkers carry over. Fixed power-law ladders
+        guess where the barrier is; the tuned ladder measures it —
+        on LF posteriors rungs migrate toward the near-prior end
+        where exchange actually stalls, which is also where the
+        stepping-stone variance lives.
         """
         from lumfuncmcmc_tpu.parallel.distributed import to_host
         from lumfuncmcmc_tpu.samplers.tempering import (
@@ -411,38 +424,72 @@ class _BaseModel(_EnsembleDriverMixin, _NutsDriverMixin):
                % self.mesh.devices.size))
         start = time.time()
         swap_frac = None
-        if self.mesh is not None:
-            from lumfuncmcmc_tpu.parallel.sharding import (
-                run_parallel_tempering_sharded, run_tempered_sharded)
-            if jax.process_count() > 1:
-                pos0 = np.asarray(pos0)
-                k_run = np.asarray(k_run)
-            if swap_every:
+        multi = jax.process_count() > 1
+
+        def _pt(pos_t, betas_t, k_t, n_t):
+            """One DEO parallel-tempering leg on the right backend;
+            returns ``(chains, lnls, swap_frac np)``."""
+            if self.mesh is not None:
+                from lumfuncmcmc_tpu.parallel.sharding import (
+                    run_parallel_tempering_sharded)
                 # DEO swaps cross devices via ghost-rung exchange;
                 # bit-identical to the meshless PT (parity-tested)
-                _, lnls, _, sw = run_parallel_tempering_sharded(
-                    lnprior_fn, lnlike_fn, pos0, betas, k_run, nsteps,
+                ch, lnl, _, sw = run_parallel_tempering_sharded(
+                    lnprior_fn, lnlike_fn, pos_t, betas_t, k_t, n_t,
                     self.mesh, swap_every=int(swap_every),
                     move=(move or cfg.move), de_prob=cfg.de_prob)
-                swap_frac = np.asarray(to_host(sw))
-                self.log.info(
-                    "Replica-exchange swap acceptance per pair: %s"
-                    % np.round(swap_frac, 2))
             else:
-                _, lnls, _ = run_tempered_sharded(
-                    lnprior_fn, lnlike_fn, pos0, betas, k_run, nsteps,
-                    self.mesh, move=(move or cfg.move),
-                    de_prob=cfg.de_prob)
-        elif swap_every:
-            from lumfuncmcmc_tpu.samplers.tempering import (
-                run_parallel_tempering)
-            _, lnls, _, sw = run_parallel_tempering(
-                lnprior_fn, lnlike_fn, pos0, betas, k_run, nsteps,
-                swap_every=int(swap_every), move=(move or cfg.move),
-                de_prob=cfg.de_prob)
-            swap_frac = np.asarray(sw)
+                from lumfuncmcmc_tpu.samplers.tempering import (
+                    run_parallel_tempering)
+                ch, lnl, _, sw = run_parallel_tempering(
+                    lnprior_fn, lnlike_fn, pos_t, betas_t, k_t, n_t,
+                    swap_every=int(swap_every),
+                    move=(move or cfg.move), de_prob=cfg.de_prob)
+            # the to_host gather is COLLECTIVE: every process calls it
+            return ch, lnl, np.asarray(to_host(sw))
+
+        if self.mesh is not None and multi:
+            pos0 = np.asarray(pos0)
+            k_run = np.asarray(k_run)
+        if tune_rounds and not swap_every:
+            raise ValueError("tune_rounds needs swap_every > 0 (the "
+                             "ladder is tuned from measured swap "
+                             "rates)")
+        if swap_every and int(tune_rounds) > 0:
+            from lumfuncmcmc_tpu.samplers.tempering import tune_ladder
+            n_tune = int(tune_steps or max(int(swap_every) * 4,
+                                           nsteps // 4))
+            n_tune = max(int(swap_every),
+                         n_tune - n_tune % int(swap_every))
+            for t in range(int(tune_rounds)):
+                k_run, k_leg = (np.asarray(x) if multi else x
+                                for x in jax.random.split(
+                                    jnp.asarray(k_run)))
+                ch_t, _, sw_t = _pt(pos0, betas, k_leg, n_tune)
+                betas = tune_ladder(betas, sw_t)
+                # walkers carry over: each rung keeps its ensemble;
+                # the re-spaced beta changes its target slightly and
+                # burn_frac absorbs the transient
+                pos0 = ch_t[:, -1]
+                if multi:
+                    pos0 = np.asarray(to_host(pos0))
+                self.log.info(
+                    "Ladder tuning leg %d/%d (%d steps): swap "
+                    "acceptance %s -> re-spaced betas (min dβ %.2e)"
+                    % (t + 1, int(tune_rounds), n_tune,
+                       np.round(np.asarray(sw_t), 2),
+                       float(np.min(np.diff(betas)))))
+        if swap_every:
+            _, lnls, swap_frac = _pt(pos0, betas, k_run, nsteps)
             self.log.info("Replica-exchange swap acceptance per pair:"
                           " %s" % np.round(swap_frac, 2))
+        elif self.mesh is not None:
+            from lumfuncmcmc_tpu.parallel.sharding import (
+                run_tempered_sharded)
+            _, lnls, _ = run_tempered_sharded(
+                lnprior_fn, lnlike_fn, pos0, betas, k_run, nsteps,
+                self.mesh, move=(move or cfg.move),
+                de_prob=cfg.de_prob)
         else:
             _, lnls, _ = run_tempered(
                 lnprior_fn, lnlike_fn, pos0, betas, k_run, nsteps,

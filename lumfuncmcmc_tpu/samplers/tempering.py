@@ -62,6 +62,45 @@ def beta_ladder(nrungs: int, power: float = 5.0):
     return k ** float(power)
 
 
+def tune_ladder(betas, swap_frac, floor: float = 1e-3):
+    """Re-space the ladder to EQUALIZE swap rejection across pairs
+    (Syed et al. 2021's communication-barrier schedule).
+
+    The round-trip rate of replica exchange is governed by the
+    cumulative rejection curve Λ(β): the optimal K-rung ladder places
+    rungs at equal Λ increments. Estimate Λ piecewise-linearly from
+    the measured per-pair rejection ``r_k = 1 − swap_frac_k``
+    (Λ(β_k) = Σ_{j<k} r_j), then invert: β'_i = Λ⁻¹(i Λ_total/(K−1)).
+    Endpoints stay exactly 0 and 1; rejections are floored at
+    ``floor`` so a fully-mixing pair cannot collapse two rungs onto
+    one β. Host numpy — ladder choice is not a traced decision.
+
+    Returns the tuned ``betas'`` (same length, strictly increasing).
+    A couple of short tuning legs typically moves most of the benefit:
+    rungs migrate toward the β region where exchange actually stalls
+    (for LF posteriors, the near-prior end), which is where power-law
+    spacing guesses and the real barrier disagree.
+    """
+    betas = np.asarray(betas, dtype=np.float64)
+    r = 1.0 - np.clip(np.asarray(swap_frac, dtype=np.float64), 0.0, 1.0)
+    if betas.ndim != 1 or r.shape != (betas.shape[0] - 1,):
+        raise ValueError(
+            f"swap_frac must have len(betas)-1 entries, got "
+            f"{r.shape} for {betas.shape[0]} rungs")
+    r = np.maximum(r, floor)
+    lam = np.concatenate([[0.0], np.cumsum(r)])
+    targets = np.linspace(0.0, lam[-1], betas.shape[0])
+    out = np.interp(targets, lam, betas)
+    out[0], out[-1] = 0.0, 1.0
+    # np.interp on a strictly increasing lam keeps out strictly
+    # increasing; guard against float ties from extreme floors anyway
+    eps = 1e-12
+    for i in range(1, out.shape[0]):
+        if out[i] <= out[i - 1]:
+            out[i] = out[i - 1] + eps
+    return out
+
+
 def _rung_runner(lnprior_fn, lnlike_fn, nsteps: int, a: float = 2.0,
                  move: str = "stretch", de_prob: float = 0.5):
     """``one(pos (W, D), key, beta) -> (chain, lnl, acc)`` for a single

@@ -426,27 +426,44 @@ def test_ensembles_legacy_checkpoint_fallback(workdir, capsys):
     assert "legacy ensembles checkpoint" in capsys.readouterr().out
 
 
-def test_fit_evidence(workdir, capsys):
+def test_fit_evidence(workdir, capfd):
     """--evidence runs the tempered ladder after the fit and writes
-    the per-rung curve + both estimators."""
+    the per-rung curve + both estimators; --evidence-tune adds
+    ladder-adaptation legs (the Syed 2021 schedule) before the main
+    run and the artifact carries the TUNED betas."""
     # 8 rungs: divisible by the suite's auto-configured 8-device CLI
     # mesh (which rounds the rung count UP to the device multiple).
     # --evidence-swap drives the sharded PT (ghost-rung exchange)
-    # under that mesh.
+    # under that mesh; --evidence-tune drives the _pt tuning loop on
+    # the same sharded route. capfd (not capsys): the tuning-leg line
+    # is log output, whose StreamHandler bound the real stderr fd at
+    # first setup_logging — only fd-level capture sees it.
     assert main(["fit", "--synthetic", "200", "-ns", "40", "-nw", "16",
                  "-mcf", "0.5", "--size-ln", "21", "-fc",
                  "--evidence", "8", "--evidence-swap", "5",
-                 "-o", "ev.dat"]) == 0
-    out = capsys.readouterr().out
-    assert "Finished writing evidence ladder" in out
+                 "--evidence-tune", "1", "-o", "ev.dat"]) == 0
+    cap = capfd.readouterr()
+    assert "Finished writing evidence ladder" in cap.out
+    assert "Ladder tuning leg 1/1" in cap.err
     base = "ev_nb50_nw16_ns40_mcf50"
     tab = read_fixed_width_two_line(
         str(workdir / "LFMCMCOut" / f"evidence_{base}.dat"))
     assert len(tab["Beta"]) == 8
     assert tab["Beta"][0] == 0.0 and tab["Beta"][-1] == 1.0
+    betas = np.asarray(tab["Beta"], dtype=float)
+    assert np.all(np.diff(betas) > 0)
+    # tuned: no longer the default power-5 ladder
+    k = np.arange(8) / 7.0
+    assert not np.allclose(betas, k ** 5.0)
     assert np.all(np.isfinite(tab["LnZ_SS"]))
+    assert np.all(np.isfinite(tab["LnZ_SS_err"]))
     # SS sits at posterior scale (the fit's lnp is ~ -1e3..-1e4 here)
     assert -1e5 < tab["LnZ_SS"][0] < 0
+
+    with pytest.raises(SystemExit, match="evidence-tune"):
+        main(["fit", "--synthetic", "200", "-ns", "40", "-nw", "16",
+              "-mcf", "0.5", "--size-ln", "21", "-fc", "--evidence",
+              "8", "--evidence-tune", "1", "-o", "ev2.dat"])
 
 
 def test_fit_min_ess_with_checkpoint(workdir, capsys):

@@ -60,6 +60,82 @@ def test_gaussian_evidence_matches_analytic():
     assert np.all(np.diff(e[len(e) // 2:]) > 0)
 
 
+def test_tune_ladder_equalizes_rejection():
+    """tune_ladder (Syed et al. 2021 communication-barrier schedule):
+    rungs migrate toward the pairs that REJECT — analytic check on a
+    synthetic rejection profile, plus structural invariants (same
+    length, endpoints exactly 0/1, strictly increasing, no-op when
+    rejection is already uniform)."""
+    from lumfuncmcmc_tpu.samplers.tempering import tune_ladder
+
+    betas = np.linspace(0.0, 1.0, 9)
+    # all rejection concentrated in the FIRST pair
+    swap = np.ones(8)
+    swap[0] = 0.0
+    out = tune_ladder(betas, swap)
+    assert out.shape == betas.shape
+    assert out[0] == 0.0 and out[-1] == 1.0
+    assert np.all(np.diff(out) > 0)
+    # nearly the whole barrier sits in [0, 1/8]: the tuned ladder puts
+    # most interior rungs inside the first original panel
+    assert np.sum(out[1:-1] < betas[1] + 1e-9) >= 5, out
+
+    # uniform rejection -> the ladder is already optimal (unchanged)
+    np.testing.assert_allclose(
+        tune_ladder(betas, np.full(8, 0.5)), betas, atol=1e-12)
+
+
+def test_tuned_ladder_improves_swap_uniformity():
+    """End-to-end ITERATIVE tuning: start from a deliberately bad
+    linear ladder on a sharp Gaussian-in-a-box target, whose real
+    communication barrier is concentrated at beta ~ 1e-3 — far inside
+    the first linear panel, so one tuning round cannot see it
+    (piecewise-linear interpolation resolves nothing below the current
+    rung spacing) but successive rounds zoom in geometrically
+    (measured: min pair acceptance 0.010 -> 0.302 over 4 rounds).
+    After tuning, the worst pair exchanges at a usable rate, the
+    across-pair spread shrinks, and the evidence still matches the
+    analytic value within its own reported error."""
+    from lumfuncmcmc_tpu.samplers.tempering import (
+        run_parallel_tempering, tune_ladder)
+
+    sd = np.asarray([0.05, 0.05])   # sharp likelihood: real barrier
+    half = 6.0
+    mu = jnp.asarray([0.3, -0.4])
+
+    def lnprior(th):
+        return jnp.where(jnp.all(jnp.abs(th) < half), 0.0, -jnp.inf)
+
+    def lnlike(th):
+        return -0.5 * jnp.sum(((th - jnp.asarray(mu)) / sd) ** 2)
+
+    K, W, S = 12, 64, 400
+    keys = jax.random.split(jax.random.PRNGKey(3), 6)
+    pos = jax.random.uniform(keys[0], (K, W, 2), minval=-half,
+                             maxval=half, dtype=jnp.float64)
+    betas = np.linspace(0.0, 1.0, K)   # bad for this target
+    sw_first = None
+    for t in range(4):
+        ch, _, _, sw = run_parallel_tempering(
+            lnprior, lnlike, pos, betas, keys[t + 1], S,
+            swap_every=10)
+        sw = np.asarray(sw)
+        if sw_first is None:
+            sw_first = sw
+        betas = tune_ladder(betas, sw)
+        pos = ch[:, -1]
+    _, lnl, _, sw_end = run_parallel_tempering(
+        lnprior, lnlike, pos, betas, keys[5], S, swap_every=10)
+    sw_end = np.asarray(sw_end)
+    assert sw_first.min() < 0.05               # the bad-start premise
+    assert sw_end.min() > 0.15, (sw_first, sw_end)
+    assert sw_end.std() < 0.6 * sw_first.std()
+    lnz_true = float(np.log(2 * np.pi * sd.prod())
+                     - np.log((2 * half) ** 2))
+    ev = evidence_from_ladder(np.asarray(lnl), betas)
+    assert abs(ev["lnz_ss"] - lnz_true) < 3.0 * ev["lnz_ss_err"] + 0.3
+
+
 def test_evidence_prefers_the_true_model():
     """Model-selection sanity: the same data (encoded in the
     likelihood center) gives a larger evidence to the well-specified
