@@ -86,9 +86,14 @@ def main():
     print(f"  stacking weights: single={w[0]:.3f} z={w[1]:.3f}")
 
     print("=== 4. tempered evidence (fully Bayesian; slowest) ===")
+    # swap_every: DEO replica exchange (modes flow down the ladder);
+    # tune_rounds: two short legs re-space the rungs to the measured
+    # communication barrier (Syed et al. 2021) before the main run
     lnz = {}
     for name, m in models.items():
-        lnz[name] = m.log_evidence(nrungs=12, nsteps=300)["lnz_ss"]
+        lnz[name] = m.log_evidence(nrungs=12, nsteps=300,
+                                   swap_every=10,
+                                   tune_rounds=2)["lnz_ss"]
         print(f"  {name:7s} ln Z = {lnz[name]:.2f}")
     bf = lnz["single"] - lnz["z-evol"]
     print(f"  ln Bayes factor (single vs z) = {bf:+.2f} "
