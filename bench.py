@@ -633,17 +633,23 @@ def worker_main(args):
         from lumfuncmcmc_tpu.models.likelihood import (
             lnlike_single_epoch, lnprior)
         from lumfuncmcmc_tpu.samplers.tempering import (
-            beta_ladder, evidence_from_ladder, run_tempered)
+            beta_ladder, evidence_from_ladder, run_parallel_tempering,
+            run_tempered, tune_ladder)
         K, ES = args.evidence_rungs, 500
         pos_t = jnp.stack([
             jnp.asarray(sample_init(jax.random.PRNGKey(30 + r), layout,
                                     args.walkers))
             for r in range(K)])
         betas_t = beta_ladder(K)
+
+        def lnpr_t(th):
+            return lnprior(th, layout)
+
+        def lnlk_t(th):
+            return lnlike_single_epoch(th, ctx_g, layout)
+
         run_t = jax.jit(lambda p, k: run_tempered(
-            lambda th: lnprior(th, layout),
-            lambda th: lnlike_single_epoch(th, ctx_g, layout),
-            p, betas_t, k, ES))
+            lnpr_t, lnlk_t, p, betas_t, k, ES))
         out_t = run_t(pos_t, jax.random.PRNGKey(31))
         jax.block_until_ready(out_t[1])
         t0 = time.time()
@@ -661,6 +667,42 @@ def worker_main(args):
         log(f"evidence ladder ({K} rungs x {args.walkers} walkers x "
             f"{ES} steps, gauss-32): {wall_t:.2f}s "
             f"lnZ_ss={ev['lnz_ss']:.1f}")
+        # ladder-adaptation A/B (the --evidence-tune capability):
+        # fixed power-law spacing vs the communication-barrier
+        # schedule tuned from measured swap rejections, judged by the
+        # WORST pair's swap acceptance (the ladder's round-trip
+        # bottleneck). betas enter TRACED so every leg reuses one
+        # compiled DEO-PT program.
+        run_pt = jax.jit(lambda p, b, k: run_parallel_tempering(
+            lnpr_t, lnlk_t, p, b, k, ES, swap_every=10))
+        out_p = run_pt(pos_t, jnp.asarray(betas_t),
+                       jax.random.PRNGKey(32))
+        jax.block_until_ready(out_p[3])
+        t0 = time.time()
+        ch_p, _, _, sw_p = run_pt(pos_t, jnp.asarray(betas_t),
+                                  jax.random.PRNGKey(32))
+        jax.block_until_ready(sw_p)
+        wall_pt = time.time() - t0
+        sw_fixed = np.asarray(sw_p)
+        betas_tu, pos_tu, sw_tuned = np.asarray(betas_t), ch_p[:, -1], \
+            sw_fixed
+        for leg in range(2):
+            betas_tu = tune_ladder(betas_tu, sw_tuned)
+            ch_p, _, _, sw_p = run_pt(pos_tu, jnp.asarray(betas_tu),
+                                      jax.random.PRNGKey(33 + leg))
+            jax.block_until_ready(sw_p)
+            sw_tuned, pos_tu = np.asarray(sw_p), ch_p[:, -1]
+        ev_detail.update({
+            "evidence_pt_wall_s": round(wall_pt, 3),
+            "evidence_pt_min_swap_fixed": round(
+                float(sw_fixed.min()), 3),
+            "evidence_pt_min_swap_tuned": round(
+                float(sw_tuned.min()), 3),
+        })
+        log(f"PT ladder tuning ({K} rungs, DEO every 10): min pair "
+            f"swap {sw_fixed.min():.2f} (power-law) -> "
+            f"{sw_tuned.min():.2f} (2 tuned legs); {wall_pt:.2f}s "
+            "per leg")
 
     mega_detail = {}
     if args.mega:

@@ -426,7 +426,7 @@ def test_ensembles_legacy_checkpoint_fallback(workdir, capsys):
     assert "legacy ensembles checkpoint" in capsys.readouterr().out
 
 
-def test_fit_evidence(workdir, capfd):
+def test_fit_evidence(workdir, capsys):
     """--evidence runs the tempered ladder after the fit and writes
     the per-rung curve + both estimators; --evidence-tune adds
     ladder-adaptation legs (the Syed 2021 schedule) before the main
@@ -435,16 +435,25 @@ def test_fit_evidence(workdir, capfd):
     # mesh (which rounds the rung count UP to the device multiple).
     # --evidence-swap drives the sharded PT (ghost-rung exchange)
     # under that mesh; --evidence-tune drives the _pt tuning loop on
-    # the same sharded route. capfd (not capsys): the tuning-leg line
-    # is log output, whose StreamHandler bound the real stderr fd at
-    # first setup_logging — only fd-level capture sees it.
-    assert main(["fit", "--synthetic", "200", "-ns", "40", "-nw", "16",
-                 "-mcf", "0.5", "--size-ln", "21", "-fc",
-                 "--evidence", "8", "--evidence-swap", "5",
-                 "--evidence-tune", "1", "-o", "ev.dat"]) == 0
-    cap = capfd.readouterr()
-    assert "Finished writing evidence ladder" in cap.out
-    assert "Ladder tuning leg 1/1" in cap.err
+    # the same sharded route. The tuning-leg line is LOG output whose
+    # StreamHandler binds whatever stderr existed at first
+    # setup_logging (suite-order dependent) — capture it at the
+    # logging layer, not the stream layer.
+    import logging
+    records = []
+    handler = logging.Handler()
+    handler.emit = lambda r: records.append(r.getMessage())
+    logging.getLogger("lumfuncmcmc_tpu").addHandler(handler)
+    try:
+        assert main(["fit", "--synthetic", "200", "-ns", "40",
+                     "-nw", "16", "-mcf", "0.5", "--size-ln", "21",
+                     "-fc", "--evidence", "8", "--evidence-swap", "5",
+                     "--evidence-tune", "1", "-o", "ev.dat"]) == 0
+    finally:
+        logging.getLogger("lumfuncmcmc_tpu").removeHandler(handler)
+    assert "Finished writing evidence ladder" in capsys.readouterr().out
+    assert any("Ladder tuning leg 1/1" in m for m in records), \
+        records[-10:]
     base = "ev_nb50_nw16_ns40_mcf50"
     tab = read_fixed_width_two_line(
         str(workdir / "LFMCMCOut" / f"evidence_{base}.dat"))
