@@ -498,7 +498,18 @@ class _BaseModel(_EnsembleDriverMixin, _NutsDriverMixin):
         elapsed = time.time() - start
         ev = evidence_from_ladder(lnls, betas, burn_frac=burn_frac)
         if swap_frac is not None:
+            from lumfuncmcmc_tpu.samplers.tempering import barrier_stats
             ev["swap_frac"] = swap_frac
+            bs = barrier_stats(swap_frac)
+            ev["lambda_barrier"] = bs["lambda"]
+            ev["roundtrip_rate_est"] = bs["roundtrip_rate"]
+            self.log.info(
+                "Communication barrier Λ = %.2f -> estimated DEO "
+                "round-trip rate %.3f per replica sweep-pair (Syed "
+                "et al. 2021 Cor. 1; low rate with uneven swap "
+                "acceptance -> tune the ladder, uniformly low -> "
+                "raise nrungs)" % (bs["lambda"],
+                                   bs["roundtrip_rate"]))
         self.log.info(
             "ln Z = %.3f +- %.3f (stepping-stone; TI %.3f +- %.3f; "
             "|SS-TI| %.3f is the ladder-resolution check) in %.2f s"

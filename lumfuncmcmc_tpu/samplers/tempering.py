@@ -101,6 +101,25 @@ def tune_ladder(betas, swap_frac, floor: float = 1e-3):
     return out
 
 
+def barrier_stats(swap_frac):
+    """Communication-barrier summary from measured DEO swap rates.
+
+    ``Λ = Σ_k (1 − s_k)`` (the cumulative rejection over adjacent
+    pairs) estimates the total communication barrier of Syed et al.
+    2021; their Corollary 1 gives the non-reversible DEO round-trip
+    rate as ``1/(2 + 2Λ)`` in the well-tuned-schedule limit — the
+    number of independent prior→posterior→prior traversals each
+    replica completes per swap-round sweep pair. A rate near the
+    ``1/(2K−2)`` ideal (Λ→K−1 when every pair is floored) means the
+    ladder is communication-bound; raising it needs better spacing
+    (:func:`tune_ladder`) before more rungs. Host numpy.
+    """
+    r = 1.0 - np.clip(np.asarray(swap_frac, dtype=np.float64),
+                      0.0, 1.0)
+    lam = float(r.sum())
+    return {"lambda": lam, "roundtrip_rate": 1.0 / (2.0 + 2.0 * lam)}
+
+
 def _rung_runner(lnprior_fn, lnlike_fn, nsteps: int, a: float = 2.0,
                  move: str = "stretch", de_prob: float = 0.5):
     """``one(pos (W, D), key, beta) -> (chain, lnl, acc)`` for a single

@@ -85,6 +85,22 @@ def test_tune_ladder_equalizes_rejection():
         tune_ladder(betas, np.full(8, 0.5)), betas, atol=1e-12)
 
 
+def test_barrier_stats_oracle():
+    """barrier_stats: Λ is the summed pair rejection and the DEO
+    round-trip rate is 1/(2+2Λ) (Syed et al. 2021 Cor. 1) — checked
+    against hand-computed values, incl. clipping of out-of-range
+    swap fractions."""
+    from lumfuncmcmc_tpu.samplers.tempering import barrier_stats
+
+    bs = barrier_stats(np.full(7, 0.75))     # 8 rungs, r = 0.25 each
+    assert abs(bs["lambda"] - 7 * 0.25) < 1e-12
+    assert abs(bs["roundtrip_rate"] - 1.0 / (2 + 2 * 1.75)) < 1e-12
+    # perfect mixing: zero barrier, the 1/2 ceiling
+    assert barrier_stats(np.ones(3))["roundtrip_rate"] == 0.5
+    # values outside [0, 1] (degenerate short runs) are clipped
+    assert barrier_stats([1.5, -0.2])["lambda"] == 1.0
+
+
 def test_tuned_ladder_improves_swap_uniformity():
     """End-to-end ITERATIVE tuning: start from a deliberately bad
     linear ladder on a sharp Gaussian-in-a-box target, whose real
