@@ -151,6 +151,7 @@ from lumfuncmcmc_tpu.cli.main import main
 rc = main(["fit", "--synthetic", "150", "-ns", "40", "-nw", "16",
            "-mcf", "0.5", "--size-ln", "21", "-o", "dist.dat",
            "--evidence", "4", "--evidence-swap", "10",
+           "--evidence-tune", "1",
            "--distributed", coord + "," + str(nproc) + "," + str(pid)])
 print("CLIRC", rc, flush=True)
 """
