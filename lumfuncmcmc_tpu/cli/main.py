@@ -1149,6 +1149,13 @@ def main(argv=None):
     p_vmax.set_defaults(func=cmd_vmax)
 
     args = parser.parse_args(argv)
+    if (int(getattr(args, "evidence_tune", 0) or 0)
+            and not int(getattr(args, "evidence_swap", 0) or 0)):
+        # fail at argument-handling time: _run_evidence's own check
+        # fires only AFTER the sampler dispatch, i.e. after a
+        # potentially hours-long run has already completed (ADVICE r4)
+        parser.error("--evidence-tune needs --evidence-swap M (the "
+                     "ladder is tuned from measured swap rates)")
     if getattr(args, "distributed", None):
         # must run before any other JAX use so the backend comes up in
         # multi-controller mode and meshes span the global device list

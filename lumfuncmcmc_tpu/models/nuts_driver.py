@@ -249,12 +249,14 @@ class _NutsDriverMixin:
         float level and flip accept decisions.
         """
         from lumfuncmcmc_tpu.parallel.mesh import AXIS_SOURCES
+        from lumfuncmcmc_tpu.samplers.nuts import RNG_PROTOCOL
         ck = checkpoint_path if min_ess else None
         if ck and not ck.endswith(".npz"):
             ck += ".npz"
         fp_list = [y0.shape[0], int(num_warmup), int(self.cfg.nsteps),
-                   y0.shape[1], self.cfg.seed]
-        desc = "(nchains, num_warmup, block_steps, ndim, seed"
+                   y0.shape[1], self.cfg.seed, RNG_PROTOCOL]
+        desc = "(nchains, num_warmup, block_steps, ndim, seed, " \
+               "rng_protocol"
         if route == "stream_mesh":
             fp_list.append(self.mesh.shape[AXIS_SOURCES])
             desc += ", mesh_sources"
@@ -405,7 +407,7 @@ class _NutsDriverMixin:
         block's warmup (the continuation state is frozen either way).
         """
         from lumfuncmcmc_tpu.samplers.nuts import (
-            continue_nuts_keys, run_nuts, sampling_keys)
+            RNG_PROTOCOL, continue_nuts_keys, run_nuts, sampling_keys)
         cfg = self.cfg
         if not checkpoint_path.endswith(".npz"):
             # np.savez appends .npz to bare paths; the resume check
@@ -417,7 +419,7 @@ class _NutsDriverMixin:
         sizes = [every] * (nblocks - 1) + [nsteps
                                            - every * (nblocks - 1)]
         fp_list = [nchains, int(num_warmup), nsteps, every, ndim,
-                   cfg.seed]
+                   cfg.seed, RNG_PROTOCOL]
         if route == "jit":
             def first(n):
                 return run_nuts(lnp_y, y0, k_run,
@@ -478,9 +480,12 @@ class _NutsDriverMixin:
                 raise ValueError(
                     "nuts-checkpoint fingerprint mismatch: the "
                     "checkpoint was written under different (nchains, "
-                    "num_warmup, nsteps, checkpoint_every, ndim, seed"
-                    "[, mesh_sources]) — delete %s or restore the "
-                    "original settings" % checkpoint_path)
+                    "num_warmup, nsteps, checkpoint_every, ndim, seed, "
+                    "rng_protocol[, mesh_sources]) — an old-length "
+                    "fingerprint means a pre-protocol-v%d npz, whose "
+                    "key streams differ; delete %s or restore the "
+                    "original settings" % (RNG_PROTOCOL,
+                                           checkpoint_path))
             done = int(saved["nblocks"])
             blocks = [jnp.asarray(saved["samples_y"])]
             lnp_blocks = [jnp.asarray(saved["lnps_y"])]
@@ -730,12 +735,14 @@ class _NutsDriverMixin:
             ck = checkpoint_path if min_ess else None
             if ck and not ck.endswith(".npz"):
                 ck += ".npz"
+            from lumfuncmcmc_tpu.samplers.nuts import RNG_PROTOCOL
             fp = np.asarray([y0.shape[0], int(num_warmup),
-                             int(cfg.nsteps), y0.shape[1], cfg.seed],
-                            dtype=np.float64)
+                             int(cfg.nsteps), y0.shape[1], cfg.seed,
+                             RNG_PROTOCOL], dtype=np.float64)
             resumed = self._nuts_ckpt_load(
                 ck, fp, resume,
-                "(nchains, num_warmup, block_steps, ndim, seed)")
+                "(nchains, num_warmup, block_steps, ndim, seed, "
+                "rng_protocol)")
 
             def _save(path, s, lp, al, df, st, nb):
                 self._nuts_ckpt_save(path, fp, s, lp, al, df, st, nb)

@@ -39,6 +39,16 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
+# Version of the sampling-key derivation protocol (how per-transition
+# keys are derived from the run key): bumped whenever run_nuts's
+# internal key split or sampling_keys's per-chain fold/split changes.
+# Checkpoint fingerprints embed it so an npz written under an older
+# protocol is rejected LOUDLY instead of silently spliced with new-key
+# continuations, which would void the documented "checkpointed ==
+# uninterrupted bit-for-bit" guarantee (ADVICE r4). v2 = per-global-
+# chain fold_in streams (the current counter-stable protocol).
+RNG_PROTOCOL = 2
+
 
 def make_unconstrained(lnpost_theta: Callable, lo, hi):
     """Wrap a box-bounded log-density into an unconstrained one.

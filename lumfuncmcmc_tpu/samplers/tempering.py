@@ -93,11 +93,19 @@ def tune_ladder(betas, swap_frac, floor: float = 1e-3):
     out = np.interp(targets, lam, betas)
     out[0], out[-1] = 0.0, 1.0
     # np.interp on a strictly increasing lam keeps out strictly
-    # increasing; guard against float ties from extreme floors anyway
+    # increasing; guard against float ties from extreme floors anyway.
+    # Repair INTERIOR rungs only, then re-pin the top and back-
+    # propagate downward — a forward sweep over all indices could push
+    # out[-1] past 1.0 and break evidence_from_ladder's β_{K-1} == 1
+    # assumption (ADVICE r4).
     eps = 1e-12
-    for i in range(1, out.shape[0]):
+    for i in range(1, out.shape[0] - 1):
         if out[i] <= out[i - 1]:
             out[i] = out[i - 1] + eps
+    out[-1] = 1.0
+    for i in range(out.shape[0] - 2, 0, -1):
+        if out[i] >= out[i + 1]:
+            out[i] = out[i + 1] - eps
     return out
 
 

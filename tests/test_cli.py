@@ -469,10 +469,19 @@ def test_fit_evidence(workdir, capsys):
     # SS sits at posterior scale (the fit's lnp is ~ -1e3..-1e4 here)
     assert -1e5 < tab["LnZ_SS"][0] < 0
 
-    with pytest.raises(SystemExit, match="evidence-tune"):
+    # --evidence-tune without --evidence-swap fails at ARGUMENT
+    # handling time (parser.error -> SystemExit 2 with the message on
+    # stderr), BEFORE any sampling could run (ADVICE r4: the old
+    # post-sampler check burned the whole fit first)
+    capsys.readouterr()
+    with pytest.raises(SystemExit):
         main(["fit", "--synthetic", "200", "-ns", "40", "-nw", "16",
               "-mcf", "0.5", "--size-ln", "21", "-fc", "--evidence",
               "8", "--evidence-tune", "1", "-o", "ev2.dat"])
+    captured = capsys.readouterr()
+    assert "--evidence-tune needs --evidence-swap" in captured.err
+    # nothing ran: no sampler progress lines reached stdout
+    assert "Initialized" not in captured.out
 
 
 def test_fit_min_ess_with_checkpoint(workdir, capsys):

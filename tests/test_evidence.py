@@ -84,6 +84,16 @@ def test_tune_ladder_equalizes_rejection():
     np.testing.assert_allclose(
         tune_ladder(betas, np.full(8, 0.5)), betas, atol=1e-12)
 
+    # pathological float ties reaching the TOP rung (duplicate betas
+    # at 1.0): the tie repair must stay interior and re-pin β_{K-1}
+    # to exactly 1.0 — a forward sweep over all indices would push it
+    # past 1 and break evidence_from_ladder's β_{K-1} == 1 assumption
+    # (ADVICE r4)
+    tied = np.array([0.0, 0.25, 1.0, 1.0, 1.0])
+    out_t = tune_ladder(tied, np.full(4, 0.9))
+    assert out_t[-1] == 1.0
+    assert np.all(np.diff(out_t) > 0)
+
 
 def test_barrier_stats_oracle():
     """barrier_stats: Λ is the summed pair rejection and the DEO

@@ -350,3 +350,44 @@ def test_fit_model_nuts_min_ess_blocks():
     assert s.shape[0] % (4 * cfg.nsteps) == 0
     assert 2 <= nblocks <= 4
     assert np.all(np.isfinite(s))
+
+
+def test_nuts_checkpoint_rejects_pre_protocol_npz(tmp_path):
+    """An npz written under an OLDER sampling-key protocol — identified
+    by its versionless, shorter fingerprint — must be rejected loudly
+    on both jit checkpoint routes, not silently spliced with new-key
+    continuations (which would void the bit-identity guarantee;
+    ADVICE r4). Fails before any sampling compiles, so this is cheap."""
+    from lumfuncmcmc_tpu.config import LFConfig
+    from lumfuncmcmc_tpu.models.model import LumFuncModel
+    from lumfuncmcmc_tpu.utils.synth import (
+        make_catalog, apply_completeness_cut)
+
+    cfg = LFConfig(min_comp_frac=0.5, fix_comp=True, size_ln=21,
+                   nwalkers=8, nsteps=12, checkpoint_every=5)
+    cat = apply_completeness_cut(make_catalog(cfg, n_target=200,
+                                              seed=7), cfg)
+    kw = dict(z=cat["z"], flux=cat["flux"], flux_e=cat["flux_e"],
+              field_id=cat["field_id"])
+    model = LumFuncModel(cfg, **kw)
+    ndim = len(model.layout.names)
+
+    # fixed-length route: the pre-v2 fingerprint was the same first 6
+    # knobs WITHOUT the rng_protocol field
+    ck = str(tmp_path / "old_fixed.npz")
+    np.savez(ck, nblocks=1, fingerprint=np.asarray(
+        [4, 40, 12, 5, ndim, cfg.seed], dtype=np.float64))
+    with pytest.raises(ValueError, match="rng_protocol"):
+        model.fit_model_nuts(num_warmup=40, nchains=4,
+                             checkpoint_path=ck, resume=True)
+
+    # min-ess block route: pre-v2 was (nchains, warmup, block, ndim,
+    # seed) — also versionless
+    ck2 = str(tmp_path / "old_miness.npz")
+    np.savez(ck2, nblocks=1, fingerprint=np.asarray(
+        [4, 40, 12, ndim, cfg.seed], dtype=np.float64))
+    with pytest.raises(ValueError, match="rng_protocol"):
+        LumFuncModel(cfg.replace(checkpoint_every=0),
+                     **kw).fit_model_nuts(
+            num_warmup=40, nchains=4, min_ess=1e6, max_blocks=2,
+            checkpoint_path=ck2, resume=True)
