@@ -1,7 +1,12 @@
 """Benchmark: 100-walker ensemble on the flagship free-completeness model.
 
-Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Prints ONE COMPACT JSON line (< 1,900 bytes — the round driver keeps
+only the last 2,000 chars of stdout, which front-truncated BENCH_r04):
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
+     "detail": {<whitelisted headline keys>, "detail_file": ...}}
+The FULL detail dict (every timing, spread, and skipped marker) goes to
+the ``bench_detail.json`` sidecar next to this file (override with
+``LFTPU_BENCH_DETAIL=<path>``).
 
 - value: log-probability evaluations per second for the full MCMC run
   (10k steps x 100 walkers under one jit'd lax.scan) on the default JAX
@@ -38,6 +43,76 @@ import time
 import numpy as np
 
 METRIC = "lnprob_evals_per_sec_100walker_chain"
+
+# stdout budget: the round driver keeps only the last 2,000 chars of
+# stdout — BENCH_r04's single JSON line grew to ~2.6 KB and was
+# front-truncated into an unparseable artifact (VERDICT r4 #1). The
+# headline line is therefore a WHITELISTED compact subset; the full
+# detail dict goes to the bench_detail.json sidecar.
+STDOUT_BUDGET = 1900
+
+# keys kept on the stdout headline, in drop-last-first priority order
+# (the tail is dropped first if the line ever approaches the budget)
+_HEADLINE_DETAIL_KEYS = (
+    "backend", "device", "engine", "capture_error", "capture_ok",
+    "wall_s", "steps", "walkers",
+    "gauss32_evals_per_sec", "gauss32_vs_baseline",
+    "matched_ess_ratio_measured", "min_ess_per_sec",
+    "pallas_gauss32_vs_xla", "pallas_trapz101_vs_xla",
+    "pallas_mesh11_vs_meshless",
+    "stream_fwd_pallas_vs_xla", "stream_vg_pallas_vs_xla",
+    "nuts_ess_per_sec", "nuts_div_frac", "nuts_accept_stat",
+    "evidence_lnz_ss", "evidence_lnz_ss_err",
+    "vpu_occupancy_vs_measured_peak", "vpu_measured_peak_per_sec",
+    "vpu_transcendentals_per_sec",
+    "baseline_evals_per_sec", "matched_ess_ratio_vs_baseline",
+    "mix_ess_per_sec", "stream_sources",
+)
+
+
+def detail_sidecar_path():
+    return os.environ.get(
+        "LFTPU_BENCH_DETAIL",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "bench_detail.json"))
+
+
+def emit_result(result):
+    """Print the ONE compact JSON headline line on stdout and write the
+    full result to the bench_detail.json sidecar.
+
+    The headline always fits the driver's tail buffer: whitelisted
+    keys only, plus every ``*_skipped`` self-description marker, with
+    a defensive drop-from-the-tail loop should the line ever approach
+    ``STDOUT_BUDGET`` anyway (pinned by tests/test_bench_capture.py).
+    """
+    sidecar = detail_sidecar_path()
+    try:
+        with open(sidecar, "w") as fh:
+            json.dump(result, fh, indent=1)
+        sidecar_note = os.path.basename(sidecar)
+    except OSError as e:
+        log(f"could not write detail sidecar {sidecar}: {e}")
+        sidecar_note = None
+    det = dict(result.get("detail") or {})
+    attempts = det.get("capture_attempts")
+    if attempts:
+        # true when a measurement worker (primary or CPU fallback)
+        # actually delivered the payload
+        det["capture_ok"] = any(
+            a.get("ok") for a in attempts
+            if a["stage"] in ("worker", "cpu_worker"))
+    keys = list(_HEADLINE_DETAIL_KEYS) + sorted(
+        k for k in det if k.endswith("_skipped"))
+    compact = {k: result.get(k) for k in
+               ("metric", "value", "unit", "vs_baseline")}
+    compact["detail"] = {k: det[k] for k in keys if k in det}
+    compact["detail"]["detail_file"] = sidecar_note
+    line = json.dumps(compact)
+    while len(line) > STDOUT_BUDGET and compact["detail"]:
+        compact["detail"].popitem()
+        line = json.dumps(compact)
+    print(line, flush=True)
 
 
 def log(msg):
@@ -774,25 +849,41 @@ def worker_main(args):
                     f"({vg_walls['xla'] / vg_walls['pallas']:.2f}x)")
 
     # speed-of-light context: the likelihood is pure VPU work (no
-    # matmul structure); per element the kernel executes ~4
-    # transcendentals (2 exp + log + rsqrt). The occupancy fraction is
-    # vs the 1-per-lane-per-cycle ISSUE bound (8x128 lanes at 0.94
-    # GHz) — real transcendentals are multi-cycle, so true occupancy
-    # is a small multiple of this conservative number
-    # (docs/PERFORMANCE.md "How close to speed-of-light?").
+    # matmul structure); per element the kernel executes 4
+    # transcendentals (2 exp + log + rsqrt — the pinned counting
+    # convention, docs/PERFORMANCE.md). Occupancy is reported against
+    # the MEASURED roofline (ops/pallas_roofline.py: the same op chain
+    # iterated over a resident VMEM block — the fastest any kernel
+    # with this per-element math can go on the core), with the
+    # conservative 1-per-lane-per-cycle issue bound kept for context
+    # (VERDICT r4 #2: the roofline claim must be measured, not
+    # asserted).
     vpu_detail = {}
     if pal is not None:
+        from lumfuncmcmc_tpu.ops.pallas_roofline import (
+            transcendental_peak)
         ncells_g = int(np.prod(np.asarray(ctx_g.logL_grid).shape))
         nsrc_b = int(np.asarray(ctx.lum).shape[0])
         trans_rate = 4.0 * (ncells_g + nsrc_b) * (
             evals / med["pallas_gauss"])
         peak_issue = 8 * 128 * 0.94e9
+        peak = transcendental_peak()
+        peak_meas = peak["transcendentals_per_sec"]
         vpu_detail = {
             "vpu_transcendentals_per_sec": round(trans_rate, -8),
+            "vpu_measured_peak_per_sec": round(peak_meas, -8),
+            "vpu_occupancy_vs_measured_peak": round(
+                trans_rate / peak_meas, 3),
             "vpu_occupancy_vs_issue_limit": round(
                 trans_rate / peak_issue, 3),
+            "vpu_peak_per_iter_us": round(1e6 * peak["per_iter_s"],
+                                          3),
+            "vpu_peak_overhead_ms": round(1e3 * peak["overhead_s"],
+                                          2),
         }
-        log(f"VPU: {trans_rate:.3g} transcendentals/s sustained "
+        log(f"VPU: {trans_rate:.3g} transcendentals/s sustained = "
+            f"{trans_rate / peak_meas:.1%} of the MEASURED "
+            f"{peak_meas:.3g}/s same-mix roofline "
             f"({trans_rate / peak_issue:.1%} of the 1/cycle issue "
             "bound)")
 
@@ -907,7 +998,7 @@ def main(argv=None):
                   "vs_baseline": 0.0,
                   "detail": {"backend": "none",
                              "capture_error": f"supervisor: {e!r}"}}
-    print(json.dumps(result), flush=True)
+    emit_result(result)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,139 @@
+"""Measured VPU special-function roofline (VERDICT r4 #2).
+
+The likelihood kernels are pure VPU work (no matmul structure), so
+their speed-of-light is the chip's sustained throughput on the exact
+transcendental mix they execute — 2 exp + 1 log + 1 rsqrt + 1 div per
+element per evaluation (``_kernel_free_bcast``'s op chain after the
+exp factorization). The 1-per-lane-per-cycle ISSUE bound (8x128 lanes
+at ~0.94 GHz = 9.6e11/s) is NOT that number: real special functions
+are multi-cycle, so occupancy quoted against the issue bound looks
+artificially low (BENCH_r04 reported 14.7% and could not say how much
+of the gap was physics).
+
+This module MEASURES the peak: a Pallas kernel iterates the
+likelihood's own op chain over a VMEM-resident float32 block (no HBM
+traffic in the loop, no reductions besides a final write), which is
+the fastest any kernel with this per-element math can possibly go on
+the core. ``bench.py`` reports the hot kernel's sustained rate as a
+fraction of THIS measured peak (``vpu_occupancy_vs_measured_peak``)
+alongside the conservative issue-bound fraction.
+
+Counting convention (pinned; docs/PERFORMANCE.md uses the same one):
+a "transcendental" is one of exp/log/rsqrt on useful (unpadded)
+elements; the mix executes 4 per element per iteration. Divides and
+mul/adds are counted separately as simple ops and not included.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# mirrors the gauss-32 in-chain transcendental mix per element:
+#   rsqrt (Fleming sigmoid) + log (ln fc) + exp (decay) + exp (integrand)
+TRANSCENDENTALS_PER_ELEM = 4
+
+
+def _chain(y):
+    """One likelihood-shaped op chain: EXACTLY the per-element
+    special-function mix of ``_kernel_free_bcast``/``_ln_fc`` —
+    2 exp + 1 log + 1 rsqrt + 1 div + ~10 mul/add — with the output
+    clamped back into (0, 1) so iterating it stays numerically tame.
+    The clamp also keeps the loop-carried value data-dependent, so
+    Mosaic cannot hoist the chain out of the iteration loop."""
+    x = 3.0 * (y - 0.41)
+    fc = jnp.maximum(0.5 + 0.5 * x * jax.lax.rsqrt(1.0 + x * x),
+                     1e-30)                                   # rsqrt
+    lf = jnp.log(fc)                                          # log
+    d = 1.0 - 0.999 * jnp.exp(-(y * 1.7 + 0.05))              # exp
+    e = -0.3 + 0.25 * y - y * 0.125 + 0.11 * (lf / d)         # div
+    out = jnp.exp(e)                                          # exp
+    return jnp.clip(0.9 * out, 0.05, 0.95)
+
+
+def _roofline_kernel(x_ref, o_ref, *, iters):
+    y = x_ref[:, :]
+
+    def body(_, y):
+        return _chain(y)
+
+    o_ref[:, :] = jax.lax.fori_loop(0, iters, body, y)
+
+
+def _timed_run(rows, cols, iters, reps, x, interpret):
+    """Best-of-``reps`` wall time for one kernel invocation with
+    ``iters`` internal chain iterations. Synchronization is a SCALAR
+    HOST READBACK of one output element, not ``block_until_ready``:
+    through the axon tunnel the latter returns before remote execution
+    finishes (measured: wall flat in ``iters``), so only a value
+    transfer is a trustworthy fence. Best-of (not median) is the right
+    statistic for a peak — shared-chip noise only ever slows a call."""
+    kern = pl.pallas_call(
+        partial(_roofline_kernel, iters=int(iters)),
+        out_shape=jax.ShapeDtypeStruct((rows, cols), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )
+    run = jax.jit(lambda a: kern(a)[0, 0])
+    float(run(x))                        # compile outside the timings
+    best = float("inf")
+    for _ in range(max(1, int(reps))):
+        t0 = time.perf_counter()
+        float(run(x))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def transcendental_peak(rows: int = 256, cols: int = 1024,
+                        iters_lo: int = 512, iters_hi: int = 4608,
+                        reps: int = 12, interpret: bool = False):
+    """Measure the sustained special-function peak for the likelihood
+    mix on the current default device.
+
+    Times a single-program ``pallas_call`` whose only work is chained
+    op-chain applications over a resident (rows, cols) float32 block
+    (1 MiB at the defaults) at TWO iteration counts, and reports the
+    rate from the SLOPE: (wall_hi − wall_lo)/(iters_hi − iters_lo) is
+    the pure on-core per-iteration cost with the constant per-call
+    overhead (jit dispatch, axon tunnel round-trip ~30 ms, scalar
+    readback) cancelled exactly — a single-point measurement would
+    fold that overhead into the "peak" and understate it.
+
+    Returns a dict with
+
+    - ``transcendentals_per_sec``: 4 * rows * cols / slope_per_iter
+      (the measured special-function roofline for this mix)
+    - ``elements_per_sec``: rows * cols / slope_per_iter (full op
+      chains per second — multiply by any per-element op count to
+      re-express the roofline in another unit)
+    - ``overhead_s``: the cancelled per-call constant (wall_lo minus
+      its compute share) — a tunnel-health diagnostic
+    - plus the raw walls and the configuration.
+    """
+    x = jnp.asarray(
+        0.05 + 0.9 * jax.random.uniform(jax.random.PRNGKey(0),
+                                        (rows, cols)),
+        jnp.float32)
+    wall_lo = _timed_run(rows, cols, iters_lo, reps, x, interpret)
+    wall_hi = _timed_run(rows, cols, iters_hi, reps, x, interpret)
+    slope = max(wall_hi - wall_lo, 1e-12) / (int(iters_hi)
+                                             - int(iters_lo))
+    nelem = rows * cols
+    return {
+        "wall_lo_s": wall_lo,
+        "wall_hi_s": wall_hi,
+        "per_iter_s": slope,
+        "overhead_s": max(wall_lo - slope * int(iters_lo), 0.0),
+        "elements_per_sec": nelem / slope,
+        "transcendentals_per_sec": TRANSCENDENTALS_PER_ELEM * nelem
+        / slope,
+        "rows": rows, "cols": cols,
+        "iters_lo": int(iters_lo), "iters_hi": int(iters_hi),
+        "reps": int(reps),
+    }

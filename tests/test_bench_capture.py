@@ -31,40 +31,107 @@ def _run(extra, env=None, timeout=600):
     return out, lines
 
 
-def test_bench_emits_json_when_backend_init_raises():
-    env = dict(os.environ, LFTPU_BENCH_FORCE_FAIL="backend")
+def test_bench_emits_json_when_backend_init_raises(tmp_path):
+    sidecar = str(tmp_path / "detail.json")
+    env = dict(os.environ, LFTPU_BENCH_FORCE_FAIL="backend",
+               LFTPU_BENCH_DETAIL=sidecar)
     out, lines = _run(["--probe-retries", "1", "--probe-timeout", "60",
                        "--cpu-timeout", "240"], env=env)
     assert out.returncode == 0, out.stderr[-2000:]
     assert len(lines) == 1, out.stdout
+    assert len(lines[0]) < 2000, len(lines[0])
     res = json.loads(lines[0])
     for key in ("metric", "value", "unit", "vs_baseline"):
         assert key in res, res
     assert res["detail"]["capture_error"], res
     assert res["detail"]["backend"] == "none"
-    stages = [a["stage"] for a in res["detail"]["capture_attempts"]]
-    # both the probe and the forced-CPU retry must have been attempted
+    assert res["detail"]["capture_ok"] is False
+    # the attempt log lives in the sidecar: both the probe and the
+    # forced-CPU retry must have been attempted
+    stages = [a["stage"] for a in
+              json.load(open(sidecar))["detail"]["capture_attempts"]]
     assert "probe" in stages and "cpu_worker" in stages
 
 
 @pytest.mark.slow
-def test_bench_cpu_capture_end_to_end():
+def test_bench_cpu_capture_end_to_end(tmp_path):
     """A degraded (forced-CPU) capture still produces a full,
     self-describing artifact: real throughput numbers plus explicit
-    *_skipped markers for every TPU-gated section."""
+    *_skipped markers for every TPU-gated section — headline keys on
+    the compact stdout line, everything in the detail sidecar."""
+    sidecar = str(tmp_path / "detail.json")
+    env = dict(os.environ, LFTPU_BENCH_DETAIL=sidecar)
     out, lines = _run(["--cpu", "--steps", "30", "--walkers", "8",
                        "--nsrc", "60", "--ab-reps", "1",
                        "--baseline-evals", "3", "--baseline-reps", "2",
                        "--baseline-tau-steps", "0",
-                       "--cpu-timeout", "900"], timeout=960)
+                       "--cpu-timeout", "900"], env=env, timeout=960)
     assert out.returncode == 0, out.stderr[-2000:]
     assert len(lines) == 1, out.stdout
+    assert len(lines[0]) < 2000, len(lines[0])
     res = json.loads(lines[0])
     d = res["detail"]
     assert d["backend"] == "cpu"
     assert d["capture_error"] is None
+    assert d["capture_ok"] is True
     assert res["value"] > 0 and res["vs_baseline"] > 0
-    assert len(d["baseline_evals_per_sec_spread"]) == 2
     for marker in ("pallas_skipped", "stream_skipped", "nuts_skipped",
                    "evidence_skipped"):
         assert "tpu" in d[marker], (marker, d.get(marker))
+    # the sidecar carries the FULL detail (spreads etc. that the
+    # compact headline drops)
+    full = json.load(open(sidecar))
+    fd = full["detail"]
+    assert len(fd["baseline_evals_per_sec_spread"]) == 2
+    assert fd["backend"] == "cpu"
+    for k, v in d.items():
+        if k not in ("capture_ok", "detail_file"):
+            assert fd[k] == v, k
+
+
+def test_bench_stdout_line_stays_under_driver_buffer(tmp_path,
+                                                     capsys):
+    """The compact emitter keeps the stdout line under the driver's
+    2,000-char tail buffer even for a maximal result dict carrying
+    every metric family (the BENCH_r04 failure mode: the single line
+    grew to ~2.6 KB and parsed as null)."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location("bench_mod", BENCH)
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    detail = {"backend": "tpu", "device": "TPU v5 lite0",
+              "capture_error": None, "engine": "pallas"}
+    # every whitelisted key populated, plus 40 bulk keys the whitelist
+    # must NOT leak onto stdout
+    for k in bench._HEADLINE_DETAIL_KEYS:
+        detail.setdefault(k, 123456789.123456)
+    for i in range(40):
+        detail[f"bulk_metric_with_a_long_name_{i:02d}"] = [
+            1.234567890123] * 8
+    detail["capture_attempts"] = [
+        {"stage": "probe", "ok": True, "backend": "tpu",
+         "device": "TPU v5 lite0"},
+        {"stage": "worker", "ok": True, "error": None}]
+    result = {"metric": "lnprob_evals_per_sec_100walker_chain",
+              "value": 5885899.8, "unit": "evals/s",
+              "vs_baseline": 16142.7, "detail": detail}
+    sidecar = str(tmp_path / "detail.json")
+    os.environ["LFTPU_BENCH_DETAIL"] = sidecar
+    try:
+        bench.emit_result(result)
+    finally:
+        del os.environ["LFTPU_BENCH_DETAIL"]
+    line = capsys.readouterr().out.strip()
+    assert len(line) < 2000, len(line)
+    res = json.loads(line)
+    assert res["value"] == 5885899.8
+    assert res["detail"]["capture_ok"] is True
+    assert not any(k.startswith("bulk_metric") for k in res["detail"])
+    # nothing was dropped by the defensive truncation: every
+    # whitelisted key survived
+    for k in bench._HEADLINE_DETAIL_KEYS:
+        assert k in res["detail"], k
+    # the sidecar holds the complete dict
+    full = json.load(open(sidecar))
+    assert "bulk_metric_with_a_long_name_39" in full["detail"]

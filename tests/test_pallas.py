@@ -489,3 +489,34 @@ def test_model_gate_uses_pallas_for_both_comp_modes():
                      flux_e=cat["flux_e"], field_id=cat["field_id"])
     with pytest.raises(ValueError, match="exact_bounds"):
         m.lnprob_batch()
+
+
+def test_roofline_microbench_interpret():
+    """The VPU-roofline microbench (ops/pallas_roofline.py) runs in
+    interpret mode, its op chain stays inside the (0, 1) clamp (so
+    iterating it on hardware cannot drift to inf/NaN), and the slope
+    bookkeeping produces positive rates. The chain must be a genuine
+    contraction-with-structure: applying it must CHANGE a generic
+    input (a fixed-point chain would let the compiler collapse the
+    iteration loop)."""
+    from lumfuncmcmc_tpu.ops.pallas_roofline import (
+        TRANSCENDENTALS_PER_ELEM, _chain, transcendental_peak)
+
+    y = jnp.asarray(np.linspace(0.06, 0.94, 128), jnp.float32)
+    out = _chain(y)
+    assert np.all(np.asarray(out) >= 0.05)
+    assert np.all(np.asarray(out) <= 0.95)
+    assert not np.allclose(np.asarray(out), np.asarray(y))
+    # iterated a thousand times it stays tame (no drift to the clamp
+    # edges everywhere — values remain data-dependent)
+    z = y
+    for _ in range(1000):
+        z = _chain(z)
+    assert np.all(np.isfinite(np.asarray(z)))
+
+    r = transcendental_peak(rows=8, cols=128, iters_lo=2, iters_hi=6,
+                            reps=2, interpret=True)
+    assert r["transcendentals_per_sec"] > 0
+    assert r["elements_per_sec"] * TRANSCENDENTALS_PER_ELEM == \
+        r["transcendentals_per_sec"]
+    assert r["per_iter_s"] > 0
