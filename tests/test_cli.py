@@ -19,6 +19,7 @@ def workdir(tmp_path, monkeypatch):
     return tmp_path
 
 
+@pytest.mark.quick
 def test_fit_writes_all_artifacts(workdir):
     assert main(["fit"] + ARGS) == 0
     base = "t_nb50_nw16_ns60_mcf50"

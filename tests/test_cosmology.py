@@ -41,6 +41,7 @@ def test_differential_comoving_volume(oracle, table):
         np.testing.assert_allclose(ours, ref, rtol=3e-7, err_msg=f"z={z}")
 
 
+@pytest.mark.quick
 def test_z_inversion_roundtrip(table):
     z = np.linspace(0.2, 2.8, 31)
     logdl = np.asarray(table.log10_dl_cm_at(z))

@@ -1,5 +1,6 @@
 """Parallel-tempering evidence: analytic Gaussian oracle + model API."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -95,6 +96,7 @@ def test_tune_ladder_equalizes_rejection():
     assert np.all(np.diff(out_t) > 0)
 
 
+@pytest.mark.quick
 def test_barrier_stats_oracle():
     """barrier_stats: Λ is the summed pair rejection and the DEO
     round-trip rate is 1/(2+2Λ) (Syed et al. 2021 Cor. 1) — checked

@@ -39,6 +39,7 @@ def test_per_field_scalars_sum_to_global(setup):
                                float(ctx.sum_ln_om), rtol=1e-12)
 
 
+@pytest.mark.quick
 def test_reduces_to_single_epoch_when_tied(setup):
     """With all per-field params equal, lnlike_h equals the single-epoch
     lnlike plus the (constant-at-center) hyperprior terms."""

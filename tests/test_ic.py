@@ -163,6 +163,7 @@ def _ctx_for(cfg, cat):
 
 
 @pytest.mark.parametrize("family", ["fixed", "free", "exact", "z", "hier"])
+@pytest.mark.quick
 def test_reconstruction_exact(cat_ctx, family):
     cfg0, cat = cat_ctx
     kw = {}

@@ -29,6 +29,7 @@ def _write_catalog(path, line="OIII", kind="flux", n=30, seed=0):
             return fields, ids, z, lum
 
 
+@pytest.mark.quick
 def test_flux_catalog_with_completeness_cut(tmp_path):
     p = str(tmp_path / "cat.dat")
     fields, ids, z, flux = _write_catalog(p, kind="flux")

@@ -104,6 +104,7 @@ def _plausible_thetas(layout, n, seed):
 
 @pytest.mark.parametrize("fix_comp,fix_sch_al", [
     (True, False), (False, False), (True, True), (False, True)])
+@pytest.mark.quick
 def test_lnlike_parity(catalog, fix_comp, fix_sch_al):
     cfg = LFConfig(min_comp_frac=0.5, fix_comp=fix_comp,
                    fix_sch_al=fix_sch_al)
@@ -115,6 +116,7 @@ def test_lnlike_parity(catalog, fix_comp, fix_sch_al):
                                    err_msg=f"theta={th}")
 
 
+@pytest.mark.quick
 def test_collapsed_equals_direct(catalog):
     cfg = LFConfig(min_comp_frac=0.5, fix_comp=True)
     data, ctx, layout = _build(cfg, catalog)

@@ -80,6 +80,7 @@ def test_lnprior_z_strict_bounds(setup):
     assert float(lnprior_z(jnp.asarray(edge2), layout)) == 0.0
 
 
+@pytest.mark.quick
 def test_lnprob_z_vmap(setup):
     ctx, layout = setup
     lnprob = jax.jit(jax.vmap(make_lnprob_z(ctx, layout)))

@@ -5,9 +5,11 @@ records — with the level left NOTSET the logger inherits root's
 WARNING and every INFO line silently vanishes; caught live when a
 log-line assertion in test_cli found only warnings)."""
 
+import pytest
 import logging
 
 
+@pytest.mark.quick
 def test_setup_logging_sets_level_with_preexisting_handler():
     name = "lumfuncmcmc_tpu_level_probe"
     lg = logging.getLogger(name)

@@ -11,6 +11,7 @@ from lumfuncmcmc_tpu.models.mapfit import laplace_fit
 from lumfuncmcmc_tpu.utils.synth import apply_completeness_cut, make_catalog
 
 
+@pytest.mark.quick
 def test_laplace_gaussian_oracle():
     """On an exactly Gaussian lnpost the Laplace 'approximation' is
     exact: MAP = mean, cov = Sigma, and ln_int = the true log normal

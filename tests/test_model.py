@@ -25,6 +25,7 @@ def _model(cfg, cat):
                         flux_e=cat["flux_e"], field_id=cat["field_id"])
 
 
+@pytest.mark.quick
 def test_checkpoint_and_resume(small_inputs, tmp_path):
     cfg, cat = small_inputs
     cfg = cfg.replace(checkpoint_every=10)

@@ -22,6 +22,7 @@ def _python_reader(path):
         native_mod.read_table_fast = orig
 
 
+@pytest.mark.quick
 def test_parity_with_python_reader(tmp_path):
     p = str(tmp_path / "cat.dat")
     rng = np.random.default_rng(0)

@@ -83,6 +83,7 @@ def test_subtree_turn_direction_sensitivity():
         assert left == right, (y0, p0, n, eps)
 
 
+@pytest.mark.quick
 def test_unconstrained_transform_roundtrip():
     lo = jnp.asarray([-1.0, 0.0])
     hi = jnp.asarray([1.0, 5.0])
@@ -352,6 +353,7 @@ def test_fit_model_nuts_min_ess_blocks():
     assert np.all(np.isfinite(s))
 
 
+@pytest.mark.quick
 def test_nuts_checkpoint_rejects_pre_protocol_npz(tmp_path):
     """An npz written under an OLDER sampling-key protocol — identified
     by its versionless, shorter fingerprint — must be rejected loudly

@@ -32,6 +32,7 @@ def test_log_true_lum_func_is_log():
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-14)
 
 
+@pytest.mark.quick
 def test_fleming_matches_reference(rng):
     f = 10.0 ** rng.uniform(-19, -14, size=512)
     for Flim, alpha, fcmin in [(3.0e-17, 3.5, 0.1), (2.72e-17, 4.56, 0.1),
@@ -78,6 +79,7 @@ def test_fleming_root_bisection():
         np.testing.assert_allclose(val, mcf, rtol=1e-10)
 
 
+@pytest.mark.quick
 def test_upper_gamma_vs_mpmath():
     for a in [-3.7, -2.461 + 1, -1.714 + 1, -1.0, -0.5, 0.3, 1.0, 2.5]:
         for x in [1e-7, 1e-3, 0.5, 2.0, 10.0]:

@@ -54,6 +54,7 @@ def test_free_comp_parity(quadrature):
 
 
 @pytest.mark.parametrize("quadrature", ["trapz", "gauss"])
+@pytest.mark.quick
 def test_fixed_comp_parity(quadrature):
     cfg, ctx, layout = _setup(fix_comp=True, quadrature=quadrature)
     thetas = sample_init(jax.random.PRNGKey(1), layout, 24)
@@ -66,6 +67,7 @@ def test_free_comp_fixed_alpha_parity():
     _compare(ctx, layout, thetas)
 
 
+@pytest.mark.quick
 def test_prior_mask_and_padding():
     """Out-of-box thetas map to -inf, and walker counts that are not a
     multiple of the 8-walker block are padded and sliced back."""

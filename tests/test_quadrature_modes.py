@@ -29,6 +29,7 @@ def _lnlike_with(cfg, cat, thetas):
 
 
 @pytest.mark.parametrize("fix_comp", [True, False])
+@pytest.mark.quick
 def test_gauss32_matches_dense_oracle(catalog, fix_comp):
     """Split-panel GL-32 converges spectrally (the z panel is split at
     the kink where minlum(z) crosses min(lum)); GL-192 is the oracle.

@@ -6,6 +6,7 @@ statistics, and that runs are exactly reproducible under a fixed key.
 """
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -41,6 +42,7 @@ def test_recovers_gaussian_moments():
     assert np.all(gelman_rubin(np.asarray(chain)[burn:]) < 1.05)
 
 
+@pytest.mark.quick
 def test_reproducible_with_same_key():
     lnprob = _gauss_lnprob(jnp.zeros(2), jnp.eye(2))
     pos0 = jax.random.normal(jax.random.PRNGKey(1), (16, 2))

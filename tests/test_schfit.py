@@ -17,6 +17,7 @@ def _fake_binned_lf(rng, log=True):
     return L, y * noise, var, (al, phistar, lstar)
 
 
+@pytest.mark.quick
 def test_log_fit_recovers_truth(rng):
     L, y, var, (al, ps, ls) = _fake_binned_lf(rng)
     fit = fit_schechter(L, y, var, name="Ha", log=True)

@@ -32,6 +32,7 @@ def _ref_vals(ctx, layout, thetas):
 
 
 @pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2), (2, 4), (1, 8)])
+@pytest.mark.quick
 def test_sharded_matches_single_device(setup, mesh_shape):
     cfg, ctx, layout = setup
     if len(jax.devices()) < 8:

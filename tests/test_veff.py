@@ -26,6 +26,7 @@ def oracle():
     return RefCosmo()
 
 
+@pytest.mark.quick
 def test_max_z_inversion(cosmo, oracle):
     # L at fmin from z_true must invert back to z_true
     for z_true in [0.8, 1.3, 1.9]:
