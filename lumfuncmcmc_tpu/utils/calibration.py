@@ -14,10 +14,14 @@ rule), and score the posterior against the truth. Two scorers:
   posterior bias shows as a non-uniform rank histogram.
 
 The examples drive these at K=40-48 for the VALIDATION.md tables; the
-``-m slow`` gate in ``tests/test_calibration.py`` runs a small-K smoke
-of :func:`sbc_replicate` (whose truth-from-prior draws make it a valid
-coverage replicate too) so a regression that skews calibration fails
-the suite instead of waiting for a manual example run.
+``-m slow`` gates in ``tests/test_calibration.py`` run small-K smokes
+of :func:`sbc_replicate` (single-epoch; its truth-from-prior draws
+make it a valid coverage replicate too), :func:`coverage_replicate_z`
+(redshift-evolving pivots against non-evolving truths), and
+:func:`sbc_replicate_h` (hierarchical, truths rejection-drawn from the
+exact box-truncated hyperprior) so a regression that skews calibration
+in ANY model family fails the suite instead of waiting for a manual
+example run.
 """
 
 from __future__ import annotations
@@ -99,6 +103,161 @@ def sbc_replicate(k, rng, nwalkers=64, nsteps=600, M=7, box=None,
     cover = _interval_coverage(post.reshape(-1, layout.ndim),
                                list(layout.names), truth)
     return ranks, cover, len(cat["z"]), tau
+
+
+def coverage_replicate_z(k, rng, n_target=800, nwalkers=32, nsteps=800,
+                         pad=1024, size_ln=41):
+    """One frequentist-coverage replicate of the redshift-evolving
+    (3-pivot) model: the catalog is drawn from a NON-evolving Schechter
+    process, so every L* pivot's truth is the generating Lstar and
+    every phi* pivot's the (amplitude-rescaled) phistar — the quadratic
+    evolution model must recover flat evolution with nominal interval
+    coverage (the small-K gate twin of
+    ``examples/coverage_check_z.py``).
+
+    Returns ``({name: (in68, in95)}, names)``.
+    """
+    from lumfuncmcmc_tpu.models.likelihood_z import (
+        ThetaLayoutZ, make_lnprob_z)
+    from lumfuncmcmc_tpu.parallel.sharding import pad_sources
+
+    truth = dict(Lstar=rng.uniform(42.2, 42.8),
+                 phistar=rng.uniform(-3.2, -2.2),
+                 sch_al=rng.uniform(-1.8, -1.2))
+    cfg = LFConfig(min_comp_frac=0.5, fix_comp=True, quadrature="gauss",
+                   nwalkers=nwalkers, nsteps=nsteps, seed=k,
+                   size_ln=int(size_ln), **truth)
+    cat = apply_completeness_cut(
+        make_catalog(cfg, n_target=n_target, seed=2000 + k,
+                     lum_err_dex=0.0), cfg)
+    phistar_eff = cat["theta_true"]["phistar"]
+    _, ctx = build_context(cfg, z=cat["z"], flux=cat["flux"],
+                           flux_e=cat["flux_e"],
+                           field_id=cat["field_id"])
+    ctx = pad_sources(ctx, int(pad))
+    layout = ThetaLayoutZ.from_config(cfg)
+    lnprob = jax.vmap(make_lnprob_z(ctx, layout))
+    lo, hi = layout.bounds_arrays()
+    u = jax.random.uniform(jax.random.PRNGKey(2 * k),
+                           (nwalkers, layout.ndim), dtype=lo.dtype)
+    pos0 = u * (hi - lo) + lo
+    _, chain, _, _ = run_stretch(lnprob, pos0,
+                                 jax.random.PRNGKey(2 * k + 1), nsteps)
+    chain = np.asarray(chain)
+    burn, _ = burnin_steps(chain, nsteps)
+    post = chain[burn:].reshape(-1, layout.ndim)
+    truths = dict(zip(layout.names,
+                      [truth["Lstar"]] * 3 + [phistar_eff] * 3
+                      + [truth["sch_al"]]))
+    return _interval_coverage(post, list(layout.names), truths), \
+        list(layout.names)
+
+
+# hier SBC field/hyper boxes: field boxes keep catalogs physical-sized;
+# the sig boxes come from ThetaLayoutH.from_config (0.01..2 / 0.01..3)
+HIER_BOX = {"Lstar_lims": (42.3, 42.7), "phistar_lims": (-2.9, -2.3),
+            "sch_al_lims": (-1.8, -1.4)}
+
+
+def _draw_hier_truth(rng, layout, block=4096):
+    """Exact draw from the hierarchical fitting prior by rejection:
+    hypers uniform in their boxes, field params ~ N(mu, sig), accept
+    only if every field param lands inside its box. The accepted joint
+    density is exactly the box-masked ``uniform(hyper) x prod_f
+    N(field | hyper)`` measure ``make_lnprob_h`` samples — an SBC
+    truth from any OTHER density voids the rank-uniformity theorem."""
+    lo = np.asarray(layout.lo, np.float64)
+    hi = np.asarray(layout.hi, np.float64)
+    F = layout.nfields
+    kf = 4 + (0 if layout.fix_sch_al else 1)
+    for _ in range(64):
+        mu_l = rng.uniform(lo[0], hi[0], block)
+        sig_l = rng.uniform(lo[1], hi[1], block)
+        mu_p = rng.uniform(lo[2], hi[2], block)
+        sig_p = rng.uniform(lo[3], hi[3], block)
+        ls = rng.normal(mu_l[:, None], sig_l[:, None], (block, F))
+        ps = rng.normal(mu_p[:, None], sig_p[:, None], (block, F))
+        ok = (np.all((ls > lo[kf]) & (ls < hi[kf]), axis=1)
+              & np.all((ps > lo[kf + F]) & (ps < hi[kf + F]), axis=1))
+        idx = np.flatnonzero(ok)
+        if idx.size:
+            i = idx[0]
+            th = [mu_l[i], sig_l[i], mu_p[i], sig_p[i]]
+            if not layout.fix_sch_al:
+                th.append(rng.uniform(lo[4], hi[4]))
+            return np.asarray(th + list(ls[i]) + list(ps[i]))
+    raise RuntimeError("hier prior rejection sampler starved")
+
+
+def sbc_replicate_h(k, rng, nfields=2, nwalkers=48, nsteps=800, M=7,
+                    size_ln=41):
+    """One hierarchical-family SBC replicate: truth ~ the exact hier
+    prior (rejection draw), one physical-normalization catalog PER
+    FIELD from that field's own (Lstar_f, phistar_f), joint fit with
+    ``make_lnprob_h``, rank of the truth among ``M`` thinned posterior
+    draws plus interval coverage (valid frequentist check because the
+    truth came from the fitting prior).
+
+    Returns ``(ranks (ndim,), cover {name: (in68, in95)}, nsrc, tau)``.
+    """
+    from lumfuncmcmc_tpu.models.hierarchical import (
+        ThetaLayoutH, make_lnprob_h)
+
+    from lumfuncmcmc_tpu.config import _DEFAULT_FLIM, _DEFAULT_OMEGA_0
+    flim = _DEFAULT_FLIM[:nfields]
+    omega = _DEFAULT_OMEGA_0[:nfields]
+    box = dict(HIER_BOX)
+    cfg = LFConfig(min_comp_frac=0.5, fix_comp=True, quadrature="gauss",
+                   nwalkers=nwalkers, nsteps=nsteps, seed=k,
+                   Flim=flim, Omega_0=omega, size_ln=int(size_ln),
+                   **box)
+    layout = ThetaLayoutH.from_config(cfg)
+    theta_true = _draw_hier_truth(rng, layout)
+    kf = 4 + (0 if layout.fix_sch_al else 1)
+    sch_al = layout.sch_al0 if layout.fix_sch_al else theta_true[4]
+
+    # per-field catalogs from each field's OWN (Lstar_f, phistar_f) —
+    # physical normalization (n_target=None): a rescale would shift the
+    # phistar_f the posterior estimates off the drawn truth
+    zs, fluxes, flux_es, fids = [], [], [], []
+    for f in range(nfields):
+        cfg_f = LFConfig(min_comp_frac=0.5, fix_comp=True,
+                         quadrature="gauss", seed=k,
+                         Flim=(flim[f],), Omega_0=(omega[f],),
+                         Lstar=float(theta_true[kf + f]),
+                         phistar=float(theta_true[kf + nfields + f]),
+                         sch_al=float(sch_al))
+        cat_f = apply_completeness_cut(
+            make_catalog(cfg_f, n_target=None, seed=1000 + 7 * k + f,
+                         lum_err_dex=0.0), cfg_f)
+        zs.append(cat_f["z"]); fluxes.append(cat_f["flux"])
+        flux_es.append(cat_f["flux_e"])
+        fids.append(np.full(len(cat_f["z"]), f, dtype=np.int32))
+    _, ctx = build_context(cfg, z=np.concatenate(zs),
+                           flux=np.concatenate(fluxes),
+                           flux_e=np.concatenate(flux_es),
+                           field_id=np.concatenate(fids))
+    lnprob = jax.vmap(make_lnprob_h(ctx, layout))
+    lo, hi = layout.bounds_arrays()
+    u = jax.random.uniform(jax.random.PRNGKey(2000 + k),
+                           (nwalkers, layout.ndim), dtype=lo.dtype)
+    pos0 = u * (hi - lo) + lo
+    _, chain, _, _ = run_stretch(lnprob, pos0,
+                                 jax.random.PRNGKey(3000 + k), nsteps)
+    chain = np.asarray(chain)
+    burn, tau = burnin_steps(chain, nsteps)
+    post = chain[burn:]
+
+    gap = max(min(int(2 * tau), post.shape[0] // M), 1)
+    steps = gap * np.arange(M)
+    assert steps[-1] < post.shape[0]
+    walkers = rng.choice(chain.shape[1], size=M, replace=False)
+    draws = post[steps, walkers]                          # (M, ndim)
+    ranks = (draws < theta_true[None, :]).sum(axis=0)     # (ndim,)
+    cover = _interval_coverage(post.reshape(-1, layout.ndim),
+                               list(layout.names),
+                               dict(zip(layout.names, theta_true)))
+    return ranks, cover, int(sum(len(z) for z in zs)), tau
 
 
 def coverage_replicate(k, rng, free=False, pallas=False, move="stretch",
