@@ -657,7 +657,7 @@ def worker_main(args):
         nuts_detail = {"nuts_skipped": f"no tpu backend ({backend})"}
     else:
         from lumfuncmcmc_tpu.samplers.nuts import (
-            make_unconstrained, run_nuts)
+            make_unconstrained, resample_bad_starts, run_nuts)
         lnp_scalar_g = make_lnprob(ctx_g, layout)
         lo_a = jnp.asarray(layout.lo)
         hi_a = jnp.asarray(layout.hi)
@@ -668,6 +668,13 @@ def worker_main(args):
                                      args.nuts_chains))
         y0 = jax.vmap(to_y)(jnp.asarray(
             0.8 * mid_n[None, :] + 0.2 * thN))
+        # stuck-chain guard (same as fit_model_nuts): robust low
+        # outliers among the starts would diverge on every transition
+        # and drag the pooled dual-averaging eps down for all chains
+        y0, good0 = jax.jit(
+            lambda y, k: resample_bad_starts(lnp_y, y, k)
+        )(y0, jax.random.PRNGKey(11))
+        n_bad0 = int(np.sum(~np.asarray(good0)))
         NW, NS = 100, 150
         t0 = time.time()
         compiled = run_nuts.lower(lnp_y, y0, jax.random.PRNGKey(10),
@@ -690,6 +697,7 @@ def worker_main(args):
             "nuts_accept_stat": round(
                 float(np.mean(np.asarray(al_n))), 3),
             "nuts_div_frac": round(float(dv_n), 5),
+            "nuts_starts_resampled": n_bad0,
         }
         log(f"NUTS ({args.nuts_chains} chains, {NW}+{NS}, gauss-32): "
             f"{wall_n:.2f}s minESS={ess_n:.0f} "

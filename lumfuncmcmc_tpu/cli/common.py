@@ -157,6 +157,12 @@ def _add_common_flags(p):
                         "adaptation across devices (one shared eps "
                         "from the global chain population) instead of "
                         "independent per-device replicas")
+    p.add_argument("--nuts-target-accept", dest="nuts_target_accept",
+                   type=float, default=None, metavar="A",
+                   help="--sampler nuts: dual-averaging target "
+                        "acceptance statistic (default 0.8; raise "
+                        "toward 0.9-0.99 if divergent transitions "
+                        "are reported)")
     p.add_argument("--min-ess", dest="min_ess", type=float, default=None,
                    metavar="N",
                    help="run until every parameter reaches N effective "

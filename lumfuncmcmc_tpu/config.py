@@ -146,6 +146,13 @@ class LFConfig:
                                            #   uniform box draws —
                                            #   slashes burn-in on
                                            #   well-behaved posteriors
+    nuts_target_accept: float = 0.8        # NUTS dual-averaging target
+                                           #   acceptance (Stan default;
+                                           #   measured throughput
+                                           #   winner once bad starts
+                                           #   are resampled — raise if
+                                           #   divergences are reported;
+                                           #   see PERFORMANCE.md)
     thin: int = 1                          # record every thin-th step
                                            #   (memory guard for very long
                                            #   chains; reference stores all)

@@ -254,9 +254,10 @@ class _NutsDriverMixin:
         if ck and not ck.endswith(".npz"):
             ck += ".npz"
         fp_list = [y0.shape[0], int(num_warmup), int(self.cfg.nsteps),
-                   y0.shape[1], self.cfg.seed, RNG_PROTOCOL]
+                   y0.shape[1], self.cfg.seed, RNG_PROTOCOL,
+                   float(self.cfg.nuts_target_accept)]
         desc = "(nchains, num_warmup, block_steps, ndim, seed, " \
-               "rng_protocol"
+               "rng_protocol, target_accept"
         if route == "stream_mesh":
             fp_list.append(self.mesh.shape[AXIS_SOURCES])
             desc += ", mesh_sources"
@@ -282,12 +283,15 @@ class _NutsDriverMixin:
         from lumfuncmcmc_tpu.parallel import sharding as sh
         cfg = self.cfg
 
+        ta = float(cfg.nuts_target_accept)
+
         if route == "native_mesh":
             def first(return_state):
                 return sh.run_nuts_sharded(
                     lnp_y, y0, k_run, self.mesh,
                     num_warmup=int(num_warmup),
                     num_samples=int(cfg.nsteps), pooled=bool(pooled),
+                    target_accept=ta,
                     return_state=return_state)
 
             def cont(k, st):
@@ -301,6 +305,7 @@ class _NutsDriverMixin:
                     num_warmup=int(num_warmup),
                     num_samples=int(cfg.nsteps), pooled=bool(pooled),
                     interpret=cfg.pallas_interpret,
+                    target_accept=ta,
                     return_state=return_state)
                 assert out is not None  # _nuts_stream_mesh_route gate
                 return out
@@ -418,13 +423,15 @@ class _NutsDriverMixin:
         nblocks = -(-nsteps // every)
         sizes = [every] * (nblocks - 1) + [nsteps
                                            - every * (nblocks - 1)]
+        ta = float(cfg.nuts_target_accept)
         fp_list = [nchains, int(num_warmup), nsteps, every, ndim,
-                   cfg.seed, RNG_PROTOCOL]
+                   cfg.seed, RNG_PROTOCOL, ta]
         if route == "jit":
             def first(n):
                 return run_nuts(lnp_y, y0, k_run,
                                 num_warmup=int(num_warmup),
-                                num_samples=n, return_state=True)
+                                num_samples=n, target_accept=ta,
+                                return_state=True)
 
             def cont(st, a, b):
                 ids = jnp.arange(nchains, dtype=jnp.uint32)
@@ -442,7 +449,8 @@ class _NutsDriverMixin:
                     return sh.run_nuts_sharded(
                         lnp_y, y0, k_run, self.mesh,
                         num_warmup=int(num_warmup), num_samples=n,
-                        pooled=bool(pooled), return_state=True)
+                        pooled=bool(pooled), target_accept=ta,
+                        return_state=True)
 
                 def cont(st, a, b):
                     return sh.continue_nuts_keys_sharded(
@@ -452,7 +460,7 @@ class _NutsDriverMixin:
                     return sh.run_nuts_stream_sharded(
                         self.ctx, self.layout, self.mesh, y0, k_run,
                         num_warmup=int(num_warmup), num_samples=n,
-                        pooled=bool(pooled),
+                        pooled=bool(pooled), target_accept=ta,
                         interpret=cfg.pallas_interpret,
                         return_state=True)
 
@@ -481,7 +489,8 @@ class _NutsDriverMixin:
                     "nuts-checkpoint fingerprint mismatch: the "
                     "checkpoint was written under different (nchains, "
                     "num_warmup, nsteps, checkpoint_every, ndim, seed, "
-                    "rng_protocol[, mesh_sources]) — an old-length "
+                    "rng_protocol, target_accept[, mesh_sources]) — "
+                    "an old-length "
                     "fingerprint means a pre-protocol-v%d npz, whose "
                     "key streams differ; delete %s or restore the "
                     "original settings" % (RNG_PROTOCOL,
@@ -686,6 +695,23 @@ class _NutsDriverMixin:
             mid = (lo + hi) / 2.0
             start = 0.8 * mid[None, :] + 0.2 * start
         y0 = jax.vmap(to_y)(start)
+        # replace catastrophically-bad starts (robust low outliers of
+        # the start-lnp distribution): a chain started there diverges
+        # on EVERY transition — it never moves AND its alpha ~ 0 drags
+        # the pooled dual-averaging eps down for all chains (measured:
+        # 9/256 stuck starts pinned eps 4x small = 3.5% recorded
+        # divergences on the flagship bench config; with the guard,
+        # div_frac 0 and ESS/s ~2.3x).
+        from lumfuncmcmc_tpu.samplers.nuts import resample_bad_starts
+        y0, good = jax.jit(
+            lambda y, k: resample_bad_starts(lnp_y, y, k)
+        )(y0, jax.random.fold_in(k_init, 0x73746172))
+        n_bad = int(np.sum(~np.asarray(good)))
+        if n_bad:
+            self.log.info(
+                "Resampled %d/%d NUTS starts (robust low outliers of "
+                "the start-lnp distribution — stuck-chain guard)"
+                % (n_bad, y0.shape[0]))
         if stream_mesh:
             from lumfuncmcmc_tpu.parallel.mesh import (
                 AXIS_SOURCES, AXIS_WALKERS)
@@ -738,11 +764,13 @@ class _NutsDriverMixin:
             from lumfuncmcmc_tpu.samplers.nuts import RNG_PROTOCOL
             fp = np.asarray([y0.shape[0], int(num_warmup),
                              int(cfg.nsteps), y0.shape[1], cfg.seed,
-                             RNG_PROTOCOL], dtype=np.float64)
+                             RNG_PROTOCOL,
+                             float(cfg.nuts_target_accept)],
+                            dtype=np.float64)
             resumed = self._nuts_ckpt_load(
                 ck, fp, resume,
                 "(nchains, num_warmup, block_steps, ndim, seed, "
-                "rng_protocol)")
+                "rng_protocol, target_accept)")
 
             def _save(path, s, lp, al, df, st, nb):
                 self._nuts_ckpt_save(path, fp, s, lp, al, df, st, nb)
@@ -756,6 +784,7 @@ class _NutsDriverMixin:
                 compiled = run_nuts.lower(
                     lnp_y, y0, k_run, num_warmup=int(num_warmup),
                     num_samples=int(cfg.nsteps),
+                    target_accept=float(cfg.nuts_target_accept),
                     return_state=True).compile()
                 self.log.info("NUTS jit compile: %.1f s"
                               % (time.time() - t0))
@@ -826,8 +855,8 @@ class _NutsDriverMixin:
             self.log.warning(
                 "%.1f%% of NUTS transitions diverged — the posterior "
                 "may be biased near high-curvature regions; consider "
-                "more warmup or a smaller target_accept step"
-                % (100.0 * float(div_frac)))
+                "raising --nuts-target-accept (smaller adapted steps) "
+                "or more warmup" % (100.0 * float(div_frac)))
         ess = effective_sample_size(chain)
         rhat = gelman_rubin(chain)
         self._log_convergence(chain)

@@ -39,15 +39,18 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
-# Version of the sampling-key derivation protocol (how per-transition
-# keys are derived from the run key): bumped whenever run_nuts's
-# internal key split or sampling_keys's per-chain fold/split changes.
-# Checkpoint fingerprints embed it so an npz written under an older
-# protocol is rejected LOUDLY instead of silently spliced with new-key
-# continuations, which would void the documented "checkpointed ==
-# uninterrupted bit-for-bit" guarantee (ADVICE r4). v2 = per-global-
-# chain fold_in streams (the current counter-stable protocol).
-RNG_PROTOCOL = 2
+# Version of the run-affecting RNG derivation protocol: how
+# per-transition keys are derived from the run key, AND any driver-side
+# seed-derived start transformation. Bumped whenever run_nuts's
+# internal key split, sampling_keys's per-chain fold/split, or the
+# driver's start derivation changes. Checkpoint fingerprints embed it
+# so an npz written under an older protocol is rejected LOUDLY instead
+# of silently spliced with new-key continuations, which would void the
+# documented "checkpointed == uninterrupted bit-for-bit" guarantee
+# (ADVICE r4). v2 = per-global-chain fold_in streams (the counter-
+# stable protocol); v3 = the stuck-start resample guard
+# (resample_bad_starts in fit_model_nuts changes y0 for the same seed).
+RNG_PROTOCOL = 3
 
 
 def make_unconstrained(lnpost_theta: Callable, lo, hi):
@@ -74,6 +77,57 @@ def make_unconstrained(lnpost_theta: Callable, lo, hi):
         return lnpost_theta(theta) + log_jac
 
     return lnpost_y, to_theta, to_y
+
+
+def resample_bad_starts(lnpost_y, y0, key, gap: float = 1000.0,
+                        k_mad: float = 10.0, jitter: float = 0.05):
+    """Replace catastrophically-bad chain starts before warmup.
+
+    A start far enough below the typical set cannot leapfrog out:
+    every transition from it trips the sampler's divergence guard
+    (the ``gap``-scale energy-error threshold in :func:`_nuts_step`),
+    so the chain never moves, and its alpha ~ 0 contaminates the
+    POOLED dual-averaging acceptance — one stuck chain shrinks the
+    step size for every chain. Measured on the flagship bench config
+    (256 chains, free-comp gauss-32): 9 stuck starts at lnp ~ -9.3e5
+    (vs -1.75e4 typical) pinned eps 4x too small and put 3.5%
+    divergences in the recorded chains; resampling them removes all
+    of it (div_frac 0, ESS/s 2,148 -> ~5,000).
+
+    Bad = non-finite, or a ROBUST low outlier of the start-lnp
+    distribution: below ``median - k_mad * MAD`` AND more than
+    ``gap`` below the best. The MAD term self-calibrates to the
+    model's lnp scale (a Poisson likelihood legitimately spans ~1e6
+    over the prior box — a fixed absolute gap would flag 242/256
+    viable starts and destroy the overdispersion R-hat needs); the
+    ``gap`` conjunct keeps tight distributions (MAD ~ 0) untouched.
+
+    Bad rows are replaced by uniformly-chosen good rows plus a small
+    Gaussian jitter in the unconstrained coordinates (distinct
+    starts, same basin). If no start is good the input is returned
+    unchanged. jit-safe and deterministic in ``key``; returns
+    ``(y0', good_mask)``.
+    """
+    # lax.map, not vmap: one chain at a time, so an over-VMEM catalog
+    # (the stream route's scalar lnpost) never materializes a
+    # (C, nsources) intermediate for this one-off screening pass
+    lnp0 = jax.lax.map(lnpost_y, y0)
+    med = jnp.nanmedian(jnp.where(jnp.isfinite(lnp0), lnp0, jnp.nan))
+    mad = jnp.nanmedian(jnp.where(jnp.isfinite(lnp0),
+                                  jnp.abs(lnp0 - med), jnp.nan))
+    outlier = (lnp0 < med - k_mad * mad) & (lnp0 < jnp.max(
+        jnp.where(jnp.isfinite(lnp0), lnp0, -jnp.inf)) - gap)
+    good = jnp.isfinite(lnp0) & ~outlier
+    k_pick, k_jit = jax.random.split(key)
+    nchains = y0.shape[0]
+    p = good.astype(y0.dtype)
+    # categorical over good rows only (log 0 = -inf excludes bad rows)
+    idx = jax.random.categorical(k_pick, jnp.log(p), shape=(nchains,))
+    donors = (y0[idx]
+              + jitter * jax.random.normal(k_jit, y0.shape, y0.dtype))
+    any_good = jnp.any(good)
+    keep = good[:, None] | ~any_good
+    return jnp.where(keep, y0, donors), good
 
 
 class _Traj(NamedTuple):
@@ -275,6 +329,16 @@ def run_nuts(lnpost_y: Callable, y0, key, num_warmup: int,
     Returns (samples (num_samples, C, D), lnp (num_samples, C),
     accept_stat (num_samples, C), eps, div_frac — the fraction of
     sampling-phase transitions that hit a divergence).
+
+    ``target_accept``: dual-averaging target for the pooled acceptance
+    statistic (0.8, Stan's default). Divergences on the flagship
+    posterior were traced to STUCK STARTS, not step size — apply
+    :func:`resample_bad_starts` to ``y0`` first (the drivers do), after
+    which the measured divergence fraction is 0 at every swept target
+    and 0.8 is the throughput winner (3-seed sweep, 256 chains:
+    5.2-5.8k ESS/s at 0.8 vs 3.7-3.9k at 0.95; 0.9 is seed-fragile on
+    this posterior — eps 0.02-0.12). Raise it only when the driver
+    reports genuine-geometry divergences.
 
     ``adapt_mass``: two-stage warmup — stage A adapts the step size with
     identity mass, a diagonal mass matrix is estimated from the stage-A

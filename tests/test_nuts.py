@@ -93,6 +93,45 @@ def test_unconstrained_transform_roundtrip():
                                np.asarray(th), rtol=1e-6)
 
 
+@pytest.mark.quick
+def test_resample_bad_starts():
+    """The stuck-chain guard: starts > gap below the best are replaced
+    by jittered copies of good starts (measured failure: 9/256 starts
+    at lnp ~ -9e5 pinned the pooled dual-averaging eps 4x small and
+    put 3.5% divergences in the bench capture); good starts pass
+    through untouched, and an all-bad batch returns unchanged."""
+    from lumfuncmcmc_tpu.samplers.nuts import resample_bad_starts
+
+    def lnp(y):
+        # a deep well at y0 > 5: catastrophically bad starts
+        return jnp.where(y[0] > 5.0, -1.0e6, -0.5 * jnp.sum(y * y))
+
+    y0 = jnp.asarray([[0.0, 0.0], [1.0, -1.0], [9.0, 2.0],
+                      [0.5, 0.5], [7.0, 0.0]])
+    y1, good = resample_bad_starts(lnp, y0, jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(np.asarray(good),
+                                  [True, True, False, True, False])
+    # good rows untouched; bad rows moved into the good basin
+    np.testing.assert_array_equal(np.asarray(y1[good]),
+                                  np.asarray(y0[good]))
+    lnp1 = np.asarray(jax.vmap(lnp)(y1))
+    assert (lnp1 > lnp1.max() - 1000.0).all()
+    # replacements are jittered copies, not identical clones
+    assert not np.array_equal(np.asarray(y1[2]), np.asarray(y1[4]))
+
+    # non-finite starts count as bad
+    y0n = y0.at[0, 0].set(jnp.nan)
+    _, good_n = resample_bad_starts(lnp, y0n, jax.random.PRNGKey(0))
+    assert not bool(good_n[0])
+
+    # all-bad (the gap criterion is relative to the max, so all-bad
+    # means all non-finite): returned unchanged, nothing to copy from
+    y_bad = jnp.asarray([[jnp.nan, 0.0], [jnp.nan, 1.0]])
+    y2, good2 = resample_bad_starts(lnp, y_bad, jax.random.PRNGKey(0))
+    assert not bool(good2.any())
+    np.testing.assert_array_equal(np.asarray(y2), np.asarray(y_bad))
+
+
 def test_nuts_recovers_truncated_gaussian_moments():
     # wide box, so effectively an unconstrained Gaussian
     mu = jnp.asarray([0.5, -1.0])
