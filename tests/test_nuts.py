@@ -432,3 +432,46 @@ def test_nuts_checkpoint_rejects_pre_protocol_npz(tmp_path):
                      **kw).fit_model_nuts(
             num_warmup=40, nchains=4, min_ess=1e6, max_blocks=2,
             checkpoint_path=ck2, resume=True)
+
+
+def test_nuts_checkpoint_rejects_changed_target_accept(tmp_path):
+    """target_accept is chain-affecting (it steers the adapted step
+    size, and the divergence warning tells users to change it) — a
+    checkpoint written under a different value must be rejected
+    loudly, not resumed into a spliced chain. Cheap: the fingerprint
+    comparison fires before any sampling compiles."""
+    from lumfuncmcmc_tpu.config import LFConfig
+    from lumfuncmcmc_tpu.models.model import LumFuncModel
+    from lumfuncmcmc_tpu.samplers.nuts import RNG_PROTOCOL
+    from lumfuncmcmc_tpu.utils.synth import (
+        make_catalog, apply_completeness_cut)
+
+    cfg = LFConfig(min_comp_frac=0.5, fix_comp=True, size_ln=21,
+                   nwalkers=8, nsteps=12, checkpoint_every=5)
+    cat = apply_completeness_cut(make_catalog(cfg, n_target=200,
+                                              seed=7), cfg)
+    kw = dict(z=cat["z"], flux=cat["flux"], flux_e=cat["flux_e"],
+              field_id=cat["field_id"])
+    model = LumFuncModel(cfg, **kw)      # default target_accept 0.8
+    ndim = len(model.layout.names)
+
+    # same run knobs, but the npz was written under --nuts-target-
+    # accept 0.9 (fixed-length route fingerprint layout)
+    ck = str(tmp_path / "ta_fixed.npz")
+    np.savez(ck, nblocks=1, fingerprint=np.asarray(
+        [4, 40, 12, 5, ndim, cfg.seed, RNG_PROTOCOL, 0.9],
+        dtype=np.float64))
+    with pytest.raises(ValueError, match="target_accept"):
+        model.fit_model_nuts(num_warmup=40, nchains=4,
+                             checkpoint_path=ck, resume=True)
+
+    # min-ess block route
+    ck2 = str(tmp_path / "ta_miness.npz")
+    np.savez(ck2, nblocks=1, fingerprint=np.asarray(
+        [4, 40, 12, ndim, cfg.seed, RNG_PROTOCOL, 0.9],
+        dtype=np.float64))
+    with pytest.raises(ValueError, match="target_accept"):
+        LumFuncModel(cfg.replace(checkpoint_every=0),
+                     **kw).fit_model_nuts(
+            num_warmup=40, nchains=4, min_ess=1e6, max_blocks=2,
+            checkpoint_path=ck2, resume=True)

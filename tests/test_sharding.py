@@ -674,7 +674,7 @@ def test_nuts_min_ess_checkpoint_resume_native_mesh(tmp_path,
                                   max_blocks=3, checkpoint_path=ck)
     saved = np.load(ck)
     assert int(saved["nblocks"]) == 3
-    assert saved["fingerprint"].shape == (6,)   # NO mesh dims (elastic)
+    assert saved["fingerprint"].shape == (7,)   # NO mesh dims (elastic)
     assert saved["eps"].shape == (8,)           # per-CHAIN state
 
     ck2 = str(tmp_path / "mesh_me2.npz")
@@ -876,7 +876,7 @@ def test_fit_model_nuts_fixed_ckpt_native_mesh(tmp_path, monkeypatch):
     np.testing.assert_array_equal(ckpt, plain)
     saved = np.load(ck)
     assert int(saved["nblocks"]) == 3          # 4 + 4 + 1
-    assert saved["fingerprint"].shape == (7,)  # NO mesh dims (elastic)
+    assert saved["fingerprint"].shape == (8,)  # NO mesh dims (elastic)
 
     # crash after block 2, resume without re-running the first block
     ck2 = str(tmp_path / "fx2.npz")
@@ -951,10 +951,10 @@ def test_fit_model_nuts_fixed_ckpt_stream_mesh(tmp_path, monkeypatch,
     np.testing.assert_array_equal(ckpt, plain)
     saved = np.load(ck)
     assert int(saved["nblocks"]) == 2          # 3 + 2
-    # nchains, warmup, nsteps, every, ndim, seed, rng_protocol +
-    # the PINNED source axis (psum order); the walker axis is NOT
-    # pinned (elastic)
-    assert saved["fingerprint"].shape == (8,)
+    # nchains, warmup, nsteps, every, ndim, seed, rng_protocol,
+    # target_accept + the PINNED source axis (psum order); the walker
+    # axis is NOT pinned (elastic)
+    assert saved["fingerprint"].shape == (9,)
 
     # truncate by poisoning the continuation of a fresh run after
     # block 1, then resume with the warmup runner poisoned instead
