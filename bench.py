@@ -61,7 +61,8 @@ _HEADLINE_DETAIL_KEYS = (
     "pallas_gauss32_vs_xla", "pallas_trapz101_vs_xla",
     "pallas_mesh11_vs_meshless",
     "stream_fwd_pallas_vs_xla", "stream_vg_pallas_vs_xla",
-    "nuts_ess_per_sec", "nuts_div_frac", "nuts_accept_stat",
+    "nuts_ess_per_sec", "nuts_ess_per_sec_steady", "nuts_div_frac",
+    "nuts_accept_stat",
     "evidence_lnz_ss", "evidence_lnz_ss_err",
     "vpu_occupancy_vs_measured_peak", "vpu_measured_peak_per_sec",
     "vpu_transcendentals_per_sec",
@@ -678,16 +679,30 @@ def worker_main(args):
         NW, NS = 100, 150
         t0 = time.time()
         compiled = run_nuts.lower(lnp_y, y0, jax.random.PRNGKey(10),
-                                  num_warmup=NW,
-                                  num_samples=NS).compile()
+                                  num_warmup=NW, num_samples=NS,
+                                  return_state=True).compile()
         log(f"NUTS compile: {time.time() - t0:.1f}s")
         out_n = compiled(y0, jax.random.PRNGKey(10))
         jax.block_until_ready(out_n[0])
         t0 = time.time()
-        s_n, _, al_n, eps_n, dv_n = compiled(y0, jax.random.PRNGKey(10))
+        s_n, _, al_n, eps_n, dv_n, st_n = compiled(
+            y0, jax.random.PRNGKey(10))
         jax.block_until_ready(s_n)
         wall_n = time.time() - t0
         ess_n = float(effective_sample_size(np.asarray(s_n)).min())
+        # steady-state rate: warmup amortizes away on long runs, so
+        # also time one frozen-adaptation continuation block (the
+        # min-ess engine) — sampling-phase-only wall for NS samples
+        from lumfuncmcmc_tpu.samplers.nuts import continue_nuts
+        cont_n = jax.jit(lambda st, k: continue_nuts(
+            lnp_y, st, k, num_samples=NS))
+        out_c = cont_n(st_n, jax.random.PRNGKey(12))
+        jax.block_until_ready(out_c[0])
+        t0 = time.time()
+        s_c, _, _, _, _ = cont_n(st_n, jax.random.PRNGKey(12))
+        jax.block_until_ready(s_c)
+        wall_c = time.time() - t0
+        ess_c = float(effective_sample_size(np.asarray(s_c)).min())
         nuts_detail = {
             "nuts_chains": args.nuts_chains,
             "nuts_samples": NS,
@@ -698,7 +713,12 @@ def worker_main(args):
                 float(np.mean(np.asarray(al_n))), 3),
             "nuts_div_frac": round(float(dv_n), 5),
             "nuts_starts_resampled": n_bad0,
+            "nuts_eps": round(float(np.median(np.asarray(eps_n))), 5),
+            "nuts_sampling_wall_s": round(wall_c, 3),
+            "nuts_ess_per_sec_steady": round(ess_c / wall_c, 1),
         }
+        log(f"NUTS steady-state (frozen adaptation, {NS} samples): "
+            f"{wall_c:.2f}s minESS={ess_c:.0f} ({ess_c / wall_c:,.0f}/s)")
         log(f"NUTS ({args.nuts_chains} chains, {NW}+{NS}, gauss-32): "
             f"{wall_n:.2f}s minESS={ess_n:.0f} "
             f"({ess_n / wall_n:,.0f}/s) acc="
