@@ -87,6 +87,17 @@ def emit_result(result):
     a defensive drop-from-the-tail loop should the line ever approach
     ``STDOUT_BUDGET`` anyway (pinned by tests/test_bench_capture.py).
     """
+    det = dict(result.get("detail") or {})
+    attempts = det.get("capture_attempts")
+    if attempts:
+        # true when a measurement worker (primary or CPU fallback)
+        # actually delivered the payload — derived BEFORE the sidecar
+        # dump so the "full result" file carries it too
+        det["capture_ok"] = any(
+            a.get("ok") for a in attempts
+            if a["stage"] in ("worker", "cpu_worker"))
+        result = dict(result)
+        result["detail"] = det
     sidecar = detail_sidecar_path()
     try:
         with open(sidecar, "w") as fh:
@@ -95,14 +106,6 @@ def emit_result(result):
     except OSError as e:
         log(f"could not write detail sidecar {sidecar}: {e}")
         sidecar_note = None
-    det = dict(result.get("detail") or {})
-    attempts = det.get("capture_attempts")
-    if attempts:
-        # true when a measurement worker (primary or CPU fallback)
-        # actually delivered the payload
-        det["capture_ok"] = any(
-            a.get("ok") for a in attempts
-            if a["stage"] in ("worker", "cpu_worker"))
     keys = list(_HEADLINE_DETAIL_KEYS) + sorted(
         k for k in det if k.endswith("_skipped"))
     compact = {k: result.get(k) for k in
@@ -110,8 +113,17 @@ def emit_result(result):
     compact["detail"] = {k: det[k] for k in keys if k in det}
     compact["detail"]["detail_file"] = sidecar_note
     line = json.dumps(compact)
-    while len(line) > STDOUT_BUDGET and compact["detail"]:
-        compact["detail"].popitem()
+    # under budget pressure drop real metrics from the tail; never the
+    # sidecar pointer or the *_skipped self-description markers (the
+    # pointer is how a reader finds what was dropped)
+    protected = {"detail_file"} | {
+        k for k in compact["detail"] if k.endswith("_skipped")}
+    while len(line) > STDOUT_BUDGET:
+        droppable = [k for k in compact["detail"]
+                     if k not in protected]
+        if not droppable:
+            break
+        del compact["detail"][droppable[-1]]
         line = json.dumps(compact)
     print(line, flush=True)
 

@@ -28,6 +28,22 @@ def _evidence_rungs(s):
     return v
 
 
+def _accept_frac(s):
+    """argparse type for --nuts-target-accept: fail at parse time.
+    Out-of-(0,1) targets don't error downstream — they silently wreck
+    dual averaging (ta >= 1 drives log_eps to -inf, every transition
+    runs to max_doublings and the run crawls; ta <= 0 blows eps up
+    into ~100% divergences) and the bad value would be embedded in
+    checkpoint fingerprints, poisoning resumes."""
+    v = float(s)
+    if not 0.0 < v < 1.0:
+        raise argparse.ArgumentTypeError(
+            "--nuts-target-accept must be strictly between 0 and 1 "
+            "(an acceptance-statistic target; Stan's default is 0.8), "
+            "got %s" % s)
+    return v
+
+
 def _add_common_flags(p):
     p.add_argument("-f", "--filename", type=str, default=None,
                    help="File to be read for galaxy data")
@@ -158,7 +174,7 @@ def _add_common_flags(p):
                         "from the global chain population) instead of "
                         "independent per-device replicas")
     p.add_argument("--nuts-target-accept", dest="nuts_target_accept",
-                   type=float, default=None, metavar="A",
+                   type=_accept_frac, default=None, metavar="A",
                    help="--sampler nuts: dual-averaging target "
                         "acceptance statistic (default 0.8; raise "
                         "toward 0.9-0.99 if divergent transitions "

@@ -607,6 +607,16 @@ class _NutsDriverMixin:
         from lumfuncmcmc_tpu.samplers.nuts import (
             make_unconstrained, run_nuts)
         cfg = self.cfg
+        if not 0.0 < float(cfg.nuts_target_accept) < 1.0:
+            # the CLI validates at parse time (_accept_frac); this
+            # guards config-file/library callers — out-of-range
+            # targets don't error downstream, they silently wreck
+            # dual averaging (and would be fingerprinted into
+            # checkpoints)
+            raise ValueError(
+                "nuts_target_accept must be strictly between 0 and 1 "
+                "(acceptance-statistic target, Stan default 0.8), got "
+                f"{cfg.nuts_target_accept}")
         if key is None:
             key = jax.random.PRNGKey(cfg.seed)
         k_init, k_run = jax.random.split(key)
@@ -701,17 +711,33 @@ class _NutsDriverMixin:
         # the pooled dual-averaging eps down for all chains (measured:
         # 9/256 stuck starts pinned eps 4x small = 3.5% recorded
         # divergences on the flagship bench config; with the guard,
-        # div_frac 0 and ESS/s ~2.3x).
-        from lumfuncmcmc_tpu.samplers.nuts import resample_bad_starts
-        y0, good = jax.jit(
-            lambda y, k: resample_bad_starts(lnp_y, y, k)
-        )(y0, jax.random.fold_in(k_init, 0x73746172))
-        n_bad = int(np.sum(~np.asarray(good)))
-        if n_bad:
-            self.log.info(
-                "Resampled %d/%d NUTS starts (robust low outliers of "
-                "the start-lnp distribution — stuck-chain guard)"
-                % (n_bad, y0.shape[0]))
+        # div_frac 0 and ESS/s ~2.3x). Skipped when resuming from an
+        # existing checkpoint: the resumed run carries the post-warmup
+        # state and never consumes y0, so the screening pass (a jit
+        # compile + nchains full-catalog lnp evals) would be pure
+        # restart overhead.
+        _ck = checkpoint_path
+        if _ck and not _ck.endswith(".npz"):
+            _ck += ".npz"
+        # checkpoints are only honored on the fixed-length and min-ess
+        # routes (a plain run ignores checkpoint_path), so only those
+        # may skip — anything else still consumes y0
+        if (resume and _ck and os.path.exists(_ck)
+                and (fixed_ck or min_ess)):
+            self.log.info("NUTS start guard skipped: resuming from %s"
+                          % _ck)
+        else:
+            from lumfuncmcmc_tpu.samplers.nuts import (
+                resample_bad_starts)
+            y0, good = jax.jit(
+                lambda y, k: resample_bad_starts(lnp_y, y, k)
+            )(y0, jax.random.fold_in(k_init, 0x73746172))
+            n_bad = int(np.sum(~np.asarray(good)))
+            if n_bad:
+                self.log.info(
+                    "Resampled %d/%d NUTS starts (robust low outliers "
+                    "of the start-lnp distribution — stuck-chain "
+                    "guard)" % (n_bad, y0.shape[0]))
         if stream_mesh:
             from lumfuncmcmc_tpu.parallel.mesh import (
                 AXIS_SOURCES, AXIS_WALKERS)

@@ -132,6 +132,40 @@ def test_bench_stdout_line_stays_under_driver_buffer(tmp_path,
     # whitelisted key survived
     for k in bench._HEADLINE_DETAIL_KEYS:
         assert k in res["detail"], k
-    # the sidecar holds the complete dict
+    # the sidecar holds the complete dict INCLUDING the derived
+    # capture_ok (computed before the dump, not only for stdout)
     full = json.load(open(sidecar))
     assert "bulk_metric_with_a_long_name_39" in full["detail"]
+    assert full["detail"]["capture_ok"] is True
+
+
+def test_bench_budget_drop_protects_pointer_and_markers(tmp_path,
+                                                        capsys):
+    """Under budget pressure the emitter drops real metrics from the
+    tail — never the detail_file pointer (the only reference to where
+    the dropped data lives) or the *_skipped self-description
+    markers."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location("bench_mod", BENCH)
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    # huge values force the drop loop to run
+    detail = {k: "x" * 120 for k in bench._HEADLINE_DETAIL_KEYS}
+    detail["nuts_skipped"] = "disabled by --nuts-chains 0"
+    result = {"metric": "m", "value": 1, "unit": "u",
+              "vs_baseline": 1, "detail": detail}
+    sidecar = str(tmp_path / "detail.json")
+    os.environ["LFTPU_BENCH_DETAIL"] = sidecar
+    try:
+        bench.emit_result(result)
+    finally:
+        del os.environ["LFTPU_BENCH_DETAIL"]
+    line = capsys.readouterr().out.strip()
+    assert len(line) < 2000, len(line)
+    res = json.loads(line)
+    # some metrics were dropped, but the pointer + marker survived
+    assert len(res["detail"]) < len(detail) + 1
+    assert res["detail"]["detail_file"] == "detail.json"
+    assert res["detail"]["nuts_skipped"] == (
+        "disabled by --nuts-chains 0")

@@ -434,6 +434,33 @@ def test_nuts_checkpoint_rejects_pre_protocol_npz(tmp_path):
             checkpoint_path=ck2, resume=True)
 
 
+def test_target_accept_range_validated():
+    """Out-of-(0,1) targets don't error downstream — they silently
+    wreck dual averaging (ta >= 1 drives eps to 0, ta <= 0 blows it
+    up) — so both entry points fail fast: the CLI at parse time, the
+    library in fit_model_nuts before anything compiles."""
+    from lumfuncmcmc_tpu.cli.main import main
+    from lumfuncmcmc_tpu.config import LFConfig
+    from lumfuncmcmc_tpu.models.model import LumFuncModel
+    from lumfuncmcmc_tpu.utils.synth import (
+        make_catalog, apply_completeness_cut)
+
+    with pytest.raises(SystemExit) as ex:
+        main(["fit", "--synthetic", "50", "--sampler", "nuts",
+              "--nuts-target-accept", "80"])     # percent confusion
+    assert ex.value.code == 2                    # argparse usage error
+
+    cfg = LFConfig(min_comp_frac=0.5, fix_comp=True, size_ln=21,
+                   nwalkers=8, nsteps=10, nuts_target_accept=1.5)
+    cat = apply_completeness_cut(make_catalog(cfg, n_target=150,
+                                              seed=7), cfg)
+    model = LumFuncModel(cfg, z=cat["z"], flux=cat["flux"],
+                         flux_e=cat["flux_e"],
+                         field_id=cat["field_id"])
+    with pytest.raises(ValueError, match="nuts_target_accept"):
+        model.fit_model_nuts(num_warmup=20, nchains=4)
+
+
 def test_nuts_checkpoint_rejects_changed_target_accept(tmp_path):
     """target_accept is chain-affecting (it steers the adapted step
     size, and the divergence warning tells users to change it) — a
