@@ -630,8 +630,13 @@ class _NutsDriverMixin:
         nchains = min(nchains, pos.shape[0])
         stream_mesh = self._nuts_stream_mesh_route()
         # the stream route builds its gradient surface inside shard_map
-        # (psum of per-shard vg rows); lnp_y below is only used by the
-        # other routes
+        # (psum of per-shard vg rows), so it skips the gradient-post
+        # wrapper; lnp_y below still feeds the stuck-start guard on
+        # EVERY route (on stream meshes that is one extra meshless jit
+        # compile + nchains sequential full-catalog lnp evals on one
+        # device — a deliberate startup-only cost: ~16 ms of evals at
+        # 1e6 sources x 256 chains, and lax.map keeps the memory O(1)
+        # in chains; see resample_bad_starts)
         post = (scalar if stream_mesh
                 else self._nuts_gradient_post(scalar, nchains=nchains))
         lo, hi = self.layout.bounds_arrays()

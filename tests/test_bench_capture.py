@@ -89,8 +89,8 @@ def test_bench_cpu_capture_end_to_end(tmp_path):
             assert fd[k] == v, k
 
 
-def test_bench_stdout_line_stays_under_driver_buffer(tmp_path,
-                                                     capsys):
+def test_bench_stdout_line_stays_under_driver_buffer(tmp_path, capsys,
+                                                     monkeypatch):
     """The compact emitter keeps the stdout line under the driver's
     2,000-char tail buffer even for a maximal result dict carrying
     every metric family (the BENCH_r04 failure mode: the single line
@@ -117,11 +117,8 @@ def test_bench_stdout_line_stays_under_driver_buffer(tmp_path,
               "value": 5885899.8, "unit": "evals/s",
               "vs_baseline": 16142.7, "detail": detail}
     sidecar = str(tmp_path / "detail.json")
-    os.environ["LFTPU_BENCH_DETAIL"] = sidecar
-    try:
-        bench.emit_result(result)
-    finally:
-        del os.environ["LFTPU_BENCH_DETAIL"]
+    monkeypatch.setenv("LFTPU_BENCH_DETAIL", sidecar)
+    bench.emit_result(result)
     line = capsys.readouterr().out.strip()
     assert len(line) < 2000, len(line)
     res = json.loads(line)
@@ -139,8 +136,8 @@ def test_bench_stdout_line_stays_under_driver_buffer(tmp_path,
     assert full["detail"]["capture_ok"] is True
 
 
-def test_bench_budget_drop_protects_pointer_and_markers(tmp_path,
-                                                        capsys):
+def test_bench_budget_drop_protects_pointer_and_markers(
+        tmp_path, capsys, monkeypatch):
     """Under budget pressure the emitter drops real metrics from the
     tail — never the detail_file pointer (the only reference to where
     the dropped data lives) or the *_skipped self-description
@@ -156,11 +153,8 @@ def test_bench_budget_drop_protects_pointer_and_markers(tmp_path,
     result = {"metric": "m", "value": 1, "unit": "u",
               "vs_baseline": 1, "detail": detail}
     sidecar = str(tmp_path / "detail.json")
-    os.environ["LFTPU_BENCH_DETAIL"] = sidecar
-    try:
-        bench.emit_result(result)
-    finally:
-        del os.environ["LFTPU_BENCH_DETAIL"]
+    monkeypatch.setenv("LFTPU_BENCH_DETAIL", sidecar)
+    bench.emit_result(result)
     line = capsys.readouterr().out.strip()
     assert len(line) < 2000, len(line)
     res = json.loads(line)
