@@ -38,7 +38,6 @@ from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from lumfuncmcmc_tpu.config import LFConfig
 from lumfuncmcmc_tpu.models.context import LFContext

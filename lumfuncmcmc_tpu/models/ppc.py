@@ -30,7 +30,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from lumfuncmcmc_tpu.models.context import LFContext
-from lumfuncmcmc_tpu.models.likelihood import ThetaLayout
 from lumfuncmcmc_tpu.models.likelihood_z import ThetaLayoutZ
 from lumfuncmcmc_tpu.models.hierarchical import ThetaLayoutH
 from lumfuncmcmc_tpu.ops.omega import omega_from_logf
