@@ -57,6 +57,7 @@ _HEADLINE_DETAIL_KEYS = (
     "backend", "device", "engine", "capture_error", "capture_ok",
     "wall_s", "steps", "walkers",
     "gauss32_evals_per_sec", "gauss32_vs_baseline",
+    "pallas_gauss32_evals_per_sec",
     "matched_ess_ratio_measured", "min_ess_per_sec",
     "pallas_gauss32_vs_xla", "pallas_trapz101_vs_xla",
     "pallas_mesh11_vs_meshless",
