@@ -103,7 +103,13 @@ def emit_result(result):
     try:
         with open(sidecar, "w") as fh:
             json.dump(result, fh, indent=1)
-        sidecar_note = os.path.basename(sidecar)
+        # basename for the default next-to-bench.py location; the full
+        # path when LFTPU_BENCH_DETAIL points elsewhere (a bare
+        # basename would not let a reader locate the sidecar)
+        if "LFTPU_BENCH_DETAIL" in os.environ:
+            sidecar_note = sidecar
+        else:
+            sidecar_note = os.path.basename(sidecar)
     except OSError as e:
         log(f"could not write detail sidecar {sidecar}: {e}")
         sidecar_note = None
@@ -701,6 +707,12 @@ def worker_main(args):
         s_n, _, al_n, eps_n, dv_n, st_n = compiled(
             y0, jax.random.PRNGKey(10))
         jax.block_until_ready(s_n)
+        # value-transfer backstop: through the axon tunnel
+        # block_until_ready returns early for SHORT programs
+        # (ops/pallas_roofline.py measured it A/B); these walls are
+        # ~30-70 dispatch times, where the fences agree, so the
+        # scalar readback costs ~1 dispatch and removes the doubt
+        float(s_n[(0,) * s_n.ndim])
         wall_n = time.time() - t0
         ess_n = float(effective_sample_size(np.asarray(s_n)).min())
         # steady-state rate: warmup amortizes away on long runs, so
@@ -714,6 +726,7 @@ def worker_main(args):
         t0 = time.time()
         s_c, _, _, _, _ = cont_n(st_n, jax.random.PRNGKey(12))
         jax.block_until_ready(s_c)
+        float(s_c[(0,) * s_c.ndim])  # same backstop as wall_n
         wall_c = time.time() - t0
         ess_c = float(effective_sample_size(np.asarray(s_c)).min())
         nuts_detail = {

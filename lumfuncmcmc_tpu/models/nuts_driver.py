@@ -218,6 +218,43 @@ class _NutsDriverMixin:
                  jnp.asarray(saved["scale"])),
                 int(saved["nblocks"]))
 
+    def _nuts_fp(self, y0, num_warmup, *, every=None, route="jit"):
+        """THE one construction site for NUTS checkpoint fingerprints.
+
+        Returns ``(fp, desc)`` — the float64 fingerprint array and the
+        field-name string for mismatch errors. Every route (jit
+        min-ess, mesh min-ess, fixed-length blockwise) builds its
+        fingerprint here: the layouts used to be typed per call site,
+        and adding RNG_PROTOCOL/target_accept meant extending three
+        lists in lockstep — the next knob added to one but not the
+        others would silently split the protocol. Field order is the
+        historical per-site order (``every`` slots between nsteps and
+        ndim on the fixed-length route) so checkpoints written before
+        this refactor still resume. ``mesh_sources`` is appended for
+        the stream route — the per-leapfrog psum's reduction order
+        makes the source-axis size part of the arithmetic, so a
+        resume under a different size must fail loudly.
+        """
+        from lumfuncmcmc_tpu.samplers.nuts import RNG_PROTOCOL
+        cfg = self.cfg
+        fields = [("nchains", y0.shape[0]),
+                  ("num_warmup", int(num_warmup)),
+                  ("block_steps" if every is None else "nsteps",
+                   int(cfg.nsteps))]
+        if every is not None:
+            fields.append(("checkpoint_every", int(every)))
+        fields += [("ndim", y0.shape[1]), ("seed", cfg.seed),
+                   ("rng_protocol", RNG_PROTOCOL),
+                   ("target_accept",
+                    float(cfg.nuts_target_accept))]
+        if route == "stream_mesh":
+            from lumfuncmcmc_tpu.parallel.mesh import AXIS_SOURCES
+            fields.append(
+                ("mesh_sources", self.mesh.shape[AXIS_SOURCES]))
+        fp = np.asarray([v for _, v in fields], dtype=np.float64)
+        desc = "(" + ", ".join(n for n, _ in fields) + ")"
+        return fp, desc
+
     def _reshard_nuts_state(self, state):
         """Put a RESUMED (host) jit-route NUTS state back onto the
         global mesh. The continuation must be partitioned exactly like
@@ -248,21 +285,11 @@ class _NutsDriverMixin:
         arithmetic, so refactoring the source axis would shift lnp at
         float level and flip accept decisions.
         """
-        from lumfuncmcmc_tpu.parallel.mesh import AXIS_SOURCES
-        from lumfuncmcmc_tpu.samplers.nuts import RNG_PROTOCOL
         ck = checkpoint_path if min_ess else None
         if ck and not ck.endswith(".npz"):
             ck += ".npz"
-        fp_list = [y0.shape[0], int(num_warmup), int(self.cfg.nsteps),
-                   y0.shape[1], self.cfg.seed, RNG_PROTOCOL,
-                   float(self.cfg.nuts_target_accept)]
-        desc = "(nchains, num_warmup, block_steps, ndim, seed, " \
-               "rng_protocol, target_accept"
-        if route == "stream_mesh":
-            fp_list.append(self.mesh.shape[AXIS_SOURCES])
-            desc += ", mesh_sources"
-        fp = np.asarray(fp_list, dtype=np.float64)
-        resumed = self._nuts_ckpt_load(ck, fp, resume, desc + ")")
+        fp, desc = self._nuts_fp(y0, num_warmup, route=route)
+        resumed = self._nuts_ckpt_load(ck, fp, resume, desc)
         return ck, fp, resumed
 
     def _nuts_mesh_engine(self, route, lnp_y, to_theta, y0, k_run,
@@ -419,13 +446,13 @@ class _NutsDriverMixin:
             # would then miss the file and silently restart from 0
             checkpoint_path += ".npz"
         nsteps = int(cfg.nsteps)
-        nchains, ndim = y0.shape
+        nchains = y0.shape[0]
         nblocks = -(-nsteps // every)
         sizes = [every] * (nblocks - 1) + [nsteps
                                            - every * (nblocks - 1)]
         ta = float(cfg.nuts_target_accept)
-        fp_list = [nchains, int(num_warmup), nsteps, every, ndim,
-                   cfg.seed, RNG_PROTOCOL, ta]
+        fp, fp_desc = self._nuts_fp(y0, num_warmup, every=every,
+                                    route=route)
         if route == "jit":
             def first(n):
                 return run_nuts(lnp_y, y0, k_run,
@@ -438,12 +465,7 @@ class _NutsDriverMixin:
                 return continue_nuts_keys(
                     lnp_y, st, sampling_keys(k_run, a, b, ids))
         else:
-            from lumfuncmcmc_tpu.parallel.mesh import AXIS_SOURCES
             from lumfuncmcmc_tpu.parallel import sharding as sh
-            if route == "stream_mesh":
-                # the stream route's psum order pins the source axis;
-                # the walker axis regroups freely (elastic resume)
-                fp_list += [self.mesh.shape[AXIS_SOURCES]]
             if route == "native_mesh":
                 def first(n):
                     return sh.run_nuts_sharded(
@@ -471,7 +493,6 @@ class _NutsDriverMixin:
             else:
                 raise ValueError(f"unknown NUTS checkpoint route "
                                  f"{route!r}")
-        fp = np.asarray(fp_list, dtype=np.float64)
         blocks, lnp_blocks, al_blocks = [], [], []
         df = []                 # per-block divergence fractions
         done = 0
@@ -485,16 +506,24 @@ class _NutsDriverMixin:
             saved = np.load(checkpoint_path)
             if (saved["fingerprint"].shape != fp.shape
                     or not np.array_equal(saved["fingerprint"], fp)):
+                # a length mismatch means a checkpoint from an older
+                # fingerprint layout (e.g. pre-protocol-v RNG streams)
+                # — same-length mismatches are just changed settings,
+                # so show the values instead of guessing at protocol
+                if saved["fingerprint"].shape != fp.shape:
+                    hint = ("the fingerprint LENGTH differs — a "
+                            "pre-protocol-v%d npz (current fields "
+                            "%s), whose key streams differ"
+                            % (RNG_PROTOCOL, fp_desc))
+                else:
+                    hint = ("saved %s = %s, current = %s"
+                            % (fp_desc,
+                               tuple(saved["fingerprint"]),
+                               tuple(fp)))
                 raise ValueError(
-                    "nuts-checkpoint fingerprint mismatch: the "
-                    "checkpoint was written under different (nchains, "
-                    "num_warmup, nsteps, checkpoint_every, ndim, seed, "
-                    "rng_protocol, target_accept[, mesh_sources]) — "
-                    "an old-length "
-                    "fingerprint means a pre-protocol-v%d npz, whose "
-                    "key streams differ; delete %s or restore the "
-                    "original settings" % (RNG_PROTOCOL,
-                                           checkpoint_path))
+                    "nuts-checkpoint fingerprint mismatch: %s; "
+                    "delete %s or restore the original settings"
+                    % (hint, checkpoint_path))
             done = int(saved["nblocks"])
             blocks = [jnp.asarray(saved["samples_y"])]
             lnp_blocks = [jnp.asarray(saved["lnps_y"])]
@@ -792,16 +821,8 @@ class _NutsDriverMixin:
             ck = checkpoint_path if min_ess else None
             if ck and not ck.endswith(".npz"):
                 ck += ".npz"
-            from lumfuncmcmc_tpu.samplers.nuts import RNG_PROTOCOL
-            fp = np.asarray([y0.shape[0], int(num_warmup),
-                             int(cfg.nsteps), y0.shape[1], cfg.seed,
-                             RNG_PROTOCOL,
-                             float(cfg.nuts_target_accept)],
-                            dtype=np.float64)
-            resumed = self._nuts_ckpt_load(
-                ck, fp, resume,
-                "(nchains, num_warmup, block_steps, ndim, seed, "
-                "rng_protocol, target_accept)")
+            fp, fp_desc = self._nuts_fp(y0, num_warmup)
+            resumed = self._nuts_ckpt_load(ck, fp, resume, fp_desc)
 
             def _save(path, s, lp, al, df, st, nb):
                 self._nuts_ckpt_save(path, fp, s, lp, al, df, st, nb)

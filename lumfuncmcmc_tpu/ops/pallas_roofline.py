@@ -69,10 +69,15 @@ def _timed_run(rows, cols, iters, reps, x, interpret):
     """Best-of-``reps`` wall time for one kernel invocation with
     ``iters`` internal chain iterations. Synchronization is a SCALAR
     HOST READBACK of one output element, not ``block_until_ready``:
-    through the axon tunnel the latter returns before remote execution
-    finishes (measured: wall flat in ``iters``), so only a value
-    transfer is a trustworthy fence. Best-of (not median) is the right
-    statistic for a peak — shared-chip noise only ever slows a call."""
+    through the axon tunnel the latter returns early for SHORT
+    invocations (measured A/B on this kernel: 0.03 ms walls at
+    iters=2000 where the value-fenced wall is 35 ms; at iters=8000
+    the two fences agree at ~65 ms — long programs and whole-scan
+    chains DO block, which is why bench.py's chain walls scale
+    linearly in steps). A roofline sweep must stay valid at every
+    ``iters``, so only the value transfer is trustworthy here.
+    Best-of (not median) is the right statistic for a peak —
+    shared-chip noise only ever slows a call."""
     kern = pl.pallas_call(
         partial(_roofline_kernel, iters=int(iters)),
         out_shape=jax.ShapeDtypeStruct((rows, cols), jnp.float32),

@@ -153,10 +153,11 @@ def coverage_replicate_z(k, rng, n_target=800, nwalkers=32, nsteps=800,
         list(layout.names)
 
 
-# hier SBC field/hyper boxes: field boxes keep catalogs physical-sized;
-# the sig boxes come from ThetaLayoutH.from_config (0.01..2 / 0.01..3)
-HIER_BOX = {"Lstar_lims": (42.3, 42.7), "phistar_lims": (-2.9, -2.3),
-            "sch_al_lims": (-1.8, -1.4)}
+# hier SBC field/hyper boxes: the field boxes are deliberately the
+# same physical-sized box as the single-epoch gate (retune SBC_BOX and
+# both gates move together); the sig boxes come from
+# ThetaLayoutH.from_config (0.01..2 / 0.01..3)
+HIER_BOX = dict(SBC_BOX)
 
 
 def _draw_hier_truth(rng, layout, block=4096):

@@ -158,8 +158,10 @@ def test_bench_budget_drop_protects_pointer_and_markers(
     line = capsys.readouterr().out.strip()
     assert len(line) < 2000, len(line)
     res = json.loads(line)
-    # some metrics were dropped, but the pointer + marker survived
+    # some metrics were dropped, but the pointer + marker survived;
+    # under an LFTPU_BENCH_DETAIL override the pointer is the FULL
+    # path (a bare basename could not locate the sidecar)
     assert len(res["detail"]) < len(detail) + 1
-    assert res["detail"]["detail_file"] == "detail.json"
+    assert res["detail"]["detail_file"] == sidecar
     assert res["detail"]["nuts_skipped"] == (
         "disabled by --nuts-chains 0")
