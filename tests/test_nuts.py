@@ -502,3 +502,43 @@ def test_nuts_checkpoint_rejects_changed_target_accept(tmp_path):
                      **kw).fit_model_nuts(
             num_warmup=40, nchains=4, min_ess=1e6, max_blocks=2,
             checkpoint_path=ck2, resume=True)
+
+
+def test_nuts_fp_pins_every_route_layout():
+    """The checkpoint fingerprint layouts are an on-disk protocol: a
+    checkpoint written by any route must resume under the same route
+    after upgrades, so the exact (field order, values) per route is
+    pinned here. If this test fails, either bump RNG_PROTOCOL (key
+    streams changed) or restore the layout — silently reordering or
+    dropping a field would let stale checkpoints resume as spliced
+    chains. All five layouts come from the ONE ``_nuts_fp``
+    constructor (review r5: three hand-typed sites had to be extended
+    in lockstep per knob)."""
+    from types import SimpleNamespace
+    from lumfuncmcmc_tpu.models.nuts_driver import _NutsDriverMixin
+    from lumfuncmcmc_tpu.parallel.mesh import make_mesh
+    from lumfuncmcmc_tpu.samplers.nuts import RNG_PROTOCOL
+
+    d = _NutsDriverMixin()
+    d.cfg = SimpleNamespace(nsteps=40, seed=7, nuts_target_accept=0.8)
+    d.mesh = make_mesh(4, 2)
+    y0 = np.zeros((16, 9))
+    base = [16, 25, 40, 9, 7, RNG_PROTOCOL, 0.8]
+    fixed = [16, 25, 40, 10, 9, 7, RNG_PROTOCOL, 0.8]
+    expect = {
+        (): (base, "(nchains, num_warmup, block_steps, ndim, seed, "
+                   "rng_protocol, target_accept)"),
+        (("route", "native_mesh"),): (base, None),
+        (("route", "stream_mesh"),): (base + [2], None),
+        (("every", 10),): (
+            fixed, "(nchains, num_warmup, nsteps, checkpoint_every, "
+                   "ndim, seed, rng_protocol, target_accept)"),
+        (("every", 10), ("route", "stream_mesh")): (fixed + [2], None),
+    }
+    for kw, (vals, desc) in expect.items():
+        fp, got_desc = d._nuts_fp(y0, 25, **dict(kw))
+        assert fp.dtype == np.float64
+        np.testing.assert_array_equal(fp, np.asarray(vals, np.float64),
+                                      err_msg=str(kw))
+        if desc is not None:
+            assert got_desc == desc, kw
