@@ -58,6 +58,34 @@ def pad_sources(ctx: LFContext, multiple: int) -> LFContext:
     return dataclasses.replace(ctx, **updates)
 
 
+def _chain_blk(nchains: int, shards: int, what: str) -> int:
+    """Chains per device block, validating divisibility with the run
+    paths' explicit error. The continuation wrappers used to floor-
+    divide silently, so an elastic resume onto a mesh whose device
+    count does not divide the chain count died inside ``shard_map``
+    with an opaque axis-size error instead of this message."""
+    if nchains % shards:
+        raise ValueError(
+            f"chain count {nchains} must be a multiple of the mesh "
+            f"{what} {shards} (whole chain blocks per device)")
+    return nchains // shards
+
+
+def _pad_walkers(thetas, multiple: int):
+    """Pad a (W, D) walker batch to a multiple of the sharded walker
+    axis by repeating row 0 (an always-in-bounds real theta, so padded
+    lanes never produce NaN work). Returns ``(padded, W)`` — callers
+    slice outputs back to ``[:W]``."""
+    w = thetas.shape[0]
+    wpad = -(-w // multiple) * multiple
+    if wpad != w:
+        thetas = jnp.concatenate(
+            [thetas,
+             jnp.broadcast_to(thetas[:1],
+                              (wpad - w,) + thetas.shape[1:])])
+    return thetas, w
+
+
 def _ctx_specs(ctx: LFContext, shard_sources: bool):
     """PartitionSpec pytree matching the context structure."""
     kw = {name: (P(AXIS_SOURCES) if shard_sources and name in _SRC_FIELDS
@@ -142,12 +170,7 @@ def make_lnprob_sharded(ctx: LFContext, layout, mesh, model="single",
         out_specs=P(AXIS_WALKERS))
 
     def batch(thetas):
-        w = thetas.shape[0]
-        wpad = -(-w // nw_shards) * nw_shards
-        if wpad != w:
-            thetas = jnp.concatenate(
-                [thetas,
-                 jnp.broadcast_to(thetas[:1], (wpad - w,) + thetas.shape[1:])])
+        thetas, w = _pad_walkers(thetas, nw_shards)
         return sharded_fn(thetas, ctx)[:w]
 
     return batch
@@ -192,12 +215,7 @@ def run_nuts_sharded(lnp_y, y0, key, mesh, num_warmup, num_samples,
     return_state = bool(kw.pop("return_state", False))
     C = y0.shape[0]
     ns = mesh.shape[AXIS_SOURCES]
-    ndev = mesh.shape[AXIS_WALKERS] * ns
-    if C % ndev:
-        raise ValueError(
-            f"chain count {C} must be a multiple of the mesh device "
-            f"count {ndev} (whole chain blocks per device)")
-    blk = C // ndev
+    blk = _chain_blk(C, mesh.shape[AXIS_WALKERS] * ns, "device count")
     axes = (AXIS_WALKERS, AXIS_SOURCES)
 
     def local(y0_blk):
@@ -257,7 +275,8 @@ def continue_nuts_sharded(lnp_y, state, key, mesh, num_samples,
     y_run, eps, scale = state
     ns = mesh.shape[AXIS_SOURCES]
     axes = (AXIS_WALKERS, AXIS_SOURCES)
-    blk = y_run.shape[0] // (mesh.shape[AXIS_WALKERS] * ns)
+    blk = _chain_blk(y_run.shape[0], mesh.shape[AXIS_WALKERS] * ns,
+                     "device count")
 
     def local(y_blk, eps_blk, scale_blk):
         i = (jax.lax.axis_index(AXIS_WALKERS) * ns
@@ -302,7 +321,8 @@ def continue_nuts_keys_sharded(lnp_y, state, key, mesh, start, stop,
     y_run, eps, scale = state
     ns = mesh.shape[AXIS_SOURCES]
     axes = (AXIS_WALKERS, AXIS_SOURCES)
-    blk = y_run.shape[0] // (mesh.shape[AXIS_WALKERS] * ns)
+    blk = _chain_blk(y_run.shape[0], mesh.shape[AXIS_WALKERS] * ns,
+                     "device count")
 
     def local(y_blk, eps_blk, scale_blk):
         i = (jax.lax.axis_index(AXIS_WALKERS) * ns
@@ -389,13 +409,7 @@ def make_pallas_vg_stream_sharded(ctx: LFContext, layout, mesh,
         check_vma=False)
 
     def batch(thetas):
-        w = thetas.shape[0]
-        wpad = -(-w // nw_shards) * nw_shards
-        if wpad != w:
-            thetas = jnp.concatenate(
-                [thetas,
-                 jnp.broadcast_to(thetas[:1],
-                                  (wpad - w,) + thetas.shape[1:])])
+        thetas, w = _pad_walkers(thetas, nw_shards)
         v, g = sharded_fn(thetas, s_stacked)
         return v[:w], g[:w]
 
@@ -449,12 +463,7 @@ def run_nuts_stream_sharded(ctx: LFContext, layout, mesh, y0, key,
         return None
     make_scalar, s_stacked = parts
     nw_shards = mesh.shape[AXIS_WALKERS]
-    C = y0.shape[0]
-    if C % nw_shards:
-        raise ValueError(
-            f"chain count {C} must be a multiple of the mesh walker "
-            f"axis {nw_shards} (whole chain blocks per walker row)")
-    blk = C // nw_shards
+    blk = _chain_blk(y0.shape[0], nw_shards, "walker axis")
     lo = jnp.asarray(layout.lo, jnp.float32)
     hi = jnp.asarray(layout.hi, jnp.float32)
 
@@ -527,7 +536,8 @@ def continue_nuts_stream_sharded(ctx: LFContext, layout, mesh, state,
     lo = jnp.asarray(layout.lo, jnp.float32)
     hi = jnp.asarray(layout.hi, jnp.float32)
     y_run, eps, scale = state
-    blk = y_run.shape[0] // mesh.shape[AXIS_WALKERS]
+    blk = _chain_blk(y_run.shape[0], mesh.shape[AXIS_WALKERS],
+                     "walker axis")
 
     def local(y_blk, eps_blk, scale_blk, s_blk):
         scalar = make_scalar(s_blk)
@@ -579,7 +589,8 @@ def continue_nuts_keys_stream_sharded(ctx: LFContext, layout, mesh,
     lo = jnp.asarray(layout.lo, jnp.float32)
     hi = jnp.asarray(layout.hi, jnp.float32)
     y_run, eps, scale = state
-    blk = y_run.shape[0] // mesh.shape[AXIS_WALKERS]
+    blk = _chain_blk(y_run.shape[0], mesh.shape[AXIS_WALKERS],
+                     "walker axis")
 
     def local(y_blk, eps_blk, scale_blk, s_blk):
         scalar = make_scalar(s_blk)
@@ -649,13 +660,7 @@ def make_pallas_lnprob_stream_sharded(ctx: LFContext, layout, mesh,
         out_specs=P(AXIS_WALKERS), check_vma=False)
 
     def batch(thetas):
-        w = thetas.shape[0]
-        wpad = -(-w // nw_shards) * nw_shards
-        if wpad != w:
-            thetas = jnp.concatenate(
-                [thetas,
-                 jnp.broadcast_to(thetas[:1],
-                                  (wpad - w,) + thetas.shape[1:])])
+        thetas, w = _pad_walkers(thetas, nw_shards)
         return sharded_fn(thetas, s_stacked)[:w]
 
     batch.engine = "pallas"
@@ -908,13 +913,7 @@ def make_pallas_lnprob_sharded(ctx: LFContext, layout, mesh,
         check_vma=False)
 
     def batch(thetas):
-        w = thetas.shape[0]
-        wpad = -(-w // ndev) * ndev
-        if wpad != w:
-            thetas = jnp.concatenate(
-                [thetas,
-                 jnp.broadcast_to(thetas[:1],
-                                  (wpad - w,) + thetas.shape[1:])])
+        thetas, w = _pad_walkers(thetas, ndev)
         return sharded_fn(thetas)[:w]
 
     batch.engine = "pallas"
